@@ -1,0 +1,10 @@
+"""Utility toolkit: seed plumbing, bitstring objectives.
+
+Mirrors queasars/utility/ (reference layer L4) minus the Pauli helpers,
+which live in :mod:`queasars_tpu.paulis`.
+"""
+
+from queasars_tpu.utils.random import new_random_seed
+from queasars_tpu.utils.bitstring_evaluation import BitstringEvaluator
+
+__all__ = ["new_random_seed", "BitstringEvaluator"]
