@@ -1,0 +1,39 @@
+"""Measurement shot sampling.
+
+Replaces the reference's sampler primitive round trip
+(``measure_quasi_distributions``, queasars/circuit_evaluation/
+circuit_evaluation.py:29-59): probabilities come straight from the
+statevector and shots are drawn with ``jax.random.categorical`` on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("shots",))
+def sample_counts(key: jax.Array, probs: jax.Array, shots: int) -> jax.Array:
+    """Draw ``shots`` basis states from ``probs`` [2^n]; return integer
+    counts [2^n] (an empirical multinomial, like a sampler's counts dict)."""
+    logits = jnp.log(jnp.clip(probs, 1e-38, 1.0))
+    samples = jax.random.categorical(key, logits, shape=(shots,))
+    return jnp.zeros(probs.shape[-1], dtype=jnp.int32).at[samples].add(1)
+
+
+@partial(jax.jit, static_argnames=("shots",))
+def empirical_probs(key: jax.Array, probs: jax.Array, shots: int) -> jax.Array:
+    """Shot-noise distribution: counts / shots as float32 [2^n]."""
+    return sample_counts(key, probs, shots).astype(jnp.float32) / shots
+
+
+def quasi_distribution(probs: np.ndarray, atol: float = 1e-12) -> dict[int, float]:
+    """Dense probabilities -> sparse {basis_state: probability} dict
+    (the reference's QuasiDistribution result surface,
+    circuit_evaluation.py:52-59)."""
+    probs = np.asarray(probs)
+    (nonzero,) = np.nonzero(probs > atol)
+    return {int(i): float(probs[i]) for i in nonzero}
