@@ -1,0 +1,153 @@
+"""Genome -> device tensor packing.
+
+The bridge between the host genome objects and the JAX engine: a whole
+population is lowered to fixed-shape arrays (padded to a power-of-two
+L_max to bound jit recompilation buckets — the reference's analog is
+rebuilding/re-transpiling Qiskit circuits per evaluation,
+individual.py:288-322, which this replaces entirely).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+from queasars_tpu.genome.gates import EVQEGateType, ControlledRotationGate
+from queasars_tpu.genome.individual import EVQEIndividual
+
+
+def _next_pow2(value: int) -> int:
+    result = 1
+    while result < value:
+        result *= 2
+    return result
+
+
+@dataclass
+class PackedPopulation:
+    """Fixed-shape tensor encoding of a population of genomes.
+
+    Shapes: P individuals, L layers (padded), n qubits.
+
+    - ``gate_types`` [P, L, n] int32 — EVQEGateType codes
+    - ``controls`` [P, L, n] int32 — control qubit per CROT slot, else -1
+    - ``angles`` [P, L, n, 3] float32 — (theta, phi, lambda) per slot
+    - ``layer_mask`` [P, L] bool — real vs padding layers
+    - ``param_mask`` [P, L, n] bool — slots contributing parameters
+    - ``n_params`` [P] int32 — flat parameter count per individual
+    """
+
+    gate_types: np.ndarray
+    controls: np.ndarray
+    angles: np.ndarray
+    layer_mask: np.ndarray
+    param_mask: np.ndarray
+    n_params: np.ndarray
+    n_qubits: int
+
+    @property
+    def n_individuals(self) -> int:
+        return int(self.gate_types.shape[0])
+
+    @property
+    def max_layers(self) -> int:
+        return int(self.gate_types.shape[1])
+
+    @staticmethod
+    def pack(
+        individuals: Sequence[EVQEIndividual],
+        min_layers: Optional[int] = None,
+    ) -> "PackedPopulation":
+        """Pack genomes into padded tensors.
+
+        L_max = next power of two >= the longest individual (>= min_layers
+        if given) so repeated packing hits a small set of jit shapes.
+        """
+        if len(individuals) == 0:
+            raise ValueError("cannot pack an empty population")
+        n_qubits = individuals[0].n_qubits
+        longest = max(len(ind.layers) for ind in individuals)
+        l_max = _next_pow2(max(longest, min_layers or 1))
+        pop = len(individuals)
+
+        gate_types = np.zeros((pop, l_max, n_qubits), dtype=np.int32)
+        controls = np.full((pop, l_max, n_qubits), -1, dtype=np.int32)
+        angles = np.zeros((pop, l_max, n_qubits, 3), dtype=np.float32)
+        layer_mask = np.zeros((pop, l_max), dtype=bool)
+        param_mask = np.zeros((pop, l_max, n_qubits), dtype=bool)
+        n_params = np.zeros(pop, dtype=np.int32)
+
+        for p, individual in enumerate(individuals):
+            if individual.n_qubits != n_qubits:
+                raise ValueError("all individuals must share the same qubit count")
+            flat = individual.parameter_values
+            cursor = 0
+            for l, layer in enumerate(individual.layers):
+                layer_mask[p, l] = True
+                for q, gate in enumerate(layer.gates):
+                    code = gate.gate_type().value
+                    gate_types[p, l, q] = code
+                    if isinstance(gate, ControlledRotationGate):
+                        controls[p, l, q] = gate.control_qubit_index
+                    if gate.n_parameters() > 0:
+                        param_mask[p, l, q] = True
+                        angles[p, l, q, :] = flat[cursor : cursor + 3]
+                        cursor += 3
+            n_params[p] = cursor
+
+        return PackedPopulation(
+            gate_types=gate_types,
+            controls=controls,
+            angles=angles,
+            layer_mask=layer_mask,
+            param_mask=param_mask,
+            n_params=n_params,
+            n_qubits=n_qubits,
+        )
+
+    def angles_to_flat(self, individual_index: int, angles: np.ndarray) -> tuple[float, ...]:
+        """Extract one individual's flat parameter vector from an angle
+        tensor [L, n, 3] (inverse of packing; canonical order)."""
+        values: list[float] = []
+        mask = self.param_mask[individual_index]
+        for l in range(self.max_layers):
+            if not self.layer_mask[individual_index, l]:
+                continue
+            for q in range(self.n_qubits):
+                if mask[l, q]:
+                    values.extend(float(angles[l, q, k]) for k in range(3))
+        return tuple(values)
+
+    def param_coordinates(self, individual_index: int) -> np.ndarray:
+        """[n_params, 3] array of (layer, qubit, angle_index) coordinates in
+        canonical flat order for one individual."""
+        coords: list[tuple[int, int, int]] = []
+        for l in range(self.max_layers):
+            if not self.layer_mask[individual_index, l]:
+                continue
+            for q in range(self.n_qubits):
+                if self.param_mask[individual_index, l, q]:
+                    coords.extend((l, q, k) for k in range(3))
+        return np.asarray(coords, dtype=np.int32).reshape(-1, 3)
+
+    def layer_param_coordinates(self, individual_index: int, layer_id: int) -> np.ndarray:
+        """[k, 3] coordinates of one layer's parameters (layer_id may be
+        negative, counting real layers from the end)."""
+        real_layers = int(self.layer_mask[individual_index].sum())
+        layer_id = layer_id % real_layers
+        coords: list[tuple[int, int, int]] = []
+        for q in range(self.n_qubits):
+            if self.param_mask[individual_index, layer_id, q]:
+                coords.extend((layer_id, q, k) for k in range(3))
+        return np.asarray(coords, dtype=np.int32).reshape(-1, 3)
+
+
+def unpack_individual(
+    packed: PackedPopulation, individual_index: int, template: EVQEIndividual
+) -> EVQEIndividual:
+    """Rebuild a host individual from (possibly optimizer-updated) packed
+    angles, keeping the template's layer structure."""
+    flat = packed.angles_to_flat(individual_index, packed.angles[individual_index])
+    return EVQEIndividual.change_parameter_values(template, flat)
