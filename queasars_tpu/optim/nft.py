@@ -1,0 +1,188 @@
+"""Batched Nakanishi-Fujii-Todo (NFT) optimizer.
+
+The reference's inner hot loop runs qiskit's NFT per individual per layer
+behind futures (mutation.py:28-89): O(maxiter) sequential Python->C++
+round trips per individual.  Here the entire population takes NFT steps in
+lock-step inside one ``lax.scan``: each step is two (plus periodic reset
+three) batched population evaluations, all fused into one compiled device
+program.
+
+NFT math (arXiv:1903.12166, matching qiskit's ``nakanishi_fujii_todo``
+scipy-style method): the objective is an exact sinusoid in each U3 angle,
+  f(theta) = c + a*cos(theta - b),
+so from z0=f(x), z1=f(x+pi/2), z3=f(x-pi/2):
+  b     = x + atan2((z1-z3)/2, z0-(z1+z3)/2),
+  theta* = b + pi      (the minimum),
+  f(theta*) = c - a  with  c=(z1+z3)/2, a=sqrt((z0-c)^2+((z1-z3)/2)^2).
+The minimum value is recycled as the next step's z0; every
+``reset_interval`` steps z0 is re-measured (guards drift under shot noise,
+same knob as qiskit NFT's reset_interval=32 default).
+
+Per-individual parameter counts differ: step k updates flat parameter
+``k mod n_free_i`` of each individual (the same cyclic rule as qiskit NFT),
+with per-individual coordinate tables mapping flat indices to
+(layer, qubit, angle) slots.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from math import ceil
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.optim.objective import objective_operands, population_energies
+
+
+@dataclass(frozen=True)
+class NFTConfig:
+    """NFT hyperparameters (qiskit NFT-compatible knobs).
+
+    :param maxiter: parameter-update steps (each costs 2 evaluations, plus
+        1 extra on reset steps)
+    :param reset_interval: re-measure the recycled z0 every this many steps
+    """
+
+    maxiter: int = 40
+    reset_interval: int = 32
+
+    def n_circuit_evaluations(self) -> int:
+        """Evaluations used per optimized individual (ledger input for the
+        budget enforcement, reference: mutation.py:282-290)."""
+        return 2 * self.maxiter + ceil(self.maxiter / self.reset_interval)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots"),
+)
+def _nft_scan(
+    gate_types,
+    controls,
+    layer_mask,
+    angles,
+    coords,
+    n_free,
+    active,
+    table,
+    sorted_energies,
+    energy_order,
+    alpha,
+    key,
+    initial_state,
+    *,
+    n_qubits: int,
+    maxiter: int,
+    reset_interval: int,
+    shots: int,
+    use_cvar: bool,
+    use_shots: bool,
+):
+    pop = gate_types.shape[0]
+    pop_idx = jnp.arange(pop)
+
+    def objective(a, k):
+        return population_energies(
+            gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
+            alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
+            use_shots=use_shots, initial_state=initial_state,
+        )
+
+    def step(carry, k):
+        angles_c, z0, key_c = carry
+        key_c, k0, k1, k3 = jax.random.split(key_c, 4)
+
+        z0 = jax.lax.cond(
+            (k % reset_interval) == 0,
+            lambda: objective(angles_c, k0),
+            lambda: z0,
+        )
+
+        idx = jnp.where(n_free > 0, k % jnp.maximum(n_free, 1), 0)
+        coord = coords[pop_idx, idx]  # [P, 3]
+        l, q, a_i = coord[:, 0], coord[:, 1], coord[:, 2]
+
+        plus = angles_c.at[pop_idx, l, q, a_i].add(jnp.pi / 2)
+        minus = angles_c.at[pop_idx, l, q, a_i].add(-jnp.pi / 2)
+        z1 = objective(plus, k1)
+        z3 = objective(minus, k3)
+
+        mid = (z1 + z3) / 2
+        shift = jnp.arctan2((z1 - z3) / 2, z0 - mid)
+        amplitude = jnp.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
+        minimum_value = mid - amplitude
+
+        updated = angles_c.at[pop_idx, l, q, a_i].add(shift + jnp.pi)
+        apply = jnp.logical_and(active, n_free > 0)
+        angles_c = jnp.where(apply[:, None, None, None], updated, angles_c)
+        z0 = jnp.where(apply, minimum_value, z0)
+        return (angles_c, z0, key_c), None
+
+    init = (angles, jnp.zeros(pop, dtype=jnp.float32), key)
+    (angles, z0, _), _ = jax.lax.scan(step, init, jnp.arange(maxiter))
+    return angles, z0
+
+
+class BatchedNFT:
+    """Population-lock-step NFT against a diagonal-operator evaluator."""
+
+    def __init__(self, config: NFTConfig = NFTConfig()):
+        self.config = config
+
+    def minimize(
+        self,
+        evaluator,
+        packed: PackedPopulation,
+        coords: np.ndarray,
+        n_free: np.ndarray,
+        active: np.ndarray,
+        angles: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """Run NFT over the selected free parameters.
+
+        :param evaluator: Statevector/Sampler expectation evaluator
+            (diagonal operator)
+        :param packed: population structure tensors
+        :param coords: [P, K, 3] free-parameter coordinates per individual
+            (padded arbitrarily where unused)
+        :param n_free: [P] number of valid coordinates per individual
+        :param active: [P] individuals taking part in this optimization
+        :param angles: optional override of the packed angle tensor
+        :param seed: RNG seed for the shot-sampling objective path
+        :return: (optimized angles [P, L, n, 3], final energies [P],
+            evaluations used per active individual)
+        """
+        a = packed.angles if angles is None else angles
+        if coords.shape[1] == 0 or not np.any(np.logical_and(active, n_free > 0)):
+            # nothing to optimize (e.g. an all-identity layer)
+            return np.asarray(a), np.asarray(evaluator.evaluate_packed(packed, angles=a)), 0
+        operands = objective_operands(evaluator)
+        out_angles, energies = _nft_scan(
+            jnp.asarray(packed.gate_types),
+            jnp.asarray(packed.controls),
+            jnp.asarray(packed.layer_mask),
+            jnp.asarray(a),
+            jnp.asarray(coords),
+            jnp.asarray(n_free),
+            jnp.asarray(active),
+            operands["table"],
+            operands["sorted_energies"],
+            operands["energy_order"],
+            operands["alpha"],
+            jax.random.PRNGKey(seed),
+            operands["initial_state"],
+            n_qubits=packed.n_qubits,
+            maxiter=self.config.maxiter,
+            reset_interval=self.config.reset_interval,
+            shots=operands["shots"],
+            use_cvar=operands["use_cvar"],
+            use_shots=operands["use_shots"],
+        )
+        return np.asarray(out_angles), np.asarray(energies), self.config.n_circuit_evaluations()

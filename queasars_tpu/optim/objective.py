@@ -1,0 +1,95 @@
+"""Shared pure-JAX population objectives for the batched optimizers.
+
+One function builds the "angles -> energies" objective used inside
+optimizer scans, covering the evaluator modes (exact / CVaR / shot-sampled)
+with static flags so each (mode, shape) pair compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from queasars_tpu.sim.expectation import cvar_expectation_from_probs, expectation_from_probs
+from queasars_tpu.sim.sampling import sample_counts
+from queasars_tpu.sim.statevector import probabilities
+
+
+def population_energies(
+    gate_types,
+    controls,
+    angles,
+    layer_mask,
+    table,
+    sorted_energies,
+    energy_order,
+    alpha,
+    key,
+    *,
+    n_qubits: int,
+    shots: int,
+    use_cvar: bool,
+    use_shots: bool,
+    initial_state=None,
+):
+    """Energies [P] for the population at the given angle tensor.
+
+    Static flags select the branch at trace time; unused operands may be
+    dummy arrays.  ``key`` is consumed only when ``use_shots``.
+    """
+    probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+    if use_shots:
+        keys = jax.random.split(key, probs.shape[0])
+        counts = jax.vmap(lambda k, p: sample_counts(k, p, shots))(keys, probs)
+        probs = counts.astype(jnp.float32) / shots
+    if use_cvar:
+        return cvar_expectation_from_probs(probs, sorted_energies, energy_order, alpha)
+    return expectation_from_probs(probs, table)
+
+
+def objective_operands(evaluator):
+    """Extract (table, sorted, order, alpha, shots, use_cvar, use_shots,
+    initial_state) operands from an evaluator instance for use with
+    :func:`population_energies`.
+
+    Supports StatevectorExpectationEvaluator and
+    SamplerExpectationEvaluator (diagonal operators — the optimizer hot
+    path; the reference likewise optimizes through its estimator/sampler
+    evaluators, mutation.py:63-75).
+    """
+    from queasars_tpu.sim.evaluators import (
+        SamplerExpectationEvaluator,
+        StatevectorExpectationEvaluator,
+    )
+
+    dummy = jnp.zeros(1, dtype=jnp.float32)
+    dummy_order = jnp.zeros(1, dtype=jnp.int32)
+    if isinstance(evaluator, StatevectorExpectationEvaluator):
+        if not evaluator._diagonal:
+            raise NotImplementedError(
+                "batched optimizers require a diagonal operator (energy-table path)"
+            )
+        use_cvar = evaluator.alpha < 1.0
+        return dict(
+            table=evaluator._table,
+            sorted_energies=evaluator._sorted if use_cvar else dummy,
+            energy_order=evaluator._order if use_cvar else dummy_order,
+            alpha=jnp.float32(evaluator.alpha),
+            shots=0,
+            use_cvar=use_cvar,
+            use_shots=False,
+            initial_state=evaluator._initial,
+        )
+    if isinstance(evaluator, SamplerExpectationEvaluator):
+        use_cvar = evaluator.alpha < 1.0
+        return dict(
+            table=evaluator._table,
+            sorted_energies=evaluator._sorted,
+            energy_order=evaluator._order,
+            alpha=jnp.float32(evaluator.alpha),
+            shots=evaluator.shots,
+            use_cvar=use_cvar,
+            use_shots=True,
+            initial_state=evaluator._initial,
+        )
+    raise TypeError(f"unsupported evaluator type for batched optimization: {type(evaluator)!r}")

@@ -1,0 +1,244 @@
+"""Batched SPSA optimizer.
+
+Population-lock-step simultaneous-perturbation stochastic approximation
+with qiskit-SPSA-compatible power-law schedules and calibration:
+
+  a_k = a / (k + 1 + A)^0.602,   c_k = c / (k + 1)^0.101
+
+Each step costs two batched population evaluations.  Supports an optional
+:class:`~queasars_tpu.optim.spsa_termination.SPSATerminationChecker` per
+individual in host-stepped mode (one jitted step per iteration) — the
+reference wires the same checker into qiskit SPSA's callback
+(queasars/utility/spsa_termination.py:48-96).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.optim.objective import objective_operands, population_energies
+from queasars_tpu.optim.spsa_termination import SPSATerminationChecker
+
+
+@dataclass(frozen=True)
+class SPSAConfig:
+    """SPSA hyperparameters (qiskit-compatible defaults).
+
+    :param maxiter: gradient steps (2 evaluations each)
+    :param learning_rate: ``a``; None triggers magnitude calibration
+    :param perturbation: ``c``
+    :param calibration_steps: evaluation pairs used to calibrate ``a``
+    :param alpha_power / gamma_power: schedule exponents
+    :param stability_constant: ``A`` in the a_k schedule
+    """
+
+    maxiter: int = 100
+    learning_rate: Optional[float] = None
+    perturbation: float = 0.1
+    calibration_steps: int = 25
+    alpha_power: float = 0.602
+    gamma_power: float = 0.101
+    stability_constant: float = 0.0
+    target_magnitude: float = 2 * np.pi / 10
+
+    def n_circuit_evaluations(self) -> int:
+        calibration = 2 * self.calibration_steps if self.learning_rate is None else 0
+        return 2 * self.maxiter + calibration
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_qubits", "shots", "use_cvar", "use_shots", "calibration_steps"),
+)
+def _spsa_calibrate(
+    gate_types, controls, layer_mask, angles, coords, coord_mask,
+    table, sorted_energies, energy_order, alpha, key, initial_state, c,
+    *, n_qubits, shots, use_cvar, use_shots, calibration_steps,
+):
+    """Average |f(x+c d) - f(x-c d)| over calibration pairs -> [P]."""
+    pop = gate_types.shape[0]
+    pop_idx = jnp.arange(pop)[:, None]
+
+    def objective(a, k):
+        return population_energies(
+            gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
+            alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
+            use_shots=use_shots, initial_state=initial_state,
+        )
+
+    def step(acc, k):
+        key_k = jax.random.fold_in(key, k)
+        kd, k1, k2 = jax.random.split(key_k, 3)
+        delta = jax.random.rademacher(kd, coords.shape[:2], dtype=jnp.float32) * coord_mask
+        l, q, a_i = coords[..., 0], coords[..., 1], coords[..., 2]
+        plus = angles.at[pop_idx, l, q, a_i].add(c * delta)
+        minus = angles.at[pop_idx, l, q, a_i].add(-c * delta)
+        diff = jnp.abs(objective(plus, k1) - objective(minus, k2))
+        return acc + diff, None
+
+    total, _ = jax.lax.scan(step, jnp.zeros(pop, jnp.float32), jnp.arange(calibration_steps))
+    return total / calibration_steps
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_qubits", "maxiter", "shots", "use_cvar", "use_shots"),
+)
+def _spsa_scan(
+    gate_types, controls, layer_mask, angles, coords, coord_mask, active,
+    learning_rates, table, sorted_energies, energy_order, alpha, key, initial_state,
+    c, gamma_power, alpha_power, stability_constant, start_iteration,
+    *, n_qubits, maxiter, shots, use_cvar, use_shots,
+):
+    pop = gate_types.shape[0]
+    pop_idx = jnp.arange(pop)[:, None]
+    l, q, a_i = coords[..., 0], coords[..., 1], coords[..., 2]
+
+    def objective(a, k):
+        return population_energies(
+            gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
+            alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
+            use_shots=use_shots, initial_state=initial_state,
+        )
+
+    def step(carry, k):
+        angles_c, key_c = carry
+        key_c, kd, k1, k2 = jax.random.split(key_c, 4)
+        it = (k + start_iteration).astype(jnp.float32)
+        c_k = c / (it + 1.0) ** gamma_power
+        a_k = learning_rates / (it + 1.0 + stability_constant) ** alpha_power
+
+        delta = jax.random.rademacher(kd, coords.shape[:2], dtype=jnp.float32) * coord_mask
+        plus = angles_c.at[pop_idx, l, q, a_i].add(c_k * delta)
+        minus = angles_c.at[pop_idx, l, q, a_i].add(-c_k * delta)
+        f_plus = objective(plus, k1)
+        f_minus = objective(minus, k2)
+        gradient = ((f_plus - f_minus) / (2.0 * c_k))[:, None] * delta
+
+        updated = angles_c.at[pop_idx, l, q, a_i].add(-a_k[:, None] * gradient)
+        angles_c = jnp.where(active[:, None, None, None], updated, angles_c)
+        return (angles_c, key_c), None
+
+    (angles, _), _ = jax.lax.scan(step, (angles, key), jnp.arange(maxiter))
+    final = population_energies(
+        gate_types, controls, angles, layer_mask, table, sorted_energies, energy_order,
+        alpha, key, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
+        use_shots=use_shots, initial_state=initial_state,
+    )
+    return angles, final
+
+
+class BatchedSPSA:
+    """Population-lock-step SPSA against a diagonal-operator evaluator."""
+
+    def __init__(self, config: SPSAConfig = SPSAConfig()):
+        self.config = config
+
+    def minimize(
+        self,
+        evaluator,
+        packed: PackedPopulation,
+        coords: np.ndarray,
+        n_free: np.ndarray,
+        active: np.ndarray,
+        angles: Optional[np.ndarray] = None,
+        seed: int = 0,
+        termination_checkers: Optional[Sequence[SPSATerminationChecker]] = None,
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """Run SPSA over the selected free parameters.
+
+        Same contract as :meth:`BatchedNFT.minimize`.  With
+        ``termination_checkers`` (one per individual), steps run one jitted
+        iteration at a time and individuals freeze when their checker
+        terminates; the evaluation ledger then reports actual usage.
+        """
+        cfg = self.config
+        a = packed.angles if angles is None else angles
+        if coords.shape[1] == 0 or not np.any(np.logical_and(active, n_free > 0)):
+            return np.asarray(a), np.asarray(evaluator.evaluate_packed(packed, angles=a)), 0
+        operands = objective_operands(evaluator)
+        coord_mask = (
+            np.arange(coords.shape[1])[None, :] < np.asarray(n_free)[:, None]
+        ).astype(np.float32)
+        common = dict(
+            n_qubits=packed.n_qubits,
+            shots=operands["shots"],
+            use_cvar=operands["use_cvar"],
+            use_shots=operands["use_shots"],
+        )
+        tensors = (
+            jnp.asarray(packed.gate_types),
+            jnp.asarray(packed.controls),
+            jnp.asarray(packed.layer_mask),
+        )
+        key = jax.random.PRNGKey(seed)
+
+        if cfg.learning_rate is None:
+            magnitude = _spsa_calibrate(
+                *tensors, jnp.asarray(a), jnp.asarray(coords), jnp.asarray(coord_mask),
+                operands["table"], operands["sorted_energies"], operands["energy_order"],
+                operands["alpha"], jax.random.fold_in(key, 777), operands["initial_state"],
+                jnp.float32(cfg.perturbation),
+                calibration_steps=cfg.calibration_steps, **common,
+            )
+            learning_rates = cfg.target_magnitude / np.maximum(np.asarray(magnitude), 1e-6)
+            learning_rates = learning_rates.astype(np.float32)
+            nfev = 2 * cfg.calibration_steps
+        else:
+            learning_rates = np.full(packed.n_individuals, cfg.learning_rate, np.float32)
+            nfev = 0
+
+        schedule_args = (
+            jnp.float32(cfg.perturbation),
+            jnp.float32(cfg.gamma_power),
+            jnp.float32(cfg.alpha_power),
+            jnp.float32(cfg.stability_constant),
+        )
+
+        if termination_checkers is None:
+            out_angles, energies = _spsa_scan(
+                *tensors, jnp.asarray(a), jnp.asarray(coords), jnp.asarray(coord_mask),
+                jnp.asarray(active), jnp.asarray(learning_rates),
+                operands["table"], operands["sorted_energies"], operands["energy_order"],
+                operands["alpha"], key, operands["initial_state"],
+                *schedule_args, jnp.int32(0),
+                maxiter=cfg.maxiter, **common,
+            )
+            return np.asarray(out_angles), np.asarray(energies), nfev + 2 * cfg.maxiter
+
+        # host-stepped with per-individual termination
+        current = np.asarray(a)
+        live = np.asarray(active, bool).copy()
+        for k in range(cfg.maxiter):
+            if not live.any():
+                break
+            current_j, energies_j = _spsa_scan(
+                *tensors, jnp.asarray(current), jnp.asarray(coords), jnp.asarray(coord_mask),
+                jnp.asarray(live), jnp.asarray(learning_rates),
+                operands["table"], operands["sorted_energies"], operands["energy_order"],
+                operands["alpha"], jax.random.fold_in(key, k), operands["initial_state"],
+                *schedule_args, jnp.int32(k),
+                maxiter=1, **common,
+            )
+            current = np.asarray(current_j)
+            energies = np.asarray(energies_j)
+            nfev += 2
+            for i, checker in enumerate(termination_checkers):
+                if live[i] and checker.termination_check(
+                    n_function_evaluations=nfev,
+                    parameter_values=current[i],
+                    function_value=float(energies[i]),
+                    step_size=float(cfg.perturbation),
+                    accepted=True,
+                ):
+                    live[i] = False
+        final = np.asarray(evaluator.evaluate_packed(packed, angles=current))
+        return current, final, nfev

@@ -1,0 +1,336 @@
+"""Population circuit evaluators: the reference's L1 seam, TPU-native.
+
+Replaces queasars/circuit_evaluation/circuit_evaluation.py:62-291.  The
+reference API is "list of circuits + param vectors -> list of floats"
+terminating in Qiskit primitive RPCs; here the API is "population of
+genomes -> energies" terminating in one jitted device program.  Three
+implementations mirror the reference's three:
+
+=========================================  =====================================
+Reference                                   Here
+=========================================  =====================================
+OperatorCircuitEvaluator (:164-219)         StatevectorExpectationEvaluator
+OperatorSamplerCircuitEvaluator (:94-161)   SamplerExpectationEvaluator
+BitstringCircuitEvaluator (:222-291)        BitstringFunctionEvaluator
+=========================================  =====================================
+
+The mutex/batching/transpiling primitive wrappers
+(mutex_primitives.py, transpiling_primitives.py) have no equivalent by
+design: evaluation is a pure SPMD program — there is nothing to lock, and
+lowering genomes to tensors replaces transpilation (SURVEY.md §2.3 P2/P3).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from functools import partial
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from queasars_tpu.genome.individual import EVQEIndividual
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.paulis import PauliSum
+from queasars_tpu.paulis.diagonal import diagonal_energy_table
+from queasars_tpu.sim.expectation import (
+    cvar_expectation_from_probs,
+    expectation_from_probs,
+    general_pauli_expectation_real,
+)
+from queasars_tpu.sim.sampling import sample_counts
+from queasars_tpu.sim.statevector import probabilities, simulate_circuits
+from queasars_tpu.utils.bitstring_evaluation import BitstringEvaluator
+
+
+class CircuitEvaluatorException(Exception):
+    """Raised for evaluator misuse (reference: circuit_evaluation.py:90)."""
+
+
+def _prepare_initial_state(
+    initial_state: Optional[np.ndarray], n_qubits: int
+) -> Optional[jnp.ndarray]:
+    """Accept a complex [2^n] or stacked real [2, 2^n] start state."""
+    if initial_state is None:
+        return None
+    arr = np.asarray(initial_state)
+    if arr.ndim == 1:
+        if arr.shape[0] != 1 << n_qubits:
+            raise CircuitEvaluatorException("initial_state has the wrong dimension")
+        stacked = np.stack([arr.real, arr.imag]).astype(np.float32)
+    elif arr.ndim == 2 and arr.shape[0] == 2:
+        stacked = arr.astype(np.float32)
+    else:
+        raise CircuitEvaluatorException("initial_state must be [2^n] complex or [2, 2^n] real")
+    norm = float((stacked**2).sum())
+    if abs(norm - 1.0) > 1e-5:
+        raise CircuitEvaluatorException("initial_state must be normalized")
+    return jnp.asarray(stacked)
+
+
+@partial(jax.jit, static_argnames=("n_qubits",))
+def _energies_exact(gate_types, controls, angles, layer_mask, table, n_qubits, initial_state=None):
+    probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+    return expectation_from_probs(probs, table)
+
+
+@partial(jax.jit, static_argnames=("n_qubits",))
+def _energies_cvar(
+    gate_types, controls, angles, layer_mask, sorted_energies, order, alpha, n_qubits, initial_state=None
+):
+    probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+    return cvar_expectation_from_probs(probs, sorted_energies, order, alpha)
+
+
+@partial(jax.jit, static_argnames=("n_qubits",))
+def _energies_general(
+    gate_types, controls, angles, layer_mask, coeffs_re, coeffs_im, z_masks, x_masks, n_qubits, initial_state=None
+):
+    states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+    fn = lambda s: general_pauli_expectation_real(s, coeffs_re, coeffs_im, z_masks, x_masks)
+    return jax.vmap(fn)(states)
+
+
+@partial(jax.jit, static_argnames=("n_qubits", "shots"))
+def _sampled_probs(gate_types, controls, angles, layer_mask, key, n_qubits, shots, initial_state=None):
+    probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+    keys = jax.random.split(key, probs.shape[0])
+    counts = jax.vmap(lambda k, p: sample_counts(k, p, shots))(keys, probs)
+    return counts.astype(jnp.float32) / shots
+
+
+class BaseCircuitEvaluator(ABC):
+    """Uniform "population -> energies" contract
+    (reference: circuit_evaluation.py:62-87)."""
+
+    def __init__(self, n_qubits: int):
+        self.n_qubits = n_qubits
+
+    @abstractmethod
+    def evaluate_packed(
+        self, packed: PackedPopulation, angles: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Energies [B] for a packed population; ``angles`` optionally
+        overrides the packed angle tensor (the optimizer's hot path)."""
+
+    def evaluate_individuals(self, individuals: Sequence[EVQEIndividual]) -> list[float]:
+        """Convenience wrapper: pack then evaluate."""
+        packed = PackedPopulation.pack(individuals)
+        return [float(v) for v in self.evaluate_packed(packed)]
+
+    def evaluate_circuits(
+        self,
+        circuits: Sequence[EVQEIndividual],
+        parameter_values: Sequence[Sequence[float]],
+    ) -> list[float]:
+        """Reference-signature compatibility shim
+        (circuit_evaluation.py:62-87): "circuits" are genome individuals
+        here; each is re-bound with the given parameter vector."""
+        bound = [
+            EVQEIndividual.change_parameter_values(ind, tuple(params))
+            for ind, params in zip(circuits, parameter_values)
+        ]
+        return self.evaluate_individuals(bound)
+
+
+class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
+    """Exact expectation (optionally CVaR over the exact distribution).
+
+    Mirrors OperatorCircuitEvaluator (reference: circuit_evaluation.py:
+    164-219) — the estimator precision knob becomes exact evaluation (the
+    deterministic limit); for shot noise use
+    :class:`SamplerExpectationEvaluator`.
+
+    :param operator: the Hamiltonian (any PauliSum; CVaR requires diagonal)
+    :param alpha: CVaR lower-tail mass in (0, 1]; 1 = plain expectation
+    :param initial_state: optional start state prepended to every circuit
+        (reference: circuit_evaluation.py:201-202)
+    """
+
+    def __init__(
+        self,
+        operator: PauliSum,
+        alpha: float = 1.0,
+        initial_state: Optional[np.ndarray] = None,
+    ):
+        super().__init__(operator.n_qubits)
+        if not 0 < alpha <= 1:
+            raise ValueError("alpha must be in the range (0, 1]!")
+        self.operator = operator
+        self.alpha = float(alpha)
+        self._initial = _prepare_initial_state(initial_state, operator.n_qubits)
+
+        self._diagonal = operator.is_diagonal
+        if self._diagonal:
+            table = diagonal_energy_table(operator, dtype=np.float32)
+            self._table = jnp.asarray(table)
+            if self.alpha < 1.0:
+                order = np.argsort(table, kind="stable").astype(np.int32)
+                self._order = jnp.asarray(order)
+                self._sorted = jnp.asarray(table[order])
+        else:
+            if self.alpha < 1.0:
+                raise CircuitEvaluatorException("CVaR (alpha<1) requires a diagonal operator")
+            if operator.n_qubits > 32:
+                raise CircuitEvaluatorException("general operators limited to n<=32 qubits")
+            self._coeffs_re = jnp.asarray(operator.coeffs.real.astype(np.float32))
+            self._coeffs_im = jnp.asarray(operator.coeffs.imag.astype(np.float32))
+            self._z = jnp.asarray(operator.z[:, 0].astype(np.uint32))
+            self._x = jnp.asarray(operator.x[:, 0].astype(np.uint32))
+
+    def evaluate_packed(self, packed, angles=None):
+        a = packed.angles if angles is None else angles
+        if self._diagonal and self.alpha >= 1.0:
+            out = _energies_exact(
+                packed.gate_types, packed.controls, a, packed.layer_mask,
+                self._table, packed.n_qubits, self._initial,
+            )
+        elif self._diagonal:
+            out = _energies_cvar(
+                packed.gate_types, packed.controls, a, packed.layer_mask,
+                self._sorted, self._order, jnp.float32(self.alpha),
+                packed.n_qubits, self._initial,
+            )
+        else:
+            out = _energies_general(
+                packed.gate_types, packed.controls, a, packed.layer_mask,
+                self._coeffs_re, self._coeffs_im, self._z, self._x,
+                packed.n_qubits, self._initial,
+            )
+        return np.asarray(out)
+
+
+class SamplerExpectationEvaluator(BaseCircuitEvaluator):
+    """Shot-based expectation with CVaR over the empirical distribution.
+
+    Mirrors OperatorSamplerCircuitEvaluator (reference:
+    circuit_evaluation.py:94-161): diagonal operators only, finite shots,
+    CVaR alpha over the measured distribution.
+
+    :param shots: measurement shots per evaluation
+    :param seed: base RNG seed; successive evaluations fold in a counter
+        so repeated calls draw fresh shots (deterministic overall)
+    """
+
+    def __init__(
+        self,
+        operator: PauliSum,
+        shots: int,
+        alpha: float = 1.0,
+        seed: int = 0,
+        initial_state: Optional[np.ndarray] = None,
+    ):
+        super().__init__(operator.n_qubits)
+        if not 0 < alpha <= 1:
+            raise ValueError("alpha must be in the range (0, 1]!")
+        if not operator.is_diagonal:
+            raise CircuitEvaluatorException(
+                "The operator must be diagonal when using the sampler path "
+                "(reference: evolving_ansatz_minimum_eigensolver.py:240-244)"
+            )
+        if shots < 1:
+            raise ValueError("shots must be at least 1")
+        self.operator = operator
+        self.shots = int(shots)
+        self.alpha = float(alpha)
+        self._initial = _prepare_initial_state(initial_state, operator.n_qubits)
+        table = diagonal_energy_table(operator, dtype=np.float32)
+        self._table = jnp.asarray(table)
+        order = np.argsort(table, kind="stable").astype(np.int32)
+        self._order = jnp.asarray(order)
+        self._sorted = jnp.asarray(table[order])
+        self._key = jax.random.PRNGKey(seed)
+        self._counter = 0
+
+    def _next_key(self):
+        self._counter += 1
+        return jax.random.fold_in(self._key, self._counter)
+
+    def evaluate_packed(self, packed, angles=None):
+        a = packed.angles if angles is None else angles
+        emp = _sampled_probs(
+            packed.gate_types, packed.controls, a, packed.layer_mask,
+            self._next_key(), packed.n_qubits, self.shots, self._initial,
+        )
+        if self.alpha >= 1.0:
+            out = expectation_from_probs(emp, self._table)
+        else:
+            out = cvar_expectation_from_probs(emp, self._sorted, self._order, jnp.float32(self.alpha))
+        return np.asarray(out)
+
+
+class BitstringFunctionEvaluator(BaseCircuitEvaluator):
+    """Black-box bitstring objective over sampled measurements.
+
+    Mirrors BitstringCircuitEvaluator (reference: circuit_evaluation.py:
+    222-291): sample shots on device, evaluate the (host Python) objective
+    on each observed bitstring, CVaR-accumulate exactly like the
+    reference's ``get_expectation_with_bitstring_evaluator``
+    (expectation_calculation.py:72-103).
+    """
+
+    def __init__(
+        self,
+        bitstring_evaluator: BitstringEvaluator,
+        shots: int,
+        alpha: float = 1.0,
+        seed: int = 0,
+        initial_state: Optional[np.ndarray] = None,
+    ):
+        super().__init__(bitstring_evaluator.input_length)
+        if not 0 < alpha <= 1:
+            raise ValueError("alpha must be in the range (0, 1]!")
+        if shots < 1:
+            raise ValueError("shots must be at least 1")
+        self.bitstring_evaluator = bitstring_evaluator
+        self.shots = int(shots)
+        self.alpha = float(alpha)
+        self._initial = _prepare_initial_state(initial_state, self.n_qubits)
+        self._key = jax.random.PRNGKey(seed)
+        self._counter = 0
+        self._value_cache: dict[int, float] = {}
+
+    def _next_key(self):
+        self._counter += 1
+        return jax.random.fold_in(self._key, self._counter)
+
+    def _state_value(self, state: int) -> float:
+        if state not in self._value_cache:
+            bitstring = format(state, f"0{self.n_qubits}b")
+            self._value_cache[state] = self.bitstring_evaluator.evaluate_bitstring(bitstring)
+        return self._value_cache[state]
+
+    def evaluate_packed(self, packed, angles=None):
+        a = packed.angles if angles is None else angles
+        emp = np.asarray(
+            _sampled_probs(
+                packed.gate_types, packed.controls, a, packed.layer_mask,
+                self._next_key(), packed.n_qubits, self.shots, self._initial,
+            )
+        )
+        energies = np.zeros(emp.shape[0], dtype=np.float64)
+        for b in range(emp.shape[0]):
+            (observed,) = np.nonzero(emp[b] > 0)
+            values = np.array([self._state_value(int(s)) for s in observed])
+            probs = emp[b, observed].astype(np.float64)
+            if self.alpha >= 1.0:
+                energies[b] = float(probs @ values)
+            else:
+                # reference tail accumulation (expectation_calculation.py:14-32)
+                order = np.argsort(values, kind="stable")
+                gathered, expectation = 0.0, 0.0
+                for i in order:
+                    p = min(self.alpha - gathered, probs[i])
+                    expectation += p * values[i]
+                    gathered += p
+                    if np.isclose(gathered, self.alpha):
+                        break
+                energies[b] = expectation / self.alpha
+        return energies
+
+
+EvaluatorLike = Union[
+    StatevectorExpectationEvaluator, SamplerExpectationEvaluator, BitstringFunctionEvaluator
+]

@@ -1,0 +1,129 @@
+"""Evaluator tests: analytic expectations, CVaR, shot paths, initial states."""
+
+import numpy as np
+import pytest
+
+from queasars_tpu.genome import (
+    EVQECircuitLayer,
+    EVQEIndividual,
+    RotationGate,
+    IdentityGate,
+)
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.paulis import PauliSum, pauli_z_string
+from queasars_tpu.sim.evaluators import (
+    BitstringFunctionEvaluator,
+    CircuitEvaluatorException,
+    SamplerExpectationEvaluator,
+    StatevectorExpectationEvaluator,
+)
+from queasars_tpu.utils import BitstringEvaluator
+
+
+def rotation_individual(theta: float, n_qubits: int = 1) -> EVQEIndividual:
+    layer = EVQECircuitLayer(
+        n_qubits=n_qubits,
+        gates=tuple(RotationGate(qubit_index=q) for q in range(n_qubits)),
+    )
+    params = []
+    for _ in range(n_qubits):
+        params.extend([theta, 0.0, 0.0])
+    return EVQEIndividual(n_qubits=n_qubits, layers=(layer,), parameter_values=tuple(params))
+
+
+def test_exact_z_expectation_analytic():
+    op = pauli_z_string(0, 1)
+    evaluator = StatevectorExpectationEvaluator(op)
+    thetas = [0.0, 0.5, np.pi / 2, np.pi, 2.0]
+    individuals = [rotation_individual(t) for t in thetas]
+    energies = evaluator.evaluate_individuals(individuals)
+    np.testing.assert_allclose(energies, np.cos(thetas), atol=1e-6)
+
+
+def test_evaluate_circuits_reference_signature():
+    op = pauli_z_string(0, 1)
+    evaluator = StatevectorExpectationEvaluator(op)
+    base = rotation_individual(0.0)
+    energies = evaluator.evaluate_circuits([base, base], [[np.pi, 0, 0], [0, 0, 0]])
+    np.testing.assert_allclose(energies, [-1.0, 1.0], atol=1e-6)
+
+
+def test_cvar_alpha_tail():
+    # |psi> = H-like superposition over 1 qubit: p = [.5, .5], E = [1, -1]
+    op = pauli_z_string(0, 1)
+    evaluator = StatevectorExpectationEvaluator(op, alpha=0.5)
+    ind = rotation_individual(np.pi / 2)
+    (energy,) = evaluator.evaluate_individuals([ind])
+    # lower tail of mass 0.5 is entirely the E=-1 state
+    assert energy == pytest.approx(-1.0, abs=1e-5)
+
+
+def test_cvar_requires_diagonal():
+    op = PauliSum.from_label("X")
+    with pytest.raises(CircuitEvaluatorException):
+        StatevectorExpectationEvaluator(op, alpha=0.5)
+
+
+def test_general_nondiagonal_operator():
+    op = PauliSum.from_label("X")
+    evaluator = StatevectorExpectationEvaluator(op)
+    # <psi|X|psi> for U3(theta,0,0)|0> = 2 cos(t/2) sin(t/2) = sin(theta)
+    thetas = [0.0, 0.7, np.pi / 2]
+    energies = evaluator.evaluate_individuals([rotation_individual(t) for t in thetas])
+    np.testing.assert_allclose(energies, np.sin(thetas), atol=1e-5)
+
+
+def test_sampler_statistical_agreement():
+    op = pauli_z_string(0, 2) + pauli_z_string(1, 2)
+    exact = StatevectorExpectationEvaluator(op)
+    sampler = SamplerExpectationEvaluator(op, shots=8192, seed=1)
+    individuals = [rotation_individual(0.8, n_qubits=2)]
+    e_exact = exact.evaluate_individuals(individuals)[0]
+    e_sampled = sampler.evaluate_individuals(individuals)[0]
+    assert e_sampled == pytest.approx(e_exact, abs=0.1)
+    # repeated evaluations draw fresh shots but stay deterministic per seed
+    sampler_b = SamplerExpectationEvaluator(op, shots=8192, seed=1)
+    assert sampler_b.evaluate_individuals(individuals)[0] == pytest.approx(e_sampled, abs=1e-9)
+
+
+def test_sampler_rejects_nondiagonal():
+    with pytest.raises(CircuitEvaluatorException):
+        SamplerExpectationEvaluator(PauliSum.from_label("XZ"), shots=16)
+
+
+def test_bitstring_function_evaluator():
+    # objective: number of ones in the bitstring
+    evaluator = BitstringFunctionEvaluator(
+        BitstringEvaluator(input_length=2, evaluation_function=lambda s: s.count("1")),
+        shots=4096,
+        seed=2,
+    )
+    # theta=pi on both qubits -> |11> deterministic -> objective 2
+    (energy,) = evaluator.evaluate_individuals([rotation_individual(np.pi, n_qubits=2)])
+    assert energy == pytest.approx(2.0, abs=1e-6)
+    # 50/50 superposition on each qubit -> mean ones = 1
+    (energy,) = evaluator.evaluate_individuals([rotation_individual(np.pi / 2, n_qubits=2)])
+    assert energy == pytest.approx(1.0, abs=0.1)
+
+
+def test_initial_state_prepend():
+    op = pauli_z_string(0, 1)
+    # start in |1>: identity circuit then measures Z = -1
+    layer = EVQECircuitLayer(n_qubits=1, gates=(IdentityGate(qubit_index=0),))
+    ind = EVQEIndividual(n_qubits=1, layers=(layer,), parameter_values=())
+    evaluator = StatevectorExpectationEvaluator(op, initial_state=np.array([0, 1], np.complex64))
+    assert evaluator.evaluate_individuals([ind])[0] == pytest.approx(-1.0, abs=1e-6)
+    with pytest.raises(CircuitEvaluatorException):
+        StatevectorExpectationEvaluator(op, initial_state=np.array([0.5, 0.5], np.complex64))
+
+
+def test_angles_override_path():
+    op = pauli_z_string(0, 1)
+    evaluator = StatevectorExpectationEvaluator(op)
+    packed = PackedPopulation.pack([rotation_individual(0.0)])
+    override = packed.angles.copy()
+    override[0, 0, 0, 0] = np.pi
+    base = evaluator.evaluate_packed(packed)
+    flipped = evaluator.evaluate_packed(packed, angles=override)
+    assert base[0] == pytest.approx(1.0, abs=1e-6)
+    assert flipped[0] == pytest.approx(-1.0, abs=1e-6)
