@@ -1,0 +1,73 @@
+"""Evolution contracts: operator ABC, evaluation result, operator context.
+
+Behavioral port of
+queasars/minimum_eigensolvers/base/evolutionary_algorithm.py:15-152 with
+one deliberate omission: ``OperatorContext`` carries no
+``parallel_executor`` — the reference injects a dask Client or thread pool
+(:110-118) because each circuit evaluation is an independent RPC; here
+evaluation is one SPMD device program, so the executor surface disappears
+(SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+from typing import Callable, Generic, Optional, TypeVar
+
+from queasars_tpu.genome.individual import EVQEIndividual
+from queasars_tpu.genome.population import EVQEPopulation
+from queasars_tpu.sim.evaluators import BaseCircuitEvaluator
+
+POP = TypeVar("POP", bound=EVQEPopulation)
+IND = TypeVar("IND", bound=EVQEIndividual)
+
+
+@dataclass
+class BasePopulationEvaluationResult(Generic[IND]):
+    """One generation's evaluation snapshot
+    (reference: evolutionary_algorithm.py:77-95).
+
+    :param population: the population that was evaluated
+    :param expectation_values: one expectation value per individual
+    :param best_individual: the generation's best individual
+    :param best_expectation_value: its expectation value
+    """
+
+    population: EVQEPopulation
+    expectation_values: tuple[Optional[float], ...]
+    best_individual: IND
+    best_expectation_value: float
+
+
+@dataclass
+class OperatorContext:
+    """Dependency-injection record handed to every operator
+    (reference: evolutionary_algorithm.py:98-118, minus the executor).
+
+    :param circuit_evaluator: evaluates populations to energies
+    :param result_callback: reports a finished generation evaluation (the
+        generation boundary — triggers termination checks)
+    :param circuit_evaluation_count_callback: reports evaluations used
+        (budget ledger input)
+    """
+
+    circuit_evaluator: BaseCircuitEvaluator
+    result_callback: Callable[[BasePopulationEvaluationResult], None]
+    circuit_evaluation_count_callback: Callable[[int], None]
+
+
+class BaseEvolutionaryOperator(ABC, Generic[POP]):
+    """One step of the generation pipeline
+    (reference: evolutionary_algorithm.py:121-152)."""
+
+    @abstractmethod
+    def apply_operator(self, population: POP, operator_context: OperatorContext) -> POP:
+        """Apply the operator, returning the next population state."""
+
+    @abstractmethod
+    def get_n_expected_circuit_evaluations(
+        self, population: POP, operator_context: OperatorContext
+    ) -> Optional[int]:
+        """Estimated evaluation cost of the next application (None if
+        unknown); consumed by the solver's budget-aware early stop."""

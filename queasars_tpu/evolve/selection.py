@@ -1,0 +1,150 @@
+"""EVQE selection operator: the generation's evaluation step.
+
+Behavioral port of
+queasars/minimum_eigensolvers/evqe/evolutionary_algorithm/selection.py:
+21-184.  The reference fans out one future per individual
+(selection.py:75-84); here the whole population is evaluated in one
+batched device call.  Fitness, fitness sharing and the roulette/tournament
+draws replicate the reference exactly — including the documented
+double-offset quirk of the roulette weights (selection.py:126-137: the
+offset is added into the fitness AND again in the 1/(fitness+offset)
+weight).
+"""
+
+from __future__ import annotations
+
+from random import Random
+from typing import Optional
+from warnings import warn
+
+import numpy as np
+
+from queasars_tpu.evolve.base import (
+    BaseEvolutionaryOperator,
+    BasePopulationEvaluationResult,
+    OperatorContext,
+)
+from queasars_tpu.genome.individual import EVQEIndividual
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.genome.population import EVQEPopulation
+
+
+class EVQESelectionException(Exception):
+    """Raised when selection preconditions are violated
+    (reference: selection.py:183-184)."""
+
+
+class EVQESelection(BaseEvolutionaryOperator[EVQEPopulation]):
+    """Fitness-sharing selection with roulette or tournament draws.
+
+    :param alpha_penalty: fitness penalty per circuit layer
+    :param beta_penalty: fitness penalty per controlled gate
+    :param use_tournament_selection: tournament instead of roulette
+        (recommended when expectation values can be negative)
+    :param tournament_size: tournament draw size (>= 1)
+    :param random_seed: selection RNG seed
+
+    Reference: selection.py:44-62.
+    """
+
+    def __init__(
+        self,
+        alpha_penalty: float,
+        beta_penalty: float,
+        use_tournament_selection: bool = False,
+        tournament_size: Optional[int] = None,
+        random_seed: Optional[int] = None,
+    ):
+        self._alpha_penalty = alpha_penalty
+        self._beta_penalty = beta_penalty
+        self._use_tournament_selection = use_tournament_selection
+        if self._use_tournament_selection:
+            if tournament_size is None:
+                raise ValueError("tournament_size cannot be None, if tournament selection should be used!")
+            if tournament_size < 1:
+                raise ValueError("the tournament_size must be at least 1!")
+            self._tournament_size = tournament_size
+        self._random_generator = Random(random_seed)
+
+    def apply_operator(self, population: EVQEPopulation, operator_context: OperatorContext) -> EVQEPopulation:
+        # one batched evaluation of the whole population (replaces the
+        # reference's future fan-out, selection.py:75-84)
+        packed = PackedPopulation.pack(list(population.individuals))
+        evaluation_results = [
+            float(v) for v in operator_context.circuit_evaluator.evaluate_packed(packed)
+        ]
+        operator_context.circuit_evaluation_count_callback(len(population.individuals))
+
+        if (
+            population.species_representatives is None
+            or population.species_members is None
+            or population.species_membership is None
+        ):
+            raise EVQESelectionException(
+                "Selection can't be finished if speciation information is missing!\n"
+                + "Either the species_representatives, species_members or species_membership\n"
+                + "attribute of the population is None!"
+            )
+
+        best_index = int(np.argmin(evaluation_results))
+        result: BasePopulationEvaluationResult[EVQEIndividual] = BasePopulationEvaluationResult(
+            population=population,
+            expectation_values=tuple(evaluation_results),
+            best_individual=population.individuals[best_index],
+            best_expectation_value=evaluation_results[best_index],
+        )
+        operator_context.result_callback(result)
+
+        selected: list[EVQEIndividual] = []
+
+        if not self._use_tournament_selection:
+            # roulette (reference: selection.py:114-139)
+            if evaluation_results[best_index] <= 0:
+                offset = -evaluation_results[best_index] + 1
+                warn(
+                    "Tournament selection should be preferred over roulette wheel selection, "
+                    + "if negative expectation values are involved in the fitness!"
+                )
+            else:
+                offset = 0
+            fitness_values = [
+                (
+                    evaluation_results[i]
+                    + offset
+                    + self._alpha_penalty * len(individual.layers)
+                    + self._beta_penalty * individual.get_n_controlled_gates()
+                )
+                * float(len(population.species_members[population.species_membership[i]]))
+                for i, individual in enumerate(population.individuals)
+            ]
+            fitness_weights = [1 / (fitness + offset) for fitness in fitness_values]
+            selected = self._random_generator.choices(
+                population.individuals, weights=fitness_weights, k=len(population.individuals)
+            )
+        else:
+            # tournament (reference: selection.py:141-168)
+            fitness_values = [
+                (
+                    evaluation_results[i]
+                    + self._alpha_penalty * len(individual.layers)
+                    + self._beta_penalty * individual.get_n_controlled_gates()
+                )
+                * float(len(population.species_members[population.species_membership[i]]))
+                for i, individual in enumerate(population.individuals)
+            ]
+            while len(selected) < len(population.individuals):
+                tournament = self._random_generator.choices(
+                    range(len(population.individuals)), k=self._tournament_size
+                )
+                best_in_tournament = min(tournament, key=lambda idx: fitness_values[idx])
+                selected.append(population.individuals[best_in_tournament])
+
+        return EVQEPopulation(
+            individuals=tuple(selected),
+            species_representatives=population.species_representatives,
+            species_members=None,
+            species_membership=None,
+        )
+
+    def get_n_expected_circuit_evaluations(self, population, operator_context):
+        return len(population.individuals)

@@ -163,7 +163,13 @@ class BatchedNFT:
         if coords.shape[1] == 0 or not np.any(np.logical_and(active, n_free > 0)):
             # nothing to optimize (e.g. an all-identity layer)
             return np.asarray(a), np.asarray(evaluator.evaluate_packed(packed, angles=a)), 0
-        operands = objective_operands(evaluator)
+        try:
+            operands = objective_operands(evaluator)
+        except TypeError:
+            # evaluators with host-side objectives (e.g. black-box bitstring
+            # functions) cannot live inside the device scan — run the same
+            # NFT math host-stepped against evaluate_packed
+            return self._minimize_host(evaluator, packed, coords, n_free, active, a)
         out_angles, energies = _nft_scan(
             jnp.asarray(packed.gate_types),
             jnp.asarray(packed.controls),
@@ -186,3 +192,33 @@ class BatchedNFT:
             use_shots=operands["use_shots"],
         )
         return np.asarray(out_angles), np.asarray(energies), self.config.n_circuit_evaluations()
+
+    def _minimize_host(self, evaluator, packed, coords, n_free, active, angles):
+        """Host-stepped NFT for evaluators whose objective cannot be traced
+        (identical update math; one evaluator call per probe)."""
+        cfg = self.config
+        pop = packed.n_individuals
+        pop_idx = np.arange(pop)
+        current = np.array(angles, copy=True)
+        z0 = np.zeros(pop, dtype=np.float64)
+        apply = np.logical_and(np.asarray(active, bool), np.asarray(n_free) > 0)
+        for k in range(cfg.maxiter):
+            if k % cfg.reset_interval == 0:
+                z0 = np.asarray(evaluator.evaluate_packed(packed, angles=current), dtype=np.float64)
+            idx = np.where(n_free > 0, k % np.maximum(n_free, 1), 0)
+            coord = coords[pop_idx, idx]
+            l, q, a_i = coord[:, 0], coord[:, 1], coord[:, 2]
+            plus = current.copy()
+            plus[pop_idx, l, q, a_i] += np.pi / 2
+            minus = current.copy()
+            minus[pop_idx, l, q, a_i] -= np.pi / 2
+            z1 = np.asarray(evaluator.evaluate_packed(packed, angles=plus), dtype=np.float64)
+            z3 = np.asarray(evaluator.evaluate_packed(packed, angles=minus), dtype=np.float64)
+            mid = (z1 + z3) / 2
+            shift = np.arctan2((z1 - z3) / 2, z0 - mid)
+            minimum_value = mid - np.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
+            updated = current.copy()
+            updated[pop_idx, l, q, a_i] += shift + np.pi
+            current = np.where(apply[:, None, None, None], updated, current)
+            z0 = np.where(apply, minimum_value, z0)
+        return current, z0.astype(np.float32), self.config.n_circuit_evaluations()

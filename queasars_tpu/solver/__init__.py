@@ -1,0 +1,40 @@
+"""Solver API / algorithm driver (reference layer L3).
+
+Rebuild of queasars/minimum_eigensolvers/base/ and the EVQE facade
+(queasars/minimum_eigensolvers/evqe/evqe.py): generation loop with budget
+and termination enforcement, result assembly, configuration dataclasses,
+result JSON serialization — plus a resume hook (``initial_population``)
+the reference lacks (SURVEY.md §5 checkpoint/resume gap).
+"""
+
+from queasars_tpu.solver.termination_criteria import (
+    EvolvingAnsatzMinimumEigensolverBaseTerminationCriterion,
+    BestIndividualChangeTolerance,
+    BestIndividualRelativeChangeTolerance,
+    BestIndividualExpectationValueThreshold,
+    PopulationChangeTolerance,
+    PopulationChangeRelativeTolerance,
+)
+from queasars_tpu.solver.result import EvolvingAnsatzMinimumEigensolverResult
+from queasars_tpu.solver.configured_evaluators import ConfiguredEstimator, ConfiguredSampler
+from queasars_tpu.solver.driver import (
+    EvolvingAnsatzMinimumEigensolver,
+    EvolvingAnsatzMinimumEigensolverConfiguration,
+)
+from queasars_tpu.solver.evqe import EVQEMinimumEigensolver, EVQEMinimumEigensolverConfiguration
+
+__all__ = [
+    "EvolvingAnsatzMinimumEigensolverBaseTerminationCriterion",
+    "BestIndividualChangeTolerance",
+    "BestIndividualRelativeChangeTolerance",
+    "BestIndividualExpectationValueThreshold",
+    "PopulationChangeTolerance",
+    "PopulationChangeRelativeTolerance",
+    "EvolvingAnsatzMinimumEigensolverResult",
+    "ConfiguredEstimator",
+    "ConfiguredSampler",
+    "EvolvingAnsatzMinimumEigensolver",
+    "EvolvingAnsatzMinimumEigensolverConfiguration",
+    "EVQEMinimumEigensolver",
+    "EVQEMinimumEigensolverConfiguration",
+]

@@ -1,0 +1,330 @@
+"""Generation-loop solver driver.
+
+Behavioral port of queasars/minimum_eigensolvers/base/
+evolving_ansatz_minimum_eigensolver.py:53-478: operator pipeline with
+budget-aware early stop, result/evaluation-count callbacks as the
+generation boundary, termination criteria, and final result assembly —
+plus an ``initial_population`` resume hook the reference lacks (its JSON
+codecs can persist a population but nothing can restart from one,
+SURVEY.md §5).
+
+The reference's primitive wrapping (mutex/batching/transpiling,
+:139-173) has no equivalent: evaluation is one SPMD program.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Union
+
+import numpy as np
+from numpy import mean, median
+
+import jax
+
+from queasars_tpu.evolve.base import (
+    BaseEvolutionaryOperator,
+    BasePopulationEvaluationResult,
+    OperatorContext,
+)
+from queasars_tpu.genome.individual import EVQEIndividual
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.genome.population import EVQEPopulation
+from queasars_tpu.paulis import PauliSum
+from queasars_tpu.sim.evaluators import (
+    BaseCircuitEvaluator,
+    BitstringFunctionEvaluator,
+    SamplerExpectationEvaluator,
+    StatevectorExpectationEvaluator,
+)
+from queasars_tpu.sim.sampling import quasi_distribution, sample_counts
+from queasars_tpu.sim.statevector import probabilities
+from queasars_tpu.solver.configured_evaluators import ConfiguredEstimator, ConfiguredSampler
+from queasars_tpu.solver.result import EvolvingAnsatzMinimumEigensolverResult
+from queasars_tpu.solver.termination_criteria import (
+    EvolvingAnsatzMinimumEigensolverBaseTerminationCriterion,
+)
+from queasars_tpu.utils.bitstring_evaluation import BitstringEvaluator
+
+ListOrDict = Union[list, dict, None]
+
+
+@dataclass
+class EvolvingAnsatzMinimumEigensolverConfiguration:
+    """Driver configuration
+    (reference: evolving_ansatz_minimum_eigensolver.py:53-119).
+
+    :param population_initializer: problem-size (qubits) -> initial population
+    :param evolutionary_operators: the per-generation operator pipeline
+    :param configured_sampler: shot settings for sampler-path evaluation and
+        final eigenstate measurement; None = exact distributions
+    :param configured_estimator: exact-expectation settings; when given the
+        estimator path is used for fitness evaluation (reference behavior:
+        estimator preferred when present, :253-257)
+    :param max_generations / max_circuit_evaluations / termination_criterion:
+        at least one must be set (validated, :114-119)
+    :param distribution_alpha_tail: CVaR alpha for the sampler path
+    :param initial_population: optional resume population (new capability)
+    """
+
+    population_initializer: Callable[[int], EVQEPopulation]
+    evolutionary_operators: list[BaseEvolutionaryOperator]
+    configured_sampler: Optional[ConfiguredSampler]
+    configured_estimator: Optional[ConfiguredEstimator]
+    max_generations: Optional[int]
+    max_circuit_evaluations: Optional[int]
+    termination_criterion: Optional[EvolvingAnsatzMinimumEigensolverBaseTerminationCriterion]
+    distribution_alpha_tail: float = 1.0
+    initial_population: Optional[EVQEPopulation] = field(default=None)
+
+    def __post_init__(self):
+        if (
+            self.max_generations is None
+            and self.max_circuit_evaluations is None
+            and self.termination_criterion is None
+        ):
+            raise ValueError(
+                "At least one of the parameters max_generations, max_circuit_evaluations or"
+                + "termination_criterion must not be None!"
+            )
+        if self.configured_sampler is None and self.configured_estimator is None:
+            raise ValueError("Either a configured_sampler or a configured_estimator is required!")
+
+
+class EvolvingAnsatzMinimumEigensolver:
+    """Minimum eigensolver evolving the ansatz architecture alongside its
+    rotation angles (reference: evolving_ansatz_minimum_eigensolver.py:
+    122-478)."""
+
+    def __init__(self, configuration: EvolvingAnsatzMinimumEigensolverConfiguration):
+        self.configuration = configuration
+        self.logger = logging.getLogger(__name__)
+
+    # ------------------------------------------------------------------
+    # entry points (reference: :177-329)
+    # ------------------------------------------------------------------
+
+    def compute_minimum_eigenvalue(
+        self,
+        operator: PauliSum,
+        aux_operators: ListOrDict = None,
+    ) -> EvolvingAnsatzMinimumEigensolverResult:
+        """Find the minimum eigenvalue of ``operator``
+        (reference: :177-199)."""
+        return self.compute_minimum_eigenvalue_with_initial_state(
+            operator=operator, aux_operators=aux_operators, initial_state=None
+        )
+
+    def compute_minimum_eigenvalue_with_initial_state(
+        self,
+        operator: PauliSum,
+        aux_operators: ListOrDict = None,
+        initial_state: Optional[np.ndarray] = None,
+    ) -> EvolvingAnsatzMinimumEigensolverResult:
+        """Like :meth:`compute_minimum_eigenvalue`, starting every circuit
+        from ``initial_state`` (reference: :201-276; the reference takes an
+        initial-state circuit — here the state itself)."""
+
+        def build_evaluator(op: PauliSum) -> BaseCircuitEvaluator:
+            if self.configuration.configured_estimator is not None:
+                return StatevectorExpectationEvaluator(
+                    operator=op,
+                    alpha=1.0,
+                    initial_state=initial_state,
+                )
+            assert self.configuration.configured_sampler is not None
+            if not op.is_diagonal:
+                raise ValueError(
+                    "The operator must be diagonal when using the sampler path "
+                    "to approximate the expectation value!"
+                )
+            return SamplerExpectationEvaluator(
+                operator=op,
+                shots=self.configuration.configured_sampler.shots,
+                alpha=self.configuration.distribution_alpha_tail,
+                seed=self.configuration.configured_sampler.seed,
+                initial_state=initial_state,
+            )
+
+        evaluator = build_evaluator(operator)
+        aux_evaluators: ListOrDict = None
+        if isinstance(aux_operators, list):
+            aux_evaluators = [build_evaluator(op) for op in aux_operators]
+        elif isinstance(aux_operators, dict):
+            aux_evaluators = {key: build_evaluator(op) for key, op in aux_operators.items()}
+
+        return self._solve_by_evolution(evaluator, aux_evaluators, initial_state)
+
+    def compute_minimum_function_value(
+        self,
+        operator: BitstringEvaluator,
+        aux_operators: ListOrDict = None,
+        initial_state: Optional[np.ndarray] = None,
+    ) -> EvolvingAnsatzMinimumEigensolverResult:
+        """Minimize a black-box bitstring objective (reference: :278-329)."""
+        if self.configuration.configured_sampler is None:
+            raise ValueError("compute_minimum_function_value requires a configured_sampler!")
+
+        def build_evaluator(op: BitstringEvaluator) -> BaseCircuitEvaluator:
+            return BitstringFunctionEvaluator(
+                bitstring_evaluator=op,
+                shots=self.configuration.configured_sampler.shots,
+                alpha=self.configuration.distribution_alpha_tail,
+                seed=self.configuration.configured_sampler.seed,
+                initial_state=initial_state,
+            )
+
+        evaluator = build_evaluator(operator)
+        aux_evaluators: ListOrDict = None
+        if isinstance(aux_operators, list):
+            aux_evaluators = [build_evaluator(op) for op in aux_operators]
+        elif isinstance(aux_operators, dict):
+            aux_evaluators = {key: build_evaluator(op) for key, op in aux_operators.items()}
+
+        return self._solve_by_evolution(evaluator, aux_evaluators, initial_state)
+
+    # ------------------------------------------------------------------
+    # the generation loop (reference: :331-478)
+    # ------------------------------------------------------------------
+
+    def _solve_by_evolution(
+        self,
+        circuit_evaluator: BaseCircuitEvaluator,
+        aux_circuit_evaluators: ListOrDict,
+        initial_state: Optional[np.ndarray],
+    ) -> EvolvingAnsatzMinimumEigensolverResult:
+        n_circuit_evaluations: list[int] = []
+        n_generations = 0
+        terminate = False
+        current_best_individual: Optional[EVQEIndividual] = None
+        current_best_expectation_value: Optional[float] = None
+        population_evaluations: list[BasePopulationEvaluationResult] = []
+        if self.configuration.termination_criterion is not None:
+            self.configuration.termination_criterion.reset_state()
+
+        def result_callback(evaluation_result: BasePopulationEvaluationResult) -> None:
+            nonlocal current_best_individual, current_best_expectation_value
+            nonlocal terminate, n_generations
+
+            population_evaluations.append(evaluation_result)
+            if (
+                current_best_expectation_value is None
+                or evaluation_result.best_expectation_value < current_best_expectation_value
+            ):
+                current_best_individual = evaluation_result.best_individual
+                current_best_expectation_value = evaluation_result.best_expectation_value
+
+            self.logger.info("Results for generation: %d", n_generations)
+            self.logger.info("Current best expectation value: %f", evaluation_result.best_expectation_value)
+            filtered = [v for v in evaluation_result.expectation_values if v is not None]
+            self.logger.info("Current median expectation value: %f", median(filtered))
+            self.logger.info("Current average expectation value: %f", mean(filtered))
+
+            n_generations += 1
+
+            if self.configuration.termination_criterion is not None:
+                terminate = self.configuration.termination_criterion.check_termination(
+                    population_evaluation=evaluation_result,
+                    best_individual=current_best_individual,
+                    best_expectation_value=current_best_expectation_value,
+                )
+
+        def circuit_evaluation_callback(evaluations: int) -> None:
+            if len(n_circuit_evaluations) < n_generations + 1:
+                n_circuit_evaluations.append(evaluations)
+            else:
+                n_circuit_evaluations[n_generations] += evaluations
+
+        operator_context = OperatorContext(
+            circuit_evaluator=circuit_evaluator,
+            result_callback=result_callback,
+            circuit_evaluation_count_callback=circuit_evaluation_callback,
+        )
+
+        if self.configuration.initial_population is not None:
+            population = self.configuration.initial_population
+        else:
+            population = self.configuration.population_initializer(circuit_evaluator.n_qubits)
+
+        self.logger.info("Starting evolution!")
+
+        while not terminate:
+            for operator in self.configuration.evolutionary_operators:
+                # budget checks before each operator (reference: :405-428)
+                if (
+                    self.configuration.max_circuit_evaluations is not None
+                    and sum(n_circuit_evaluations) >= self.configuration.max_circuit_evaluations
+                ):
+                    terminate = True
+                estimated = operator.get_n_expected_circuit_evaluations(
+                    population=population, operator_context=operator_context
+                )
+                if (
+                    self.configuration.max_circuit_evaluations is not None
+                    and estimated is not None
+                    and sum(n_circuit_evaluations) + estimated
+                    >= self.configuration.max_circuit_evaluations
+                ):
+                    terminate = True
+                if (
+                    self.configuration.max_generations is not None
+                    and n_generations >= self.configuration.max_generations
+                ):
+                    terminate = True
+                if terminate:
+                    break
+                population = operator.apply_operator(
+                    population=population, operator_context=operator_context
+                )
+
+        if current_best_individual is None or len(population_evaluations) == 0:
+            raise RuntimeError(
+                "The algorithm seems to have terminated without having evaluated any population!"
+            )
+
+        result = EvolvingAnsatzMinimumEigensolverResult()
+        result.eigenvalue = current_best_expectation_value
+        result.eigenstate = self._measure_eigenstate(current_best_individual, initial_state)
+        result.best_individual = current_best_individual
+        result.circuit_evaluations = n_circuit_evaluations
+        result.generations = n_generations
+        result.population_evaluation_results = population_evaluations
+        result.initial_state = initial_state
+
+        if isinstance(aux_circuit_evaluators, list):
+            result.aux_operators_evaluated = [
+                evaluator.evaluate_individuals([current_best_individual])[0]
+                for evaluator in aux_circuit_evaluators
+            ]
+        elif isinstance(aux_circuit_evaluators, dict):
+            result.aux_operators_evaluated = {
+                name: evaluator.evaluate_individuals([current_best_individual])[0]
+                for name, evaluator in aux_circuit_evaluators.items()
+            }
+
+        return result
+
+    def _measure_eigenstate(
+        self, individual: EVQEIndividual, initial_state: Optional[np.ndarray]
+    ) -> dict[int, float]:
+        """Measurement distribution of the best circuit (reference samples
+        the best circuit with the configured sampler, :449-454); exact
+        probabilities when no sampler is configured."""
+        from queasars_tpu.sim.evaluators import _prepare_initial_state
+
+        packed = PackedPopulation.pack([individual])
+        probs = probabilities(
+            packed.gate_types,
+            packed.controls,
+            packed.angles,
+            packed.layer_mask,
+            packed.n_qubits,
+            _prepare_initial_state(initial_state, packed.n_qubits),
+        )[0]
+        sampler = self.configuration.configured_sampler
+        if sampler is not None:
+            key = jax.random.fold_in(jax.random.PRNGKey(sampler.seed), 0x5EED)
+            counts = sample_counts(key, probs, sampler.shots)
+            return quasi_distribution(np.asarray(counts, dtype=np.float64) / sampler.shots)
+        return quasi_distribution(np.asarray(probs))
