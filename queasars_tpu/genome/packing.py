@@ -1,8 +1,9 @@
 """Genome -> device tensor packing.
 
 The bridge between the host genome objects and the JAX engine: a whole
-population is lowered to fixed-shape arrays (padded to a power-of-two
-L_max to bound jit recompilation buckets — the reference's analog is
+population is lowered to fixed-shape arrays (padded to a small
+bucketed L_max balancing wasted masked-layer compute against jit
+recompilation count — the reference's analog is
 rebuilding/re-transpiling Qiskit circuits per evaluation,
 individual.py:288-322, which this replaces entirely).
 """
@@ -18,11 +19,14 @@ from queasars_tpu.genome.gates import EVQEGateType, ControlledRotationGate
 from queasars_tpu.genome.individual import EVQEIndividual
 
 
-def _next_pow2(value: int) -> int:
-    result = 1
-    while result < value:
-        result *= 2
-    return result
+def _layer_bucket(value: int) -> int:
+    """Pad the layer count to a small bucket: exact up to 4, then multiples
+    of 2.  Padded layers are masked out but still *computed* by the scan,
+    so tight buckets matter more than minimizing recompiles (which are
+    cached per bucket for the process lifetime anyway)."""
+    if value <= 4:
+        return value
+    return -(-value // 2) * 2
 
 
 @dataclass
@@ -62,14 +66,14 @@ class PackedPopulation:
     ) -> "PackedPopulation":
         """Pack genomes into padded tensors.
 
-        L_max = next power of two >= the longest individual (>= min_layers
-        if given) so repeated packing hits a small set of jit shapes.
+        L_max = layer bucket >= the longest individual (>= min_layers if
+        given) so repeated packing hits a small set of jit shapes.
         """
         if len(individuals) == 0:
             raise ValueError("cannot pack an empty population")
         n_qubits = individuals[0].n_qubits
         longest = max(len(ind.layers) for ind in individuals)
-        l_max = _next_pow2(max(longest, min_layers or 1))
+        l_max = _layer_bucket(max(longest, min_layers or 1))
         pop = len(individuals)
 
         gate_types = np.zeros((pop, l_max, n_qubits), dtype=np.int32)

@@ -43,9 +43,20 @@ def diagonal_terms(op: PauliSum) -> tuple[np.ndarray, np.ndarray]:
 
 
 def diagonal_energy_table(op: PauliSum, dtype=np.float64) -> np.ndarray:
-    """Host oracle: dense [2^n] energy table in float64 (cast on return)."""
+    """Host oracle: dense [2^n] energy table in float64 (cast on return).
+
+    Uses the native C++ kernel (csrc/diag_table.cpp via
+    queasars_tpu.utils.native) when available; numpy otherwise.
+    """
     coeffs, z_masks = diagonal_terms(op)
     n = op.n_qubits
+
+    from queasars_tpu.utils.native import native_diagonal_energy_table
+
+    native = native_diagonal_energy_table(coeffs, z_masks, n)
+    if native is not None:
+        return native.astype(dtype)
+
     idx = np.arange(1 << n, dtype=np.uint64)
     table = np.zeros(1 << n, dtype=np.float64)
     for c, z in zip(coeffs, z_masks):

@@ -1,0 +1,229 @@
+"""Pallas TPU kernels: fused whole-circuit population evaluation.
+
+The jnp engine (statevector.py) round-trips the [2, 2^n] state through HBM
+for every gate (~1.6 GB of traffic per 20-qubit individual per
+evaluation).  This kernel keeps the state **resident in VMEM** for the
+whole circuit: grid over the population, per-program scratch holds the
+state planes, every gate is applied with VPU ops + ``pltpu.roll`` partner
+exchanges, and only the final scalar energy (or the probability vector)
+leaves the chip.
+
+VMEM budget at n=20: state 2 x 4 MB + energy table 4 MB = 12 MB of the
+~16 MB/core — the documented working limit of the fused path.  n < 7
+(state smaller than one 128-lane row) falls back to the jnp engine.
+
+Layout: the 2^n amplitudes live as [R, 128] float32 planes with
+R = 2^(n-7); flat index = row * 128 + lane, bit q of the flat index is
+qubit q (same convention as statevector.py).  A gate on qubit q pairs
+flat indices differing in bit q = distance 2^q, realized as two circular
+rolls (one per direction) along lanes (q < 7) or rows (q >= 7) plus a
+bit-select — no gathers, no reshapes.
+
+Gate/genome semantics are identical to statevector.py (U3/CU3, gate-type
+codes, control indices, layer masks); identity/control slots are skipped
+with predicated regions rather than multiplied through.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+LANE_BITS = 7
+
+
+def _u3_entries(theta, phi, lam):
+    """Scalar U3 matrix entries as (re, im) pairs."""
+    cos = jnp.cos(theta / 2)
+    sin = jnp.sin(theta / 2)
+    u00 = (cos, jnp.float32(0.0))
+    u01 = (-jnp.cos(lam) * sin, -jnp.sin(lam) * sin)
+    u10 = (jnp.cos(phi) * sin, jnp.sin(phi) * sin)
+    u11 = (jnp.cos(phi + lam) * cos, jnp.sin(phi + lam) * cos)
+    return u00, u01, u10, u11
+
+
+def _population_probs_kernel(
+    gate_types_ref,  # SMEM [1, L, n] int32
+    controls_ref,    # SMEM [1, L, n] int32
+    angles_ref,      # SMEM [1, L, n, 3] f32
+    layer_mask_ref,  # SMEM [1, L, 1] int32
+    out_ref,         # HBM [P, R, 128] f32 (full array; program p writes slot p)
+    state_re,        # VMEM scratch [R, 128]
+    state_im,        # VMEM scratch [R, 128]
+    dma_sem,         # DMA completion semaphore
+    *,
+    n_qubits: int,
+    n_layers: int,
+):
+    rows = 1 << (n_qubits - LANE_BITS)
+
+    # narrow index vectors; full [R, 128] masks are never materialized —
+    # they broadcast lazily inside the selects (the dense versions cost
+    # 12 MB of resident VMEM, which blows the budget at n=20)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    # |0...0> (vectorized init — scalar stores to VMEM are not lowerable)
+    state_re[:] = jnp.where(
+        jnp.logical_and(row_ids == 0, lane_ids == 0), 1.0, 0.0
+    ).astype(jnp.float32)
+    state_im[:] = jnp.zeros((rows, LANES), jnp.float32)
+
+    def apply_slot(l, q):
+        gate_type = gate_types_ref[0, l, q]
+        has_gate = jnp.logical_or(gate_type == 1, gate_type == 3)
+
+        @pl.when(has_gate)
+        def _():
+            theta = angles_ref[0, l, q, 0]
+            phi = angles_ref[0, l, q, 1]
+            lam = angles_ref[0, l, q, 2]
+            (u00r, u00i), (u01r, u01i), (u10r, u10i), (u11r, u11i) = _u3_entries(theta, phi, lam)
+
+            re = state_re[:]
+            im = state_im[:]
+
+            # partner amplitudes: flat index XOR 2^q via two rolls + select
+            if q < LANE_BITS:
+                shift = 1 << q
+                axis, size = 1, LANES
+            else:
+                shift = 1 << (q - LANE_BITS)
+                axis, size = 0, rows
+            # pltpu.roll requires non-negative shifts; rolling by size-s is
+            # the circular equivalent of rolling by -s
+            fwd_re = pltpu.roll(re, size - shift, axis)  # brings idx+2^q to idx
+            fwd_im = pltpu.roll(im, size - shift, axis)
+            bwd_re = pltpu.roll(re, shift, axis)         # brings idx-2^q to idx
+            bwd_im = pltpu.roll(im, shift, axis)
+
+            # bit q of the flat index depends only on the lane (q < 7) or
+            # only on the row (q >= 7) — keep the mask narrow
+            if q < LANE_BITS:
+                bit0 = ((lane_ids >> q) & 1) == 0
+            else:
+                bit0 = ((row_ids >> (q - LANE_BITS)) & 1) == 0
+            partner_re = jnp.where(bit0, fwd_re, bwd_re)
+            partner_im = jnp.where(bit0, fwd_im, bwd_im)
+
+            # positions with bit=0 take row 0 of U against (self, partner);
+            # positions with bit=1 take row 1 against (partner, self)
+            a_re = jnp.where(bit0, u00r, u11r)
+            a_im = jnp.where(bit0, u00i, u11i)
+            b_re = jnp.where(bit0, u01r, u10r)
+            b_im = jnp.where(bit0, u01i, u10i)
+
+            new_re = a_re * re - a_im * im + b_re * partner_re - b_im * partner_im
+            new_im = a_re * im + a_im * re + b_re * partner_im + b_im * partner_re
+
+            control = controls_ref[0, l, q]
+            is_crot = gate_type == 3
+            # control bit from the narrow index vectors (control is dynamic:
+            # select lane- vs row-derived bit by the scalar comparison)
+            c_lane = jnp.clip(control, 0, LANE_BITS - 1)
+            c_row = jnp.clip(control - LANE_BITS, 0, 31)
+            lane_bit = (lane_ids >> c_lane) & 1
+            row_bit = (row_ids >> c_row) & 1
+            ctrl_bit = jnp.where(control < LANE_BITS, lane_bit, row_bit)
+            active = jnp.logical_or(jnp.logical_not(is_crot), ctrl_bit == 1)
+
+            state_re[:] = jnp.where(active, new_re, re)
+            state_im[:] = jnp.where(active, new_im, im)
+
+    def layer_body(l, carry):
+        @pl.when(layer_mask_ref[0, l, 0] != 0)
+        def _():
+            for q in range(n_qubits):
+                apply_slot(l, q)
+        return carry
+
+    jax.lax.fori_loop(0, n_layers, layer_body, 0)
+
+    # measurement probabilities overwrite the real plane, then one DMA
+    # ships them to HBM — the only data leaving the chip per individual
+    state_re[:] = state_re[:] * state_re[:] + state_im[:] * state_im[:]
+    copy = pltpu.make_async_copy(state_re, out_ref.at[pl.program_id(0)], dma_sem)
+    copy.start()
+    copy.wait()
+
+
+@partial(jax.jit, static_argnames=("n_qubits", "interpret"))
+def pallas_population_probs(
+    gate_types: jax.Array,
+    controls: jax.Array,
+    angles: jax.Array,
+    layer_mask: jax.Array,
+    n_qubits: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Measurement probabilities [P, 2^n] via the fused VMEM kernel.
+
+    The state never touches HBM; only the final probability planes are
+    DMA'd out (4 MB per individual at n=20, vs ~1.6 GB of intermediate
+    state traffic on the jnp path).
+
+    :param interpret: run in the Pallas interpreter (CPU testing)
+    """
+    if n_qubits < LANE_BITS:
+        raise ValueError("the fused kernel requires n_qubits >= 7")
+    pop, n_layers = gate_types.shape[0], gate_types.shape[1]
+    rows = 1 << (n_qubits - LANE_BITS)
+
+    kernel = partial(_population_probs_kernel, n_qubits=n_qubits, n_layers=n_layers)
+    out = pl.pallas_call(
+        kernel,
+        grid=(pop,),
+        in_specs=[
+            pl.BlockSpec((1, n_layers, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_layers, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_layers, n_qubits, 3), lambda p: (p, 0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_layers, 1), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((pop, rows, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        gate_types,
+        controls,
+        angles,
+        layer_mask.astype(jnp.int32)[:, :, None],
+    )
+    return out.reshape(pop, rows * LANES)
+
+
+@partial(jax.jit, static_argnames=("n_qubits", "interpret"))
+def pallas_energies_exact(
+    gate_types: jax.Array,
+    controls: jax.Array,
+    angles: jax.Array,
+    layer_mask: jax.Array,
+    table: jax.Array,
+    n_qubits: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Exact diagonal-table energies [P]: fused probs kernel + one matvec.
+
+    Same contract as ``_energies_exact`` (evaluators.py) for n_qubits >= 7,
+    diagonal operators, no initial state.
+    """
+    probs = pallas_population_probs(
+        gate_types, controls, angles, layer_mask, n_qubits, interpret=interpret
+    )
+    return jnp.dot(probs, table.reshape(-1), preferred_element_type=jnp.float32)
+
+
+def pallas_supported(n_qubits: int, platform: str) -> bool:
+    """True when the fused kernel path applies (TPU, state fits VMEM)."""
+    return platform == "tpu" and LANE_BITS <= n_qubits <= 20
