@@ -48,12 +48,23 @@ def build_workload():
 
 def measure_rate(repeats: int, warmup: int = 2) -> float:
     """Time repeated jitted batched evaluations (fresh angles each call so
-    nothing is cached away); returns circuit-evals/sec."""
+    nothing is cached away); returns circuit-evals/sec.
+
+    Uses the fused Pallas VMEM kernel on TPU (state resident on-chip for
+    the whole circuit) and the jnp engine on CPU.
+    """
     import jax
     import jax.numpy as jnp
 
     from queasars_tpu.paulis.diagonal import _energy_table_scan
-    from queasars_tpu.sim.evaluators import _energies_exact
+    from queasars_tpu.sim.evaluators import _energies_exact as _energies_jnp
+    from queasars_tpu.sim.pallas_kernels import pallas_energies_exact, pallas_supported
+
+    if pallas_supported(N_QUBITS, jax.default_backend()):
+        def _energies_exact(gt, c, a, lm, tab, n):
+            return pallas_energies_exact(gt, c, a, lm, tab, n)
+    else:
+        _energies_exact = _energies_jnp
 
     packed, z_masks, coeffs = build_workload()
     table = _energy_table_scan(

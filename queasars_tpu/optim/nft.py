@@ -60,7 +60,7 @@ class NFTConfig:
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots"),
+    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots", "use_pallas"),
 )
 def _nft_scan(
     gate_types,
@@ -83,6 +83,7 @@ def _nft_scan(
     shots: int,
     use_cvar: bool,
     use_shots: bool,
+    use_pallas: bool = False,
 ):
     pop = gate_types.shape[0]
     pop_idx = jnp.arange(pop)
@@ -91,7 +92,7 @@ def _nft_scan(
         return population_energies(
             gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
             alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
-            use_shots=use_shots, initial_state=initial_state,
+            use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
         )
 
     def step(carry, k):
@@ -190,6 +191,7 @@ class BatchedNFT:
             shots=operands["shots"],
             use_cvar=operands["use_cvar"],
             use_shots=operands["use_shots"],
+            use_pallas=operands.get("use_pallas", False),
         )
         return np.asarray(out_angles), np.asarray(energies), self.config.n_circuit_evaluations()
 

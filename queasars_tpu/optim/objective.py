@@ -31,13 +31,25 @@ def population_energies(
     use_cvar: bool,
     use_shots: bool,
     initial_state=None,
+    use_pallas: bool = False,
 ):
     """Energies [P] for the population at the given angle tensor.
 
     Static flags select the branch at trace time; unused operands may be
     dummy arrays.  ``key`` is consumed only when ``use_shots``.
+    ``use_pallas`` routes the simulation through the fused VMEM kernel
+    (valid only without an initial state).
     """
-    probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+    if use_pallas and not use_cvar and not use_shots and initial_state is None:
+        from queasars_tpu.sim.pallas_kernels import pallas_energies_exact
+
+        return pallas_energies_exact(gate_types, controls, angles, layer_mask, table, n_qubits)
+    if use_pallas and initial_state is None:
+        from queasars_tpu.sim.pallas_kernels import pallas_population_probs
+
+        probs = pallas_population_probs(gate_types, controls, angles, layer_mask, n_qubits)
+    else:
+        probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
     if use_shots:
         keys = jax.random.split(key, probs.shape[0])
         counts = jax.vmap(lambda k, p: sample_counts(k, p, shots))(keys, probs)
@@ -62,6 +74,10 @@ def objective_operands(evaluator):
         StatevectorExpectationEvaluator,
     )
 
+    import jax
+
+    from queasars_tpu.sim.pallas_kernels import pallas_supported
+
     dummy = jnp.zeros(1, dtype=jnp.float32)
     dummy_order = jnp.zeros(1, dtype=jnp.int32)
     if isinstance(evaluator, StatevectorExpectationEvaluator):
@@ -79,6 +95,11 @@ def objective_operands(evaluator):
             use_cvar=use_cvar,
             use_shots=False,
             initial_state=evaluator._initial,
+            use_pallas=(
+                evaluator._use_pallas
+                and evaluator._initial is None
+                and pallas_supported(evaluator.n_qubits, jax.default_backend())
+            ),
         )
     if isinstance(evaluator, SamplerExpectationEvaluator):
         use_cvar = evaluator.alpha < 1.0
@@ -91,5 +112,6 @@ def objective_operands(evaluator):
             use_cvar=use_cvar,
             use_shots=True,
             initial_state=evaluator._initial,
+            use_pallas=False,
         )
     raise TypeError(f"unsupported evaluator type for batched optimization: {type(evaluator)!r}")

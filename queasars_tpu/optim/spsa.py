@@ -56,12 +56,12 @@ class SPSAConfig:
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "shots", "use_cvar", "use_shots", "calibration_steps"),
+    static_argnames=("n_qubits", "shots", "use_cvar", "use_shots", "calibration_steps", "use_pallas"),
 )
 def _spsa_calibrate(
     gate_types, controls, layer_mask, angles, coords, coord_mask,
     table, sorted_energies, energy_order, alpha, key, initial_state, c,
-    *, n_qubits, shots, use_cvar, use_shots, calibration_steps,
+    *, n_qubits, shots, use_cvar, use_shots, calibration_steps, use_pallas=False,
 ):
     """Average |f(x+c d) - f(x-c d)| over calibration pairs -> [P]."""
     pop = gate_types.shape[0]
@@ -71,7 +71,7 @@ def _spsa_calibrate(
         return population_energies(
             gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
             alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
-            use_shots=use_shots, initial_state=initial_state,
+            use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
         )
 
     def step(acc, k):
@@ -90,13 +90,13 @@ def _spsa_calibrate(
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "shots", "use_cvar", "use_shots"),
+    static_argnames=("n_qubits", "maxiter", "shots", "use_cvar", "use_shots", "use_pallas"),
 )
 def _spsa_scan(
     gate_types, controls, layer_mask, angles, coords, coord_mask, active,
     learning_rates, table, sorted_energies, energy_order, alpha, key, initial_state,
     c, gamma_power, alpha_power, stability_constant, start_iteration,
-    *, n_qubits, maxiter, shots, use_cvar, use_shots,
+    *, n_qubits, maxiter, shots, use_cvar, use_shots, use_pallas=False,
 ):
     pop = gate_types.shape[0]
     pop_idx = jnp.arange(pop)[:, None]
@@ -106,7 +106,7 @@ def _spsa_scan(
         return population_energies(
             gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
             alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
-            use_shots=use_shots, initial_state=initial_state,
+            use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
         )
 
     def step(carry, k):
@@ -131,7 +131,7 @@ def _spsa_scan(
     final = population_energies(
         gate_types, controls, angles, layer_mask, table, sorted_energies, energy_order,
         alpha, key, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
-        use_shots=use_shots, initial_state=initial_state,
+        use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
     )
     return angles, final
 
@@ -173,6 +173,7 @@ class BatchedSPSA:
             shots=operands["shots"],
             use_cvar=operands["use_cvar"],
             use_shots=operands["use_shots"],
+            use_pallas=operands.get("use_pallas", False),
         )
         tensors = (
             jnp.asarray(packed.gate_types),

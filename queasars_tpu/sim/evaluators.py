@@ -135,6 +135,18 @@ class BaseCircuitEvaluator(ABC):
         return self.evaluate_individuals(bound)
 
 
+def _pallas_requested(use_pallas: Optional[bool]) -> bool:
+    """Resolve the fused-kernel opt-in: explicit argument wins, else the
+    QUEASARS_USE_PALLAS env toggle.  Default off: on this platform a
+    Pallas kernel costs minutes of (remote) compile per shape, which only
+    amortizes for long production runs and benchmarks."""
+    if use_pallas is not None:
+        return use_pallas
+    import os
+
+    return os.environ.get("QUEASARS_USE_PALLAS", "0") == "1"
+
+
 class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
     """Exact expectation (optionally CVaR over the exact distribution).
 
@@ -147,6 +159,8 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
     :param alpha: CVaR lower-tail mass in (0, 1]; 1 = plain expectation
     :param initial_state: optional start state prepended to every circuit
         (reference: circuit_evaluation.py:201-202)
+    :param use_pallas: route diagonal evaluations through the fused VMEM
+        kernel (TPU, 7 <= n <= 20, no initial state); None = env toggle
     """
 
     def __init__(
@@ -154,6 +168,7 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
         operator: PauliSum,
         alpha: float = 1.0,
         initial_state: Optional[np.ndarray] = None,
+        use_pallas: Optional[bool] = None,
     ):
         super().__init__(operator.n_qubits)
         if not 0 < alpha <= 1:
@@ -161,6 +176,7 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
         self.operator = operator
         self.alpha = float(alpha)
         self._initial = _prepare_initial_state(initial_state, operator.n_qubits)
+        self._use_pallas = _pallas_requested(use_pallas)
 
         self._diagonal = operator.is_diagonal
         if self._diagonal:
@@ -180,9 +196,37 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
             self._z = jnp.asarray(operator.z[:, 0].astype(np.uint32))
             self._x = jnp.asarray(operator.x[:, 0].astype(np.uint32))
 
+    def _pallas_applicable(self, packed) -> bool:
+        from queasars_tpu.sim.pallas_kernels import pallas_supported
+
+        return (
+            self._use_pallas
+            and self._diagonal
+            and self._initial is None
+            and pallas_supported(packed.n_qubits, jax.default_backend())
+        )
+
     def evaluate_packed(self, packed, angles=None):
         a = packed.angles if angles is None else angles
-        if self._diagonal and self.alpha >= 1.0:
+        if self._pallas_applicable(packed):
+            from queasars_tpu.sim.pallas_kernels import (
+                pallas_energies_exact,
+                pallas_population_probs,
+            )
+
+            if self.alpha >= 1.0:
+                out = pallas_energies_exact(
+                    packed.gate_types, packed.controls, a, packed.layer_mask,
+                    self._table, packed.n_qubits,
+                )
+            else:
+                probs = pallas_population_probs(
+                    packed.gate_types, packed.controls, a, packed.layer_mask, packed.n_qubits
+                )
+                out = cvar_expectation_from_probs(
+                    probs, self._sorted, self._order, jnp.float32(self.alpha)
+                )
+        elif self._diagonal and self.alpha >= 1.0:
             out = _energies_exact(
                 packed.gate_types, packed.controls, a, packed.layer_mask,
                 self._table, packed.n_qubits, self._initial,

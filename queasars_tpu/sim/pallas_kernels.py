@@ -193,6 +193,10 @@ def pallas_population_probs(
             pltpu.VMEM((rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        # the default 16 MB scoped-vmem budget cannot hold the state planes
+        # plus the roll temporaries at n=20; raise it toward the physical
+        # VMEM capacity
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         gate_types,
