@@ -66,6 +66,8 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
         at least one must be set (validated, :114-119)
     :param distribution_alpha_tail: CVaR alpha for the sampler path
     :param initial_population: optional resume population (new capability)
+    :param use_pallas: route diagonal evaluation through the fused VMEM
+        kernel (TPU only; None = QUEASARS_USE_PALLAS env toggle)
     """
 
     population_initializer: Callable[[int], EVQEPopulation]
@@ -77,6 +79,7 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     termination_criterion: Optional[EvolvingAnsatzMinimumEigensolverBaseTerminationCriterion]
     distribution_alpha_tail: float = 1.0
     initial_population: Optional[EVQEPopulation] = field(default=None)
+    use_pallas: Optional[bool] = None
 
     def __post_init__(self):
         if (
@@ -132,6 +135,7 @@ class EvolvingAnsatzMinimumEigensolver:
                     operator=op,
                     alpha=1.0,
                     initial_state=initial_state,
+                    use_pallas=self.configuration.use_pallas,
                 )
             assert self.configuration.configured_sampler is not None
             if not op.is_diagonal:

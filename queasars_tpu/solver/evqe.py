@@ -64,6 +64,8 @@ class EVQEMinimumEigensolverConfiguration:
         angles
     :param distribution_alpha_tail: CVaR alpha for the sampler path
     :param initial_population: optional resume population (new capability)
+    :param use_pallas: route diagonal evaluation through the fused VMEM
+        kernel (TPU only; None = QUEASARS_USE_PALLAS env toggle)
     """
 
     configured_estimator: Optional[ConfiguredEstimator]
@@ -87,6 +89,7 @@ class EVQEMinimumEigensolverConfiguration:
     randomize_initial_population_parameters: bool = True
     distribution_alpha_tail: float = 1.0
     initial_population: Optional[EVQEPopulation] = field(default=None)
+    use_pallas: Optional[bool] = None
 
     def __post_init__(self):
         if (
@@ -197,6 +200,7 @@ class EVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             termination_criterion=configuration.termination_criterion,
             distribution_alpha_tail=configuration.distribution_alpha_tail,
             initial_population=configuration.initial_population,
+            use_pallas=configuration.use_pallas,
         )
         super().__init__(configuration=config)
 
