@@ -50,11 +50,16 @@ class OperatorContext:
         generation boundary — triggers termination checks)
     :param circuit_evaluation_count_callback: reports evaluations used
         (budget ledger input)
+    :param pack_min_layers: fixed lower bound for the packed layer
+        dimension — pinning it keeps the jit/Pallas shapes constant across
+        generations (one compile per solve; padded layers are skipped by
+        layer predication)
     """
 
     circuit_evaluator: BaseCircuitEvaluator
     result_callback: Callable[[BasePopulationEvaluationResult], None]
     circuit_evaluation_count_callback: Callable[[int], None]
+    pack_min_layers: Optional[int] = None
 
 
 class BaseEvolutionaryOperator(ABC, Generic[POP]):

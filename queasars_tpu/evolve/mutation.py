@@ -131,7 +131,7 @@ class EVQELastLayerParameterSearch(BaseEVQEMutationOperator):
             operator_context.circuit_evaluation_count_callback(0)
             return self._cleared_population(population, individuals)
 
-        packed = PackedPopulation.pack(individuals)
+        packed = PackedPopulation.pack(individuals, min_layers=operator_context.pack_min_layers)
         seed_mix = next((s for s in seeds if s is not None), 0)
         new_angles, n_evals = _batched_layer_optimization(
             individuals, selected, [-1 if s else None for s in selected],
@@ -193,7 +193,7 @@ class EVQEParameterSearch(BaseEVQEMutationOperator):
             orders.append(order)
             slot_seeds.append(child_seeds)
 
-        packed = PackedPopulation.pack(individuals)
+        packed = PackedPopulation.pack(individuals, min_layers=operator_context.pack_min_layers)
         angles = packed.angles
         total_evals = 0
         max_slots = max((len(o) for o in orders), default=0)

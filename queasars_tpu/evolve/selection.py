@@ -69,7 +69,9 @@ class EVQESelection(BaseEvolutionaryOperator[EVQEPopulation]):
     def apply_operator(self, population: EVQEPopulation, operator_context: OperatorContext) -> EVQEPopulation:
         # one batched evaluation of the whole population (replaces the
         # reference's future fan-out, selection.py:75-84)
-        packed = PackedPopulation.pack(list(population.individuals))
+        packed = PackedPopulation.pack(
+            list(population.individuals), min_layers=operator_context.pack_min_layers
+        )
         evaluation_results = [
             float(v) for v in operator_context.circuit_evaluator.evaluate_packed(packed)
         ]

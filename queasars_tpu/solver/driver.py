@@ -80,6 +80,7 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     distribution_alpha_tail: float = 1.0
     initial_population: Optional[EVQEPopulation] = field(default=None)
     use_pallas: Optional[bool] = None
+    pack_min_layers: Optional[int] = None
 
     def __post_init__(self):
         if (
@@ -244,6 +245,7 @@ class EvolvingAnsatzMinimumEigensolver:
             circuit_evaluator=circuit_evaluator,
             result_callback=result_callback,
             circuit_evaluation_count_callback=circuit_evaluation_callback,
+            pack_min_layers=self.configuration.pack_min_layers,
         )
 
         if self.configuration.initial_population is not None:

@@ -90,6 +90,7 @@ class EVQEMinimumEigensolverConfiguration:
     distribution_alpha_tail: float = 1.0
     initial_population: Optional[EVQEPopulation] = field(default=None)
     use_pallas: Optional[bool] = None
+    pack_min_layers: Optional[int] = None
 
     def __post_init__(self):
         if (
@@ -201,6 +202,7 @@ class EVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             distribution_alpha_tail=configuration.distribution_alpha_tail,
             initial_population=configuration.initial_population,
             use_pallas=configuration.use_pallas,
+            pack_min_layers=configuration.pack_min_layers,
         )
         super().__init__(configuration=config)
 
