@@ -22,6 +22,16 @@ Per-individual parameter counts differ: step k updates flat parameter
 ``k mod n_free_i`` of each individual (the same cyclic rule as qiskit NFT),
 with per-individual coordinate tables mapping flat indices to
 (layer, qubit, angle) slots.
+
+Exactness caveat (shared with qiskit's NFT, hence the reference): the
+single-harmonic assumption is exact for all U3 angles and for CU3 angles
+against **diagonal** Hamiltonians (the EVQE/JSSP hot path — cross terms
+between control blocks vanish).  For CU3's theta against non-diagonal
+Hamiltonians the objective picks up 4pi-periodic half-harmonics (SU(2)
+double cover: U3(theta+2pi) = -U3(theta), observable only as a relative
+phase under control), so steps are approximate descent there — use a
+small ``reset_interval`` or :class:`~queasars_tpu.optim.spsa.BatchedSPSA`
+for such operators.
 """
 
 from __future__ import annotations
@@ -60,7 +70,7 @@ class NFTConfig:
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots", "use_pallas"),
+    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots", "use_pallas", "use_general"),
 )
 def _nft_scan(
     gate_types,
@@ -84,6 +94,7 @@ def _nft_scan(
     use_cvar: bool,
     use_shots: bool,
     use_pallas: bool = False,
+    use_general: bool = False,
 ):
     pop = gate_types.shape[0]
     pop_idx = jnp.arange(pop)
@@ -93,6 +104,7 @@ def _nft_scan(
             gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
             alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
             use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
+            use_general=use_general,
         )
 
     def step(carry, k):
@@ -192,6 +204,7 @@ class BatchedNFT:
             use_cvar=operands["use_cvar"],
             use_shots=operands["use_shots"],
             use_pallas=operands.get("use_pallas", False),
+            use_general=operands.get("use_general", False),
         )
         return np.asarray(out_angles), np.asarray(energies), self.config.n_circuit_evaluations()
 

@@ -32,14 +32,39 @@ def population_energies(
     use_shots: bool,
     initial_state=None,
     use_pallas: bool = False,
+    use_general: bool = False,
 ):
     """Energies [P] for the population at the given angle tensor.
 
     Static flags select the branch at trace time; unused operands may be
     dummy arrays.  ``key`` is consumed only when ``use_shots``.
     ``use_pallas`` routes the simulation through the fused VMEM kernel
-    (valid only without an initial state).
+    (valid only without an initial state).  ``use_general`` treats the
+    operands as a general (possibly non-diagonal) Pauli sum: ``table`` is
+    then ``(coeffs_re, coeffs_im, z_masks, x_masks)``.
     """
+    if use_general:
+        from queasars_tpu.sim.statevector import simulate_circuits
+
+        if len(table) == 2:
+            # dense Hermitian matvec (MXU) — see _energies_dense
+            h_re, h_im = table
+            states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+            ar, ai = states[:, 0, :], states[:, 1, :]
+            out_re = jnp.dot(ar, h_re.T, preferred_element_type=jnp.float32) - jnp.dot(
+                ai, h_im.T, preferred_element_type=jnp.float32
+            )
+            out_im = jnp.dot(ai, h_re.T, preferred_element_type=jnp.float32) + jnp.dot(
+                ar, h_im.T, preferred_element_type=jnp.float32
+            )
+            return jnp.sum(ar * out_re + ai * out_im, axis=-1)
+
+        from queasars_tpu.sim.expectation import general_pauli_expectation_real
+
+        coeffs_re, coeffs_im, z_masks, x_masks = table
+        states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+        fn = lambda s: general_pauli_expectation_real(s, coeffs_re, coeffs_im, z_masks, x_masks)
+        return jax.vmap(fn)(states)
     if use_pallas and not use_cvar and not use_shots and initial_state is None:
         from queasars_tpu.sim.pallas_kernels import pallas_energies_exact
 
@@ -82,8 +107,23 @@ def objective_operands(evaluator):
     dummy_order = jnp.zeros(1, dtype=jnp.int32)
     if isinstance(evaluator, StatevectorExpectationEvaluator):
         if not evaluator._diagonal:
-            raise NotImplementedError(
-                "batched optimizers require a diagonal operator (energy-table path)"
+            # general (non-diagonal) Pauli sum: dense MXU matvec for small
+            # systems, matrix-free term scan otherwise
+            if evaluator._dense:
+                general_table = (evaluator._h_re, evaluator._h_im)
+            else:
+                general_table = (evaluator._coeffs_re, evaluator._coeffs_im, evaluator._z, evaluator._x)
+            return dict(
+                table=general_table,
+                sorted_energies=dummy,
+                energy_order=dummy_order,
+                alpha=jnp.float32(1.0),
+                shots=0,
+                use_cvar=False,
+                use_shots=False,
+                initial_state=evaluator._initial,
+                use_pallas=False,
+                use_general=True,
             )
         use_cvar = evaluator.alpha < 1.0
         return dict(

@@ -56,12 +56,12 @@ class SPSAConfig:
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "shots", "use_cvar", "use_shots", "calibration_steps", "use_pallas"),
+    static_argnames=("n_qubits", "shots", "use_cvar", "use_shots", "calibration_steps", "use_pallas", "use_general"),
 )
 def _spsa_calibrate(
     gate_types, controls, layer_mask, angles, coords, coord_mask,
     table, sorted_energies, energy_order, alpha, key, initial_state, c,
-    *, n_qubits, shots, use_cvar, use_shots, calibration_steps, use_pallas=False,
+    *, n_qubits, shots, use_cvar, use_shots, calibration_steps, use_pallas=False, use_general=False,
 ):
     """Average |f(x+c d) - f(x-c d)| over calibration pairs -> [P]."""
     pop = gate_types.shape[0]
@@ -72,6 +72,7 @@ def _spsa_calibrate(
             gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
             alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
             use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
+            use_general=use_general,
         )
 
     def step(acc, k):
@@ -90,13 +91,13 @@ def _spsa_calibrate(
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "shots", "use_cvar", "use_shots", "use_pallas"),
+    static_argnames=("n_qubits", "maxiter", "shots", "use_cvar", "use_shots", "use_pallas", "use_general"),
 )
 def _spsa_scan(
     gate_types, controls, layer_mask, angles, coords, coord_mask, active,
     learning_rates, table, sorted_energies, energy_order, alpha, key, initial_state,
     c, gamma_power, alpha_power, stability_constant, start_iteration,
-    *, n_qubits, maxiter, shots, use_cvar, use_shots, use_pallas=False,
+    *, n_qubits, maxiter, shots, use_cvar, use_shots, use_pallas=False, use_general=False,
 ):
     pop = gate_types.shape[0]
     pop_idx = jnp.arange(pop)[:, None]
@@ -107,6 +108,7 @@ def _spsa_scan(
             gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
             alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
             use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
+            use_general=use_general,
         )
 
     def step(carry, k):
@@ -132,6 +134,7 @@ def _spsa_scan(
         gate_types, controls, angles, layer_mask, table, sorted_energies, energy_order,
         alpha, key, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
         use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
+        use_general=use_general,
     )
     return angles, final
 
@@ -174,6 +177,7 @@ class BatchedSPSA:
             use_cvar=operands["use_cvar"],
             use_shots=operands["use_shots"],
             use_pallas=operands.get("use_pallas", False),
+            use_general=operands.get("use_general", False),
         )
         tensors = (
             jnp.asarray(packed.gate_types),

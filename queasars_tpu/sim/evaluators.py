@@ -85,6 +85,25 @@ def _energies_cvar(
 
 
 @partial(jax.jit, static_argnames=("n_qubits",))
+def _energies_dense(gate_types, controls, angles, layer_mask, h_re, h_im, n_qubits, initial_state=None):
+    """<psi|H|psi> via dense Hermitian matvec on the MXU (small n).
+
+    Real-pair arithmetic: (H psi) re/im from the split matrices; the
+    expectation of a Hermitian operator is real, so only the real
+    contraction is taken.
+    """
+    states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+    ar, ai = states[:, 0, :], states[:, 1, :]
+    hr_ar = jnp.dot(ar, h_re.T, preferred_element_type=jnp.float32)
+    hi_ai = jnp.dot(ai, h_im.T, preferred_element_type=jnp.float32)
+    hr_ai = jnp.dot(ai, h_re.T, preferred_element_type=jnp.float32)
+    hi_ar = jnp.dot(ar, h_im.T, preferred_element_type=jnp.float32)
+    out_re = hr_ar - hi_ai
+    out_im = hr_ai + hi_ar
+    return jnp.sum(ar * out_re + ai * out_im, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_qubits",))
 def _energies_general(
     gate_types, controls, angles, layer_mask, coeffs_re, coeffs_im, z_masks, x_masks, n_qubits, initial_state=None
 ):
@@ -195,6 +214,13 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
             self._coeffs_im = jnp.asarray(operator.coeffs.imag.astype(np.float32))
             self._z = jnp.asarray(operator.z[:, 0].astype(np.uint32))
             self._x = jnp.asarray(operator.x[:, 0].astype(np.uint32))
+            # small systems: dense Hermitian matvec on the MXU (fast and
+            # cheap to compile); large systems: matrix-free term scan
+            self._dense = operator.n_qubits <= 12
+            if self._dense:
+                dense = operator.to_dense_matrix()
+                self._h_re = jnp.asarray(dense.real.astype(np.float32))
+                self._h_im = jnp.asarray(dense.imag.astype(np.float32))
 
     def _pallas_applicable(self, packed) -> bool:
         from queasars_tpu.sim.pallas_kernels import pallas_supported
@@ -236,6 +262,11 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
                 packed.gate_types, packed.controls, a, packed.layer_mask,
                 self._sorted, self._order, jnp.float32(self.alpha),
                 packed.n_qubits, self._initial,
+            )
+        elif self._dense:
+            out = _energies_dense(
+                packed.gate_types, packed.controls, a, packed.layer_mask,
+                self._h_re, self._h_im, packed.n_qubits, self._initial,
             )
         else:
             out = _energies_general(
