@@ -18,6 +18,12 @@ from queasars_tpu.evolve.mutation import (
     EVQETopologicalSearch,
     EVQELayerRemoval,
 )
+from queasars_tpu.evolve.multiobjective import (
+    MultiObjectiveEVQESelection,
+    non_dominated_sort,
+    crowding_distance,
+    pareto_front,
+)
 from queasars_tpu.evolve.speciation import EVQESpeciation
 from queasars_tpu.evolve.selection import EVQESelection, EVQESelectionException
 
@@ -30,6 +36,10 @@ __all__ = [
     "EVQETopologicalSearch",
     "EVQELayerRemoval",
     "EVQESpeciation",
+    "MultiObjectiveEVQESelection",
+    "non_dominated_sort",
+    "crowding_distance",
+    "pareto_front",
     "EVQESelection",
     "EVQESelectionException",
 ]

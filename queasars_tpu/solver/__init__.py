@@ -22,6 +22,7 @@ from queasars_tpu.solver.driver import (
     EvolvingAnsatzMinimumEigensolverConfiguration,
 )
 from queasars_tpu.solver.evqe import EVQEMinimumEigensolver, EVQEMinimumEigensolverConfiguration
+from queasars_tpu.solver.mog_vqe import MoGVQEMinimumEigensolver, result_pareto_front
 
 __all__ = [
     "EvolvingAnsatzMinimumEigensolverBaseTerminationCriterion",
@@ -37,4 +38,6 @@ __all__ = [
     "EvolvingAnsatzMinimumEigensolverConfiguration",
     "EVQEMinimumEigensolver",
     "EVQEMinimumEigensolverConfiguration",
+    "MoGVQEMinimumEigensolver",
+    "result_pareto_front",
 ]
