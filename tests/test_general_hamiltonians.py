@@ -22,13 +22,9 @@ from queasars_tpu.solver import (
 
 
 def tfim(n: int, g: float = 1.0) -> PauliSum:
-    """Open-boundary transverse-field Ising: -sum Z_i Z_{i+1} - g sum X_i."""
-    terms = []
-    for i in range(n - 1):
-        terms.append(PauliSum.from_sparse_list([("ZZ", [i, i + 1], -1.0)], n))
-    for i in range(n):
-        terms.append(PauliSum.from_sparse_list([("X", [i], -g)], n))
-    return PauliSum.sum(terms)
+    from queasars_tpu.problems.spin_chains import transverse_field_ising
+
+    return transverse_field_ising(n, coupling=1.0, field=g)
 
 
 @pytest.fixture(scope="module")

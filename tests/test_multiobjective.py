@@ -18,12 +18,9 @@ from queasars_tpu.solver.mog_vqe import MoGVQEMinimumEigensolver, result_pareto_
 
 
 def heisenberg(n: int, j: float = 1.0) -> PauliSum:
-    """Open-boundary Heisenberg chain: J sum (XX + YY + ZZ)."""
-    terms = []
-    for i in range(n - 1):
-        for paulis in ("XX", "YY", "ZZ"):
-            terms.append(PauliSum.from_sparse_list([(paulis, [i, i + 1], j)], n))
-    return PauliSum.sum(terms)
+    from queasars_tpu.problems.spin_chains import heisenberg_chain
+
+    return heisenberg_chain(n, coupling=j)
 
 
 def test_non_dominated_sort():
