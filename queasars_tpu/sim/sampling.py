@@ -18,9 +18,16 @@ import numpy as np
 @partial(jax.jit, static_argnames=("shots",))
 def sample_counts(key: jax.Array, probs: jax.Array, shots: int) -> jax.Array:
     """Draw ``shots`` basis states from ``probs`` [2^n]; return integer
-    counts [2^n] (an empirical multinomial, like a sampler's counts dict)."""
-    logits = jnp.log(jnp.clip(probs, 1e-38, 1.0))
-    samples = jax.random.categorical(key, logits, shape=(shots,))
+    counts [2^n] (an empirical multinomial, like a sampler's counts dict).
+
+    Inverse-CDF sampling: O(shots * log 2^n) memory/time.  (The obvious
+    ``jax.random.categorical`` draws Gumbel noise of shape [shots, 2^n] —
+    16 GB at 20 qubits x 4000 shots.)
+    """
+    cdf = jnp.cumsum(probs)
+    u = jax.random.uniform(key, (shots,), dtype=jnp.float32, maxval=cdf[-1])
+    samples = jnp.searchsorted(cdf, u, side="right")
+    samples = jnp.clip(samples, 0, probs.shape[-1] - 1)
     return jnp.zeros(probs.shape[-1], dtype=jnp.int32).at[samples].add(1)
 
 
