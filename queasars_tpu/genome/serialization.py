@@ -152,6 +152,15 @@ class EVQEPopulationJSONEncoder(JSONEncoder):
         return {EVQEIndividual, EVQEPopulation}
 
 
+def load_population(path: str) -> EVQEPopulation:
+    """Load a checkpointed population JSON (the resume counterpart of the
+    driver's ``checkpoint_path`` option)."""
+    import json as _json
+
+    with open(path) as fh:
+        return _json.load(fh, cls=EVQEPopulationJSONDecoder)
+
+
 class EVQEPopulationJSONDecoder(JSONDecoder):
     """Inverse of :class:`EVQEPopulationJSONEncoder`
     (reference: evqe/serialization.py:79-154)."""

@@ -68,6 +68,11 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     :param initial_population: optional resume population (new capability)
     :param use_pallas: route diagonal evaluation through the fused VMEM
         kernel (TPU only; None = QUEASARS_USE_PALLAS env toggle)
+    :param checkpoint_path: when set, the latest evaluated population is
+        written there as JSON after every generation; crashed/preempted
+        solves restart via ``initial_population=load_population(path)``
+        (completes the reference's serialize-only persistence story,
+        SURVEY.md §5)
     """
 
     population_initializer: Callable[[int], EVQEPopulation]
@@ -81,6 +86,7 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     initial_population: Optional[EVQEPopulation] = field(default=None)
     use_pallas: Optional[bool] = None
     pack_min_layers: Optional[int] = None
+    checkpoint_path: Optional[str] = None
 
     def __post_init__(self):
         if (
@@ -226,6 +232,9 @@ class EvolvingAnsatzMinimumEigensolver:
             self.logger.info("Current median expectation value: %f", median(filtered))
             self.logger.info("Current average expectation value: %f", mean(filtered))
 
+            if self.configuration.checkpoint_path is not None:
+                self._write_checkpoint(evaluation_result.population)
+
             n_generations += 1
 
             if self.configuration.termination_criterion is not None:
@@ -310,6 +319,19 @@ class EvolvingAnsatzMinimumEigensolver:
             }
 
         return result
+
+    def _write_checkpoint(self, population: EVQEPopulation) -> None:
+        """Atomically persist the latest population as JSON."""
+        import json
+        import os
+
+        from queasars_tpu.genome.serialization import EVQEPopulationJSONEncoder
+
+        path = self.configuration.checkpoint_path
+        tmp_path = path + ".tmp"
+        with open(tmp_path, "w") as fh:
+            json.dump(population, fh, cls=EVQEPopulationJSONEncoder)
+        os.replace(tmp_path, path)
 
     def _measure_eigenstate(
         self, individual: EVQEIndividual, initial_state: Optional[np.ndarray]

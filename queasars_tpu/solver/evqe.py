@@ -91,6 +91,7 @@ class EVQEMinimumEigensolverConfiguration:
     initial_population: Optional[EVQEPopulation] = field(default=None)
     use_pallas: Optional[bool] = None
     pack_min_layers: Optional[int] = None
+    checkpoint_path: Optional[str] = None
 
     def __post_init__(self):
         if (
@@ -203,6 +204,7 @@ class EVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             initial_population=configuration.initial_population,
             use_pallas=configuration.use_pallas,
             pack_min_layers=configuration.pack_min_layers,
+            checkpoint_path=configuration.checkpoint_path,
         )
         super().__init__(configuration=config)
 
