@@ -24,7 +24,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from queasars_tpu.evolve.base import BaseEvolutionaryOperator, OperatorContext
+from queasars_tpu.evolve.base import BaseEvolutionaryOperator
 from queasars_tpu.genome.individual import EVQEIndividual
 from queasars_tpu.genome.packing import PackedPopulation, unpack_individual
 from queasars_tpu.genome.population import EVQEPopulation

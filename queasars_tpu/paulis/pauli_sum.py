@@ -24,7 +24,7 @@ the label string; integer basis-state ``i`` has qubit ``q`` in state
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence, Union
+from typing import Iterable, Sequence, Union
 
 import numpy as np
 

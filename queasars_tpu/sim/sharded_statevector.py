@@ -23,7 +23,6 @@ same code runs on the virtual CPU mesh (tests) and TPU slices.
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 
