@@ -29,9 +29,12 @@ against **diagonal** Hamiltonians (the EVQE/JSSP hot path — cross terms
 between control blocks vanish).  For CU3's theta against non-diagonal
 Hamiltonians the objective picks up 4pi-periodic half-harmonics (SU(2)
 double cover: U3(theta+2pi) = -U3(theta), observable only as a relative
-phase under control), so steps are approximate descent there — use a
-small ``reset_interval`` or :class:`~queasars_tpu.optim.spsa.BatchedSPSA`
-for such operators.
+phase under control), so 3-point steps are approximate descent there.  Set
+``NFTConfig(five_point=True)`` for the **exact** two-frequency variant
+(beyond qiskit): five samples spanning the 4pi period fit
+``c + a1 cos(theta-b1) + a2 cos(theta/2 - b2)`` via one shared 5x5 solve
+and a dense grid argmin — exact for every gate/Hamiltonian combination,
+at 4 evaluations per step instead of 2.
 """
 
 from __future__ import annotations
@@ -61,16 +64,37 @@ class NFTConfig:
 
     maxiter: int = 40
     reset_interval: int = 32
+    five_point: bool = False
 
     def n_circuit_evaluations(self) -> int:
         """Evaluations used per optimized individual (ledger input for the
         budget enforcement, reference: mutation.py:282-290)."""
-        return 2 * self.maxiter + ceil(self.maxiter / self.reset_interval)
+        per_step = 4 if self.five_point else 2
+        return per_step * self.maxiter + ceil(self.maxiter / self.reset_interval)
+
+
+def _five_point_inverse() -> np.ndarray:
+    """Inverse of the shared 5x5 basis matrix for the two-frequency fit.
+
+    Basis (in the shift variable phi = theta - x, period 4pi):
+    {1, cos phi, sin phi, cos phi/2, sin phi/2}, sampled at
+    phi in {0, 4pi/5, 8pi/5, 12pi/5, 16pi/5} (uniform over the period —
+    a real DFT-like, well-conditioned design).
+    """
+    deltas = np.array([0.0, 4 * np.pi / 5, 8 * np.pi / 5, 12 * np.pi / 5, 16 * np.pi / 5])
+    basis = np.stack(
+        [np.ones_like(deltas), np.cos(deltas), np.sin(deltas), np.cos(deltas / 2), np.sin(deltas / 2)],
+        axis=1,
+    )
+    return np.linalg.inv(basis).astype(np.float32)
+
+
+_FIVE_POINT_INVERSE = jnp.asarray(_five_point_inverse())
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots", "use_pallas", "use_general"),
+    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots", "use_pallas", "use_general", "five_point"),
 )
 def _nft_scan(
     gate_types,
@@ -95,6 +119,7 @@ def _nft_scan(
     use_shots: bool,
     use_pallas: bool = False,
     use_general: bool = False,
+    five_point: bool = False,
 ):
     pop = gate_types.shape[0]
     pop_idx = jnp.arange(pop)
@@ -121,17 +146,42 @@ def _nft_scan(
         coord = coords[pop_idx, idx]  # [P, 3]
         l, q, a_i = coord[:, 0], coord[:, 1], coord[:, 2]
 
-        plus = angles_c.at[pop_idx, l, q, a_i].add(jnp.pi / 2)
-        minus = angles_c.at[pop_idx, l, q, a_i].add(-jnp.pi / 2)
-        z1 = objective(plus, k1)
-        z3 = objective(minus, k3)
+        if five_point:
+            # exact two-frequency fit (see module docstring): sample at
+            # four 4pi/5-spaced shifts (z0 recycled at shift 0), solve the
+            # shared 5x5 Vandermonde, grid-argmin the fitted curve
+            deltas = [4 * jnp.pi / 5, 8 * jnp.pi / 5, 12 * jnp.pi / 5, 16 * jnp.pi / 5]
+            z_samples = [z0]
+            for step_i, delta in enumerate(deltas):
+                shifted = angles_c.at[pop_idx, l, q, a_i].add(delta)
+                z_samples.append(objective(shifted, jax.random.fold_in(k1, step_i)))
+            z_matrix = jnp.stack(z_samples)  # [5, P]
+            coeffs = _FIVE_POINT_INVERSE @ z_matrix  # [5, P]
 
-        mid = (z1 + z3) / 2
-        shift = jnp.arctan2((z1 - z3) / 2, z0 - mid)
-        amplitude = jnp.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
-        minimum_value = mid - amplitude
+            grid = jnp.linspace(0.0, 4 * jnp.pi, 512, endpoint=False)  # [G]
+            fitted = (
+                coeffs[0][:, None]
+                + coeffs[1][:, None] * jnp.cos(grid)[None, :]
+                + coeffs[2][:, None] * jnp.sin(grid)[None, :]
+                + coeffs[3][:, None] * jnp.cos(grid / 2)[None, :]
+                + coeffs[4][:, None] * jnp.sin(grid / 2)[None, :]
+            )  # [P, G]
+            best = jnp.argmin(fitted, axis=1)
+            shift = grid[best]
+            minimum_value = jnp.take_along_axis(fitted, best[:, None], axis=1)[:, 0]
+            updated = angles_c.at[pop_idx, l, q, a_i].add(shift)
+        else:
+            plus = angles_c.at[pop_idx, l, q, a_i].add(jnp.pi / 2)
+            minus = angles_c.at[pop_idx, l, q, a_i].add(-jnp.pi / 2)
+            z1 = objective(plus, k1)
+            z3 = objective(minus, k3)
 
-        updated = angles_c.at[pop_idx, l, q, a_i].add(shift + jnp.pi)
+            mid = (z1 + z3) / 2
+            shift = jnp.arctan2((z1 - z3) / 2, z0 - mid)
+            amplitude = jnp.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
+            minimum_value = mid - amplitude
+
+            updated = angles_c.at[pop_idx, l, q, a_i].add(shift + jnp.pi)
         apply = jnp.logical_and(active, n_free > 0)
         angles_c = jnp.where(apply[:, None, None, None], updated, angles_c)
         z0 = jnp.where(apply, minimum_value, z0)
@@ -205,6 +255,7 @@ class BatchedNFT:
             use_shots=operands["use_shots"],
             use_pallas=operands.get("use_pallas", False),
             use_general=operands.get("use_general", False),
+            five_point=self.config.five_point,
         )
         return np.asarray(out_angles), np.asarray(energies), self.config.n_circuit_evaluations()
 
