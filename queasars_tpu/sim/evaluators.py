@@ -120,6 +120,16 @@ def _sampled_probs(gate_types, controls, angles, layer_mask, key, n_qubits, shot
     return counts.astype(jnp.float32) / shots
 
 
+@partial(jax.jit, static_argnames=("n_qubits", "shots"))
+def _sampled_probs_pallas(gate_types, controls, angles, layer_mask, key, n_qubits, shots):
+    from queasars_tpu.sim.pallas_kernels import pallas_population_probs
+
+    probs = pallas_population_probs(gate_types, controls, angles, layer_mask, n_qubits)
+    keys = jax.random.split(key, probs.shape[0])
+    counts = jax.vmap(lambda k, p: sample_counts(k, p, shots))(keys, probs)
+    return counts.astype(jnp.float32) / shots
+
+
 class BaseCircuitEvaluator(ABC):
     """Uniform "population -> energies" contract
     (reference: circuit_evaluation.py:62-87)."""
@@ -296,8 +306,10 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
         alpha: float = 1.0,
         seed: int = 0,
         initial_state: Optional[np.ndarray] = None,
+        use_pallas: Optional[bool] = None,
     ):
         super().__init__(operator.n_qubits)
+        self._use_pallas = _pallas_requested(use_pallas)
         if not 0 < alpha <= 1:
             raise ValueError("alpha must be in the range (0, 1]!")
         if not operator.is_diagonal:
@@ -324,11 +336,23 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
         return jax.random.fold_in(self._key, self._counter)
 
     def evaluate_packed(self, packed, angles=None):
+        from queasars_tpu.sim.pallas_kernels import pallas_supported
+
         a = packed.angles if angles is None else angles
-        emp = _sampled_probs(
-            packed.gate_types, packed.controls, a, packed.layer_mask,
-            self._next_key(), packed.n_qubits, self.shots, self._initial,
-        )
+        if (
+            self._use_pallas
+            and self._initial is None
+            and pallas_supported(packed.n_qubits, jax.default_backend())
+        ):
+            emp = _sampled_probs_pallas(
+                packed.gate_types, packed.controls, a, packed.layer_mask,
+                self._next_key(), packed.n_qubits, self.shots,
+            )
+        else:
+            emp = _sampled_probs(
+                packed.gate_types, packed.controls, a, packed.layer_mask,
+                self._next_key(), packed.n_qubits, self.shots, self._initial,
+            )
         if self.alpha >= 1.0:
             out = expectation_from_probs(emp, self._table)
         else:

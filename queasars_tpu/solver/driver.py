@@ -156,6 +156,7 @@ class EvolvingAnsatzMinimumEigensolver:
                 alpha=self.configuration.distribution_alpha_tail,
                 seed=self.configuration.configured_sampler.seed,
                 initial_state=initial_state,
+                use_pallas=self.configuration.use_pallas,
             )
 
         evaluator = build_evaluator(operator)
