@@ -90,28 +90,35 @@ def _population_probs_kernel(
             re = state_re[:]
             im = state_im[:]
 
-            # partner amplitudes: flat index XOR 2^q via two rolls + select
+            # partner amplitudes: flat index XOR 2^q.
+            # Row-axis qubits (q >= 7): one sublane block-swap per plane —
+            # view rows as [blocks, 2, stride] and flip the pair axis.
+            # Lane-axis qubits (q < 7): two lane rolls + bit select (lane
+            # reshapes are register shuffles; rolls are native).
             if q < LANE_BITS:
                 shift = 1 << q
-                axis, size = 1, LANES
-            else:
-                shift = 1 << (q - LANE_BITS)
-                axis, size = 0, rows
-            # pltpu.roll requires non-negative shifts; rolling by size-s is
-            # the circular equivalent of rolling by -s
-            fwd_re = pltpu.roll(re, size - shift, axis)  # brings idx+2^q to idx
-            fwd_im = pltpu.roll(im, size - shift, axis)
-            bwd_re = pltpu.roll(re, shift, axis)         # brings idx-2^q to idx
-            bwd_im = pltpu.roll(im, shift, axis)
-
-            # bit q of the flat index depends only on the lane (q < 7) or
-            # only on the row (q >= 7) — keep the mask narrow
-            if q < LANE_BITS:
+                # pltpu.roll requires non-negative shifts; rolling by
+                # size-s is the circular equivalent of rolling by -s
+                fwd_re = pltpu.roll(re, LANES - shift, 1)  # brings idx+2^q to idx
+                fwd_im = pltpu.roll(im, LANES - shift, 1)
+                bwd_re = pltpu.roll(re, shift, 1)          # brings idx-2^q to idx
+                bwd_im = pltpu.roll(im, shift, 1)
                 bit0 = ((lane_ids >> q) & 1) == 0
+                partner_re = jnp.where(bit0, fwd_re, bwd_re)
+                partner_im = jnp.where(bit0, fwd_im, bwd_im)
             else:
+                stride = 1 << (q - LANE_BITS)
+                blocks = rows // (2 * stride)
+
+                def pair_swap(plane):
+                    v = plane.reshape(blocks, 2, stride, LANES)
+                    # swap the pair axis with static slices + concat
+                    # (jnp.flip/rev has no Mosaic lowering)
+                    return jnp.concatenate([v[:, 1:2], v[:, 0:1]], axis=1).reshape(rows, LANES)
+
+                partner_re = pair_swap(re)
+                partner_im = pair_swap(im)
                 bit0 = ((row_ids >> (q - LANE_BITS)) & 1) == 0
-            partner_re = jnp.where(bit0, fwd_re, bwd_re)
-            partner_im = jnp.where(bit0, fwd_im, bwd_im)
 
             # positions with bit=0 take row 0 of U against (self, partner);
             # positions with bit=1 take row 1 against (partner, self)
