@@ -5,6 +5,10 @@ evolving_ansatz_minimum_eigensolver.py:278-329): any
 ``Callable[[str], float]`` becomes the fitness — no Hamiltonian needed.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 from queasars_tpu.optim import BatchedNFT, NFTConfig
 from queasars_tpu.solver import (
     ConfiguredSampler,

@@ -7,6 +7,10 @@ Sized to finish quickly even on a single CPU core; scale shots/maxiter
 up on TPU.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 from queasars_tpu.optim import BatchedNFT, NFTConfig
 from queasars_tpu.problems.jssp import (
     JSSPDomainWallHamiltonianEncoder,

@@ -3,6 +3,10 @@
 Script counterpart of the reference's evqe_jssp_small_examples.ipynb.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 from queasars_tpu.optim import BatchedNFT, NFTConfig
 from queasars_tpu.problems.jssp import (
     JSSPDomainWallHamiltonianEncoder,

@@ -7,6 +7,10 @@ anchor, test_evqe_algorithm.py:23-38, minimizes (x - 2)^2 + (y - 3)^2-style
 objectives the same way).
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import numpy as np
 
 from queasars_tpu.optim import BatchedNFT, NFTConfig

@@ -6,6 +6,10 @@ non-dominated trade-off set between accuracy and two-qubit-gate count —
 the currency of near-term hardware.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import numpy as np
 
 from queasars_tpu.optim import BatchedNFT, NFTConfig

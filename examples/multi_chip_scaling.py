@@ -10,10 +10,17 @@ worker process; here both parallel axes are one SPMD program:
 Forces a virtual 8-device CPU mesh when only one device is present.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import numpy as np
 
 
 def ensure_devices() -> None:
+    """Force the virtual 8-device CPU mesh (this demo is about multi-device
+    layouts; the single-chip TPU environment here cannot show them).  Must
+    run before any backend use."""
     import os
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -21,8 +28,7 @@ def ensure_devices() -> None:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
 
-    if jax.local_device_count() < 8:
-        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> None:
@@ -51,7 +57,7 @@ def main() -> None:
     packed = PackedPopulation.pack(list(population.individuals))
     mesh = population_mesh(8)
     energies = sharded_population_energies(mesh, packed, table)
-    print(f"population of 32 sharded over 8 devices -> energies mean {energies.mean():.4f}")
+    print(f"population of 32 sharded over {mesh.devices.size} devices -> energies mean {energies.mean():.4f}")
 
     # --- amplitude sharding --------------------------------------------
     amp_mesh = Mesh(np.array(jax.devices()[:8]), (AMP_AXIS,))
@@ -62,7 +68,7 @@ def main() -> None:
         single.gate_types[0], single.controls[0], single.angles[0], single.layer_mask[0]
     )
     energy = float(sharded_expectation(amp_mesh, state, table))
-    print(f"one {n}-qubit state sharded over 8 devices -> energy {energy:.4f} "
+    print(f"one {n}-qubit state sharded over {amp_mesh.devices.size} devices -> energy {energy:.4f} "
           f"(shards: {sorted({s.data.shape for s in state.addressable_shards})})")
 
 

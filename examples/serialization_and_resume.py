@@ -6,6 +6,10 @@ lacks: a second solver continues from the first solve's final population
 via ``initial_population=``.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import json
 
 from queasars_tpu.optim import BatchedNFT, NFTConfig
