@@ -108,8 +108,9 @@ def _nft_scan(
     sorted_energies,
     energy_order,
     alpha,
-    key,
+    pop_keys,
     initial_state,
+    precision=None,
     *,
     n_qubits: int,
     maxiter: int,
@@ -129,16 +130,22 @@ def _nft_scan(
             gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
             alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
             use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
-            use_general=use_general,
+            use_general=use_general, precision=precision,
         )
 
     def step(carry, k):
-        angles_c, z0, key_c = carry
-        key_c, k0, k1, k3 = jax.random.split(key_c, 4)
+        angles_c, z0 = carry
+
+        # per-individual probe keys: fold (step, probe-id) into each
+        # individual's own key — shard-local under a population mesh, and
+        # identical whether or not the batch is sharded
+        def probe_keys(probe_id):
+            fold = lambda pk: jax.random.fold_in(jax.random.fold_in(pk, k), probe_id)
+            return jax.vmap(fold)(pop_keys)
 
         z0 = jax.lax.cond(
             (k % reset_interval) == 0,
-            lambda: objective(angles_c, k0),
+            lambda: objective(angles_c, probe_keys(0)),
             lambda: z0,
         )
 
@@ -154,7 +161,7 @@ def _nft_scan(
             z_samples = [z0]
             for step_i, delta in enumerate(deltas):
                 shifted = angles_c.at[pop_idx, l, q, a_i].add(delta)
-                z_samples.append(objective(shifted, jax.random.fold_in(k1, step_i)))
+                z_samples.append(objective(shifted, probe_keys(step_i + 1)))
             z_matrix = jnp.stack(z_samples)  # [5, P]
             coeffs = _FIVE_POINT_INVERSE @ z_matrix  # [5, P]
 
@@ -173,8 +180,8 @@ def _nft_scan(
         else:
             plus = angles_c.at[pop_idx, l, q, a_i].add(jnp.pi / 2)
             minus = angles_c.at[pop_idx, l, q, a_i].add(-jnp.pi / 2)
-            z1 = objective(plus, k1)
-            z3 = objective(minus, k3)
+            z1 = objective(plus, probe_keys(1))
+            z3 = objective(minus, probe_keys(2))
 
             mid = (z1 + z3) / 2
             shift = jnp.arctan2((z1 - z3) / 2, z0 - mid)
@@ -185,10 +192,10 @@ def _nft_scan(
         apply = jnp.logical_and(active, n_free > 0)
         angles_c = jnp.where(apply[:, None, None, None], updated, angles_c)
         z0 = jnp.where(apply, minimum_value, z0)
-        return (angles_c, z0, key_c), None
+        return (angles_c, z0), None
 
-    init = (angles, jnp.zeros(pop, dtype=jnp.float32), key)
-    (angles, z0, _), _ = jax.lax.scan(step, init, jnp.arange(maxiter))
+    init = (angles, jnp.zeros(pop, dtype=jnp.float32))
+    (angles, z0), _ = jax.lax.scan(step, init, jnp.arange(maxiter))
     return angles, z0
 
 
@@ -233,20 +240,8 @@ class BatchedNFT:
             # functions) cannot live inside the device scan — run the same
             # NFT math host-stepped against evaluate_packed
             return self._minimize_host(evaluator, packed, coords, n_free, active, a)
-        out_angles, energies = _nft_scan(
-            jnp.asarray(packed.gate_types),
-            jnp.asarray(packed.controls),
-            jnp.asarray(packed.layer_mask),
-            jnp.asarray(a),
-            jnp.asarray(coords),
-            jnp.asarray(n_free),
-            jnp.asarray(active),
-            operands["table"],
-            operands["sorted_energies"],
-            operands["energy_order"],
-            operands["alpha"],
-            jax.random.PRNGKey(seed),
-            operands["initial_state"],
+        pop_keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), packed.n_individuals))
+        static_kwargs = dict(
             n_qubits=packed.n_qubits,
             maxiter=self.config.maxiter,
             reset_interval=self.config.reset_interval,
@@ -257,6 +252,38 @@ class BatchedNFT:
             use_general=operands.get("use_general", False),
             five_point=self.config.five_point,
         )
+        pop_args = (
+            packed.gate_types, packed.controls, packed.layer_mask, np.asarray(a),
+            np.asarray(coords), np.asarray(n_free), np.asarray(active), pop_keys,
+        )
+        rep_args = (
+            operands["table"], operands["sorted_energies"], operands["energy_order"],
+            operands["alpha"], operands["initial_state"], operands.get("precision"),
+        )
+
+        def fn(pa, ra):
+            gt, ctrl, lm, ang, crd, nf, act, keys = pa
+            tab, se, eo, alpha_v, init, prec = ra
+            return _nft_scan(
+                gt, ctrl, lm, ang, crd, nf, act, tab, se, eo, alpha_v, keys, init, prec,
+                **static_kwargs,
+            )
+
+        mesh = getattr(evaluator, "mesh", None)
+        if mesh is None:
+            out_angles, energies = fn(pop_args, rep_args)
+        else:
+            from queasars_tpu.parallel.mesh import (
+                pad_population_axis,
+                population_pad_multiple,
+                run_population_sharded,
+            )
+
+            multiple = population_pad_multiple(mesh)
+            padded = tuple(pad_population_axis(arr, multiple) for arr in pop_args)
+            out_angles, energies = run_population_sharded(mesh, fn, padded, rep_args)
+            out_angles = out_angles[: packed.n_individuals]
+            energies = energies[: packed.n_individuals]
         return np.asarray(out_angles), np.asarray(energies), self.config.n_circuit_evaluations()
 
     def _minimize_host(self, evaluator, packed, coords, n_free, active, angles):

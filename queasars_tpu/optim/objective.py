@@ -24,7 +24,7 @@ def population_energies(
     sorted_energies,
     energy_order,
     alpha,
-    key,
+    keys,
     *,
     n_qubits: int,
     shots: int,
@@ -33,15 +33,23 @@ def population_energies(
     initial_state=None,
     use_pallas: bool = False,
     use_general: bool = False,
+    precision=None,
 ):
     """Energies [P] for the population at the given angle tensor.
 
     Static flags select the branch at trace time; unused operands may be
-    dummy arrays.  ``key`` is consumed only when ``use_shots``.
-    ``use_pallas`` routes the simulation through the fused VMEM kernel
-    (valid only without an initial state).  ``use_general`` treats the
-    operands as a general (possibly non-diagonal) Pauli sum: ``table`` is
-    then ``(coeffs_re, coeffs_im, z_masks, x_masks)``.
+    dummy arrays.  ``keys`` is a per-individual PRNG key array [P, 2],
+    consumed when ``use_shots`` or ``precision`` is set — per-individual
+    keys (rather than one key split on the fly) keep the random stream
+    identical whether the population axis lives on one device or is
+    sharded over a mesh.  ``use_pallas`` routes the simulation through the
+    fused VMEM kernel (valid only without an initial state).
+    ``use_general`` treats the operands as a general (possibly
+    non-diagonal) Pauli sum: ``table`` is then
+    ``(coeffs_re, coeffs_im, z_masks, x_masks)``.  ``precision`` (a traced
+    scalar, or None to disable at trace time) adds per-individual Gaussian
+    noise of that standard deviation — the estimator-precision semantics of
+    the reference (circuit_evaluation.py:210-213).
     """
     if use_general:
         from queasars_tpu.sim.statevector import simulate_circuits
@@ -57,18 +65,20 @@ def population_energies(
             out_im = jnp.dot(ai, h_re.T, preferred_element_type=jnp.float32) + jnp.dot(
                 ar, h_im.T, preferred_element_type=jnp.float32
             )
-            return jnp.sum(ar * out_re + ai * out_im, axis=-1)
+            energies = jnp.sum(ar * out_re + ai * out_im, axis=-1)
+        else:
+            from queasars_tpu.sim.expectation import general_pauli_expectation_real
 
-        from queasars_tpu.sim.expectation import general_pauli_expectation_real
-
-        coeffs_re, coeffs_im, z_masks, x_masks = table
-        states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
-        fn = lambda s: general_pauli_expectation_real(s, coeffs_re, coeffs_im, z_masks, x_masks)
-        return jax.vmap(fn)(states)
+            coeffs_re, coeffs_im, z_masks, x_masks = table
+            states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+            fn = lambda s: general_pauli_expectation_real(s, coeffs_re, coeffs_im, z_masks, x_masks)
+            energies = jax.vmap(fn)(states)
+        return _with_precision_noise(energies, keys, precision)
     if use_pallas and not use_cvar and not use_shots and initial_state is None:
         from queasars_tpu.sim.pallas_kernels import pallas_energies_exact
 
-        return pallas_energies_exact(gate_types, controls, angles, layer_mask, table, n_qubits)
+        energies = pallas_energies_exact(gate_types, controls, angles, layer_mask, table, n_qubits)
+        return _with_precision_noise(energies, keys, precision)
     if use_pallas and initial_state is None:
         from queasars_tpu.sim.pallas_kernels import pallas_population_probs
 
@@ -76,12 +86,21 @@ def population_energies(
     else:
         probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
     if use_shots:
-        keys = jax.random.split(key, probs.shape[0])
         counts = jax.vmap(lambda k, p: sample_counts(k, p, shots))(keys, probs)
         probs = counts.astype(jnp.float32) / shots
     if use_cvar:
-        return cvar_expectation_from_probs(probs, sorted_energies, energy_order, alpha)
-    return expectation_from_probs(probs, table)
+        energies = cvar_expectation_from_probs(probs, sorted_energies, energy_order, alpha)
+    else:
+        energies = expectation_from_probs(probs, table)
+    return _with_precision_noise(energies, keys, precision)
+
+
+def _with_precision_noise(energies, keys, precision):
+    """Seeded Gaussian noise of std ``precision`` per energy (None = off)."""
+    if precision is None:
+        return energies
+    noise = jax.vmap(lambda k: jax.random.normal(k, (), jnp.float32))(keys)
+    return energies + precision * noise
 
 
 def objective_operands(evaluator):
@@ -105,6 +124,11 @@ def objective_operands(evaluator):
 
     dummy = jnp.zeros(1, dtype=jnp.float32)
     dummy_order = jnp.zeros(1, dtype=jnp.int32)
+    precision = (
+        jnp.float32(evaluator.precision)
+        if getattr(evaluator, "precision", 0.0) > 0.0
+        else None
+    )
     if isinstance(evaluator, StatevectorExpectationEvaluator):
         if not evaluator._diagonal:
             # general (non-diagonal) Pauli sum: dense MXU matvec for small
@@ -124,6 +148,7 @@ def objective_operands(evaluator):
                 initial_state=evaluator._initial,
                 use_pallas=False,
                 use_general=True,
+                precision=precision,
             )
         use_cvar = evaluator.alpha < 1.0
         return dict(
@@ -140,6 +165,7 @@ def objective_operands(evaluator):
                 and evaluator._initial is None
                 and pallas_supported(evaluator.n_qubits, jax.default_backend())
             ),
+            precision=precision,
         )
     if isinstance(evaluator, SamplerExpectationEvaluator):
         use_cvar = evaluator.alpha < 1.0
@@ -152,6 +178,11 @@ def objective_operands(evaluator):
             use_cvar=use_cvar,
             use_shots=True,
             initial_state=evaluator._initial,
-            use_pallas=False,
+            use_pallas=(
+                evaluator._use_pallas
+                and evaluator._initial is None
+                and pallas_supported(evaluator.n_qubits, jax.default_backend())
+            ),
+            precision=None,
         )
     raise TypeError(f"unsupported evaluator type for batched optimization: {type(evaluator)!r}")

@@ -60,29 +60,42 @@ class SPSAConfig:
 )
 def _spsa_calibrate(
     gate_types, controls, layer_mask, angles, coords, coord_mask,
-    table, sorted_energies, energy_order, alpha, key, initial_state, c,
+    table, sorted_energies, energy_order, alpha, pop_keys, initial_state, c,
+    precision=None,
     *, n_qubits, shots, use_cvar, use_shots, calibration_steps, use_pallas=False, use_general=False,
 ):
-    """Average |f(x+c d) - f(x-c d)| over calibration pairs -> [P]."""
+    """Average |f(x+c d) - f(x-c d)| over calibration pairs -> [P].
+
+    All randomness (perturbation directions, shot noise) is derived from
+    per-individual keys so it is independent of population sharding.
+    """
     pop = gate_types.shape[0]
     pop_idx = jnp.arange(pop)[:, None]
+    n_coords = coords.shape[1]
 
     def objective(a, k):
         return population_energies(
             gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
             alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
             use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
-            use_general=use_general,
+            use_general=use_general, precision=precision,
         )
 
     def step(acc, k):
-        key_k = jax.random.fold_in(key, k)
-        kd, k1, k2 = jax.random.split(key_k, 3)
-        delta = jax.random.rademacher(kd, coords.shape[:2], dtype=jnp.float32) * coord_mask
+        def probe_keys(probe_id):
+            fold = lambda pk: jax.random.fold_in(jax.random.fold_in(pk, k + 1000), probe_id)
+            return jax.vmap(fold)(pop_keys)
+
+        delta = (
+            jax.vmap(lambda pk: jax.random.rademacher(pk, (n_coords,), dtype=jnp.float32))(
+                probe_keys(0)
+            )
+            * coord_mask
+        )
         l, q, a_i = coords[..., 0], coords[..., 1], coords[..., 2]
         plus = angles.at[pop_idx, l, q, a_i].add(c * delta)
         minus = angles.at[pop_idx, l, q, a_i].add(-c * delta)
-        diff = jnp.abs(objective(plus, k1) - objective(minus, k2))
+        diff = jnp.abs(objective(plus, probe_keys(1)) - objective(minus, probe_keys(2)))
         return acc + diff, None
 
     total, _ = jax.lax.scan(step, jnp.zeros(pop, jnp.float32), jnp.arange(calibration_steps))
@@ -95,12 +108,14 @@ def _spsa_calibrate(
 )
 def _spsa_scan(
     gate_types, controls, layer_mask, angles, coords, coord_mask, active,
-    learning_rates, table, sorted_energies, energy_order, alpha, key, initial_state,
+    learning_rates, table, sorted_energies, energy_order, alpha, pop_keys, initial_state,
     c, gamma_power, alpha_power, stability_constant, start_iteration,
+    precision=None,
     *, n_qubits, maxiter, shots, use_cvar, use_shots, use_pallas=False, use_general=False,
 ):
     pop = gate_types.shape[0]
     pop_idx = jnp.arange(pop)[:, None]
+    n_coords = coords.shape[1]
     l, q, a_i = coords[..., 0], coords[..., 1], coords[..., 2]
 
     def objective(a, k):
@@ -108,33 +123,44 @@ def _spsa_scan(
             gate_types, controls, a, layer_mask, table, sorted_energies, energy_order,
             alpha, k, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
             use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
-            use_general=use_general,
+            use_general=use_general, precision=precision,
         )
 
     def step(carry, k):
-        angles_c, key_c = carry
-        key_c, kd, k1, k2 = jax.random.split(key_c, 4)
+        angles_c = carry
         it = (k + start_iteration).astype(jnp.float32)
         c_k = c / (it + 1.0) ** gamma_power
         a_k = learning_rates / (it + 1.0 + stability_constant) ** alpha_power
 
-        delta = jax.random.rademacher(kd, coords.shape[:2], dtype=jnp.float32) * coord_mask
+        def probe_keys(probe_id):
+            fold = lambda pk: jax.random.fold_in(
+                jax.random.fold_in(pk, k + start_iteration), probe_id
+            )
+            return jax.vmap(fold)(pop_keys)
+
+        delta = (
+            jax.vmap(lambda pk: jax.random.rademacher(pk, (n_coords,), dtype=jnp.float32))(
+                probe_keys(0)
+            )
+            * coord_mask
+        )
         plus = angles_c.at[pop_idx, l, q, a_i].add(c_k * delta)
         minus = angles_c.at[pop_idx, l, q, a_i].add(-c_k * delta)
-        f_plus = objective(plus, k1)
-        f_minus = objective(minus, k2)
+        f_plus = objective(plus, probe_keys(1))
+        f_minus = objective(minus, probe_keys(2))
         gradient = ((f_plus - f_minus) / (2.0 * c_k))[:, None] * delta
 
         updated = angles_c.at[pop_idx, l, q, a_i].add(-a_k[:, None] * gradient)
         angles_c = jnp.where(active[:, None, None, None], updated, angles_c)
-        return (angles_c, key_c), None
+        return angles_c, None
 
-    (angles, _), _ = jax.lax.scan(step, (angles, key), jnp.arange(maxiter))
+    angles, _ = jax.lax.scan(step, angles, jnp.arange(maxiter))
+    final_keys = jax.vmap(lambda pk: jax.random.fold_in(pk, 0x7FFFFFFF))(pop_keys)
     final = population_energies(
         gate_types, controls, angles, layer_mask, table, sorted_energies, energy_order,
-        alpha, key, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
+        alpha, final_keys, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
         use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
-        use_general=use_general,
+        use_general=use_general, precision=precision,
     )
     return angles, final
 
@@ -179,20 +205,47 @@ class BatchedSPSA:
             use_pallas=operands.get("use_pallas", False),
             use_general=operands.get("use_general", False),
         )
-        tensors = (
-            jnp.asarray(packed.gate_types),
-            jnp.asarray(packed.controls),
-            jnp.asarray(packed.layer_mask),
+        pop_keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), packed.n_individuals))
+        precision = operands.get("precision")
+        mesh = getattr(evaluator, "mesh", None)
+
+        def run_sharded(fn, pop_args, rep_args, n_outputs):
+            """Dispatch fn((pop_args), (rep_args)) directly or over the mesh."""
+            if mesh is None:
+                return fn(pop_args, rep_args)
+            from queasars_tpu.parallel.mesh import (
+                pad_population_axis,
+                population_pad_multiple,
+                run_population_sharded,
+            )
+
+            multiple = population_pad_multiple(mesh)
+            padded = tuple(pad_population_axis(np.asarray(arr), multiple) for arr in pop_args)
+            out = run_population_sharded(mesh, fn, padded, rep_args)
+            if n_outputs == 1:
+                return out[: packed.n_individuals]
+            return tuple(o[: packed.n_individuals] for o in out)
+
+        structure = (packed.gate_types, packed.controls, packed.layer_mask)
+        table_ops = (
+            operands["table"], operands["sorted_energies"], operands["energy_order"],
+            operands["alpha"], operands["initial_state"], precision,
         )
-        key = jax.random.PRNGKey(seed)
 
         if cfg.learning_rate is None:
-            magnitude = _spsa_calibrate(
-                *tensors, jnp.asarray(a), jnp.asarray(coords), jnp.asarray(coord_mask),
-                operands["table"], operands["sorted_energies"], operands["energy_order"],
-                operands["alpha"], jax.random.fold_in(key, 777), operands["initial_state"],
-                jnp.float32(cfg.perturbation),
-                calibration_steps=cfg.calibration_steps, **common,
+            def calibrate(pa, ra):
+                gt, ctrl, lm, ang, crd, cm, keys = pa
+                tab, se, eo, alpha_v, init, prec = ra
+                return _spsa_calibrate(
+                    gt, ctrl, lm, ang, crd, cm, tab, se, eo, alpha_v, keys, init,
+                    jnp.float32(cfg.perturbation), prec,
+                    calibration_steps=cfg.calibration_steps, **common,
+                )
+
+            magnitude = run_sharded(
+                calibrate,
+                (*structure, np.asarray(a), np.asarray(coords), coord_mask, pop_keys),
+                table_ops, 1,
             )
             learning_rates = cfg.target_magnitude / np.maximum(np.asarray(magnitude), 1e-6)
             learning_rates = learning_rates.astype(np.float32)
@@ -208,14 +261,24 @@ class BatchedSPSA:
             jnp.float32(cfg.stability_constant),
         )
 
+        def scan_step(maxiter, start_iteration):
+            def fn(pa, ra):
+                gt, ctrl, lm, ang, crd, cm, act, lr, keys = pa
+                tab, se, eo, alpha_v, init, prec = ra
+                return _spsa_scan(
+                    gt, ctrl, lm, ang, crd, cm, act, lr, tab, se, eo, alpha_v, keys, init,
+                    *schedule_args, jnp.int32(start_iteration), prec,
+                    maxiter=maxiter, **common,
+                )
+
+            return fn
+
         if termination_checkers is None:
-            out_angles, energies = _spsa_scan(
-                *tensors, jnp.asarray(a), jnp.asarray(coords), jnp.asarray(coord_mask),
-                jnp.asarray(active), jnp.asarray(learning_rates),
-                operands["table"], operands["sorted_energies"], operands["energy_order"],
-                operands["alpha"], key, operands["initial_state"],
-                *schedule_args, jnp.int32(0),
-                maxiter=cfg.maxiter, **common,
+            out_angles, energies = run_sharded(
+                scan_step(cfg.maxiter, 0),
+                (*structure, np.asarray(a), np.asarray(coords), coord_mask,
+                 np.asarray(active), learning_rates, pop_keys),
+                table_ops, 2,
             )
             return np.asarray(out_angles), np.asarray(energies), nfev + 2 * cfg.maxiter
 
@@ -225,13 +288,11 @@ class BatchedSPSA:
         for k in range(cfg.maxiter):
             if not live.any():
                 break
-            current_j, energies_j = _spsa_scan(
-                *tensors, jnp.asarray(current), jnp.asarray(coords), jnp.asarray(coord_mask),
-                jnp.asarray(live), jnp.asarray(learning_rates),
-                operands["table"], operands["sorted_energies"], operands["energy_order"],
-                operands["alpha"], jax.random.fold_in(key, k), operands["initial_state"],
-                *schedule_args, jnp.int32(k),
-                maxiter=1, **common,
+            current_j, energies_j = run_sharded(
+                scan_step(1, k),
+                (*structure, np.asarray(current), np.asarray(coords), coord_mask,
+                 live, learning_rates, pop_keys),
+                table_ops, 2,
             )
             current = np.asarray(current_j)
             energies = np.asarray(energies_j)

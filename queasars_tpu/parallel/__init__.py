@@ -7,14 +7,20 @@ program — collectives ride ICI, no scheduler, no locks.
 """
 
 from queasars_tpu.parallel.mesh import (
+    pad_population_axis,
     population_mesh,
+    population_pad_multiple,
+    run_population_sharded,
     shard_packed,
     sharded_population_energies,
     sharded_training_step,
 )
 
 __all__ = [
+    "pad_population_axis",
     "population_mesh",
+    "population_pad_multiple",
+    "run_population_sharded",
     "shard_packed",
     "sharded_population_energies",
     "sharded_training_step",

@@ -2,11 +2,20 @@
 
 Replaces dask task farming (reference: mutation.py:206-218,
 selection.py:75-84 submit/wait per individual) with data parallelism over
-the population axis: genome tensors carry a ``NamedSharding`` over a 1-D
-mesh and the already-jitted evaluation/optimization programs run SPMD —
-XLA partitions the batch dimension; the per-individual work is
-embarrassingly parallel so no collectives are needed until reductions
-(argmin/summaries), which ride ICI via ``psum``-family ops XLA inserts.
+the population axis: the population is padded to a device multiple and the
+already-jitted evaluation/optimization programs run SPMD under
+``jax.shard_map`` — each device owns a contiguous block of individuals,
+the per-individual work is embarrassingly parallel, and no collectives are
+needed until host-side reductions (argmin/summaries) over the gathered
+energies.
+
+Determinism: every per-individual computation (including shot sampling,
+which uses per-individual PRNG keys) is local to its block, so a seeded
+solve produces bit-identical trajectories on a 1-device and an 8-device
+mesh.  The population is padded to ``lcm(n_devices, POPULATION_PAD)`` so
+the compiled program shapes — and therefore the float arithmetic — do not
+depend on the device count (for any power-of-two count up to
+POPULATION_PAD).
 
 Multi-host: call ``jax.distributed.initialize`` before building the mesh;
 everything below is expressed against global devices.
@@ -14,7 +23,8 @@ everything below is expressed against global devices.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from math import lcm
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
@@ -25,6 +35,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from queasars_tpu.genome.packing import PackedPopulation
 
 POP_AXIS = "pop"
+
+#: population padding quantum — mesh runs pad the population to a multiple
+#: of lcm(n_devices, POPULATION_PAD) so 1-, 2-, 4- and 8-device meshes all
+#: compile the same per-shape program and give bit-identical trajectories
+POPULATION_PAD = 8
 
 
 def population_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
@@ -38,29 +53,59 @@ def population_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence]
     return Mesh(np.array(devices), (POP_AXIS,))
 
 
-def _pad_to_multiple(array: np.ndarray, multiple: int) -> np.ndarray:
-    pop = array.shape[0]
+def population_pad_multiple(mesh: Mesh) -> int:
+    """The multiple the population axis is padded to for this mesh."""
+    return lcm(mesh.devices.size, POPULATION_PAD)
+
+
+def pad_population_axis(array: np.ndarray, multiple: int) -> np.ndarray:
+    """Zero-pad axis 0 up to the next multiple (no-op when aligned)."""
+    arr = np.asarray(array)
+    pop = arr.shape[0]
     padded = -(-pop // multiple) * multiple
     if padded == pop:
-        return array
-    pad_widths = [(0, padded - pop)] + [(0, 0)] * (array.ndim - 1)
-    return np.pad(array, pad_widths)
+        return arr
+    pad_widths = [(0, padded - pop)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad_widths)
+
+
+def run_population_sharded(mesh: Mesh, fn: Callable, pop_args: tuple, rep_args: tuple):
+    """Run ``fn(pop_args, rep_args)`` SPMD over the mesh's population axis.
+
+    :param fn: callable taking the two tuples; every array in ``pop_args``
+        has the (padded) population as axis 0, every output does too;
+        ``rep_args`` are replicated operands (tables, permutations,
+        scalars, optional initial states)
+    :return: fn's outputs with global (padded) population axes
+    """
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(POP_AXIS), P()),
+        out_specs=P(POP_AXIS),
+        check_vma=False,
+    )
+    return mapped(pop_args, rep_args)
+
+
+def _pad_to_multiple(array: np.ndarray, multiple: int) -> np.ndarray:
+    return pad_population_axis(array, multiple)
 
 
 def shard_packed(packed: PackedPopulation, mesh: Mesh) -> tuple[dict, int]:
     """Place a packed population's tensors on the mesh, sharded over the
-    population axis (padding the population to a device multiple).
+    population axis (padding the population to the mesh's pad multiple).
 
     :return: (dict of sharded device arrays, original population size)
     """
-    n_devices = mesh.devices.size
+    multiple = population_pad_multiple(mesh)
     sharding = NamedSharding(mesh, P(POP_AXIS))
     original = packed.n_individuals
     arrays = {
-        "gate_types": _pad_to_multiple(packed.gate_types, n_devices),
-        "controls": _pad_to_multiple(packed.controls, n_devices),
-        "angles": _pad_to_multiple(packed.angles, n_devices),
-        "layer_mask": _pad_to_multiple(packed.layer_mask, n_devices),
+        "gate_types": pad_population_axis(packed.gate_types, multiple),
+        "controls": pad_population_axis(packed.controls, multiple),
+        "angles": pad_population_axis(packed.angles, multiple),
+        "layer_mask": pad_population_axis(packed.layer_mask, multiple),
     }
     placed = {name: jax.device_put(arr, sharding) for name, arr in arrays.items()}
     return placed, original
@@ -74,18 +119,23 @@ def sharded_population_energies(
     """Exact diagonal-table energies of a population, sharded over the mesh.
 
     The energy table is replicated to every device; genome tensors are
-    population-sharded.  One jitted SPMD program computes everything.
+    population-sharded.  One SPMD program computes everything.
     """
     from queasars_tpu.sim.evaluators import _energies_exact
 
-    placed, original = shard_packed(packed, mesh)
-    replicated = NamedSharding(mesh, P())
-    table_dev = jax.device_put(np.asarray(table, np.float32), replicated)
-    energies = _energies_exact(
-        placed["gate_types"], placed["controls"], placed["angles"], placed["layer_mask"],
-        table_dev, packed.n_qubits,
+    multiple = population_pad_multiple(mesh)
+    pop_args = tuple(
+        pad_population_axis(arr, multiple)
+        for arr in (packed.gate_types, packed.controls, packed.angles, packed.layer_mask)
     )
-    return np.asarray(energies)[:original]
+    table_f32 = np.asarray(table, np.float32)
+    energies = run_population_sharded(
+        mesh,
+        lambda pa, ra: _energies_exact(pa[0], pa[1], pa[2], pa[3], ra[0], packed.n_qubits),
+        pop_args,
+        (table_f32,),
+    )
+    return np.asarray(energies)[: packed.n_individuals]
 
 
 def sharded_training_step(
@@ -110,24 +160,36 @@ def sharded_training_step(
     """
     from queasars_tpu.optim.nft import _nft_scan
 
-    n_devices = mesh.devices.size
-    placed, original = shard_packed(packed, mesh)
-    pop_sharding = NamedSharding(mesh, P(POP_AXIS))
-    replicated = NamedSharding(mesh, P())
+    multiple = population_pad_multiple(mesh)
+    original = packed.n_individuals
+    pop_keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), packed.n_individuals))
+    pop_args = tuple(
+        pad_population_axis(arr, multiple)
+        for arr in (
+            packed.gate_types,
+            packed.controls,
+            packed.layer_mask,
+            packed.angles,
+            np.asarray(coords),
+            np.asarray(n_free),
+            np.asarray(active),
+            pop_keys,
+        )
+    )
+    dummy = jnp.zeros(1, jnp.float32)
+    dummy_order = jnp.zeros(1, jnp.int32)
 
-    coords_p = jax.device_put(_pad_to_multiple(coords, n_devices), pop_sharding)
-    n_free_p = jax.device_put(_pad_to_multiple(np.asarray(n_free), n_devices), pop_sharding)
-    active_p = jax.device_put(_pad_to_multiple(np.asarray(active), n_devices), pop_sharding)
-    table_dev = jax.device_put(np.asarray(table, np.float32), replicated)
-    dummy = jax.device_put(jnp.zeros(1, jnp.float32), replicated)
-    dummy_order = jax.device_put(jnp.zeros(1, jnp.int32), replicated)
+    def fn(pa, ra):
+        gt, ctrl, lm, ang, crd, nf, act, keys = pa
+        tab, se, eo, alpha = ra
+        return _nft_scan(
+            gt, ctrl, lm, ang, crd, nf, act, tab, se, eo, alpha, keys, None,
+            n_qubits=packed.n_qubits, maxiter=maxiter, reset_interval=32,
+            shots=0, use_cvar=False, use_shots=False,
+        )
 
-    angles, energies = _nft_scan(
-        placed["gate_types"], placed["controls"], placed["layer_mask"], placed["angles"],
-        coords_p, n_free_p, active_p,
-        table_dev, dummy, dummy_order, jnp.float32(1.0),
-        jax.random.PRNGKey(seed), None,
-        n_qubits=packed.n_qubits, maxiter=maxiter, reset_interval=32,
-        shots=0, use_cvar=False, use_shots=False,
+    angles, energies = run_population_sharded(
+        mesh, fn, pop_args,
+        (np.asarray(table, np.float32), dummy, dummy_order, jnp.float32(1.0)),
     )
     return np.asarray(angles)[:original], np.asarray(energies)[:original]

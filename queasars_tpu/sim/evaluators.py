@@ -113,29 +113,59 @@ def _energies_general(
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "shots"))
-def _sampled_probs(gate_types, controls, angles, layer_mask, key, n_qubits, shots, initial_state=None):
+def _sampled_probs(gate_types, controls, angles, layer_mask, keys, n_qubits, shots, initial_state=None):
+    """Empirical measurement distributions; ``keys`` is one PRNG key per
+    individual [P, 2] so the shot stream is independent of how the
+    population axis is sharded."""
     probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
-    keys = jax.random.split(key, probs.shape[0])
     counts = jax.vmap(lambda k, p: sample_counts(k, p, shots))(keys, probs)
     return counts.astype(jnp.float32) / shots
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "shots"))
-def _sampled_probs_pallas(gate_types, controls, angles, layer_mask, key, n_qubits, shots):
+def _sampled_probs_pallas(gate_types, controls, angles, layer_mask, keys, n_qubits, shots):
     from queasars_tpu.sim.pallas_kernels import pallas_population_probs
 
     probs = pallas_population_probs(gate_types, controls, angles, layer_mask, n_qubits)
-    keys = jax.random.split(key, probs.shape[0])
     counts = jax.vmap(lambda k, p: sample_counts(k, p, shots))(keys, probs)
     return counts.astype(jnp.float32) / shots
 
 
 class BaseCircuitEvaluator(ABC):
     """Uniform "population -> energies" contract
-    (reference: circuit_evaluation.py:62-87)."""
+    (reference: circuit_evaluation.py:62-87).
+
+    When a device mesh is attached (:meth:`set_mesh`), every population
+    evaluation runs SPMD with the population axis sharded over the mesh —
+    the TPU-native replacement for the reference's per-individual executor
+    fan-out (selection.py:75-84)."""
 
     def __init__(self, n_qubits: int):
         self.n_qubits = n_qubits
+        self.mesh = None
+
+    def set_mesh(self, mesh) -> None:
+        """Shard subsequent population evaluations over ``mesh``'s
+        population axis (None detaches)."""
+        self.mesh = mesh
+
+    def _run_batched(self, fn, pop_args: tuple, rep_args: tuple = ()) -> np.ndarray:
+        """Run ``fn(pop_args, rep_args)`` on the default device, or SPMD
+        over the attached mesh (population padded to the mesh's pad
+        multiple, outputs trimmed back)."""
+        if self.mesh is None:
+            return np.asarray(fn(pop_args, rep_args))
+        from queasars_tpu.parallel.mesh import (
+            pad_population_axis,
+            population_pad_multiple,
+            run_population_sharded,
+        )
+
+        pop = pop_args[0].shape[0]
+        multiple = population_pad_multiple(self.mesh)
+        padded = tuple(pad_population_axis(np.asarray(arr), multiple) for arr in pop_args)
+        out = run_population_sharded(self.mesh, fn, padded, rep_args)
+        return np.asarray(out)[:pop]
 
     @abstractmethod
     def evaluate_packed(
@@ -180,16 +210,22 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
     """Exact expectation (optionally CVaR over the exact distribution).
 
     Mirrors OperatorCircuitEvaluator (reference: circuit_evaluation.py:
-    164-219) — the estimator precision knob becomes exact evaluation (the
-    deterministic limit); for shot noise use
-    :class:`SamplerExpectationEvaluator`.
+    164-219) including the estimator ``precision`` knob: the reference
+    threads precision into ``estimator.run`` (:210-213), which yields
+    shot-noise-like stochasticity of that standard error; here the same
+    statistics come from seeded Gaussian noise of standard deviation
+    ``precision`` added to the exact energies (precision=0 = exact).
 
     :param operator: the Hamiltonian (any PauliSum; CVaR requires diagonal)
     :param alpha: CVaR lower-tail mass in (0, 1]; 1 = plain expectation
     :param initial_state: optional start state prepended to every circuit
-        (reference: circuit_evaluation.py:201-202)
+        (reference: circuit_evaluation.py:201-202); a statevector or an
+        :class:`EVQEIndividual` whose circuit prepares the start state
     :param use_pallas: route diagonal evaluations through the fused VMEM
         kernel (TPU, 7 <= n <= 20, no initial state); None = env toggle
+    :param precision: standard error of each reported energy (0 = exact)
+    :param seed: RNG seed for the precision noise (fresh draws per call,
+        deterministic overall)
     """
 
     def __init__(
@@ -198,12 +234,18 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
         alpha: float = 1.0,
         initial_state: Optional[np.ndarray] = None,
         use_pallas: Optional[bool] = None,
+        precision: float = 0.0,
+        seed: int = 0,
     ):
         super().__init__(operator.n_qubits)
         if not 0 < alpha <= 1:
             raise ValueError("alpha must be in the range (0, 1]!")
+        if precision < 0:
+            raise ValueError("precision must be non-negative")
         self.operator = operator
         self.alpha = float(alpha)
+        self.precision = float(precision)
+        self._noise_rng = np.random.default_rng(seed)
         self._initial = _prepare_initial_state(initial_state, operator.n_qubits)
         self._use_pallas = _pallas_requested(use_pallas)
 
@@ -232,6 +274,15 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
                 self._h_re = jnp.asarray(dense.real.astype(np.float32))
                 self._h_im = jnp.asarray(dense.imag.astype(np.float32))
 
+    def _apply_precision_noise(self, energies: np.ndarray) -> np.ndarray:
+        """Seeded Gaussian noise matching the reference's estimator
+        precision semantics (circuit_evaluation.py:210-213)."""
+        if self.precision == 0.0:
+            return energies
+        return energies + self._noise_rng.normal(0.0, self.precision, size=energies.shape).astype(
+            energies.dtype
+        )
+
     def _pallas_applicable(self, packed) -> bool:
         from queasars_tpu.sim.pallas_kernels import pallas_supported
 
@@ -244,6 +295,8 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
 
     def evaluate_packed(self, packed, angles=None):
         a = packed.angles if angles is None else angles
+        n = packed.n_qubits
+        pop_args = (packed.gate_types, packed.controls, a, packed.layer_mask)
         if self._pallas_applicable(packed):
             from queasars_tpu.sim.pallas_kernels import (
                 pallas_energies_exact,
@@ -251,40 +304,44 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
             )
 
             if self.alpha >= 1.0:
-                out = pallas_energies_exact(
-                    packed.gate_types, packed.controls, a, packed.layer_mask,
-                    self._table, packed.n_qubits,
+                out = self._run_batched(
+                    lambda pa, ra: pallas_energies_exact(pa[0], pa[1], pa[2], pa[3], ra[0], n),
+                    pop_args, (self._table,),
                 )
             else:
-                probs = pallas_population_probs(
-                    packed.gate_types, packed.controls, a, packed.layer_mask, packed.n_qubits
-                )
-                out = cvar_expectation_from_probs(
-                    probs, self._sorted, self._order, jnp.float32(self.alpha)
+                def cvar_pallas(pa, ra):
+                    probs = pallas_population_probs(pa[0], pa[1], pa[2], pa[3], n)
+                    return cvar_expectation_from_probs(probs, ra[0], ra[1], ra[2])
+
+                out = self._run_batched(
+                    cvar_pallas, pop_args,
+                    (self._sorted, self._order, jnp.float32(self.alpha)),
                 )
         elif self._diagonal and self.alpha >= 1.0:
-            out = _energies_exact(
-                packed.gate_types, packed.controls, a, packed.layer_mask,
-                self._table, packed.n_qubits, self._initial,
+            out = self._run_batched(
+                lambda pa, ra: _energies_exact(pa[0], pa[1], pa[2], pa[3], ra[0], n, ra[1]),
+                pop_args, (self._table, self._initial),
             )
         elif self._diagonal:
-            out = _energies_cvar(
-                packed.gate_types, packed.controls, a, packed.layer_mask,
-                self._sorted, self._order, jnp.float32(self.alpha),
-                packed.n_qubits, self._initial,
+            out = self._run_batched(
+                lambda pa, ra: _energies_cvar(pa[0], pa[1], pa[2], pa[3], ra[0], ra[1], ra[2], n, ra[3]),
+                pop_args,
+                (self._sorted, self._order, jnp.float32(self.alpha), self._initial),
             )
         elif self._dense:
-            out = _energies_dense(
-                packed.gate_types, packed.controls, a, packed.layer_mask,
-                self._h_re, self._h_im, packed.n_qubits, self._initial,
+            out = self._run_batched(
+                lambda pa, ra: _energies_dense(pa[0], pa[1], pa[2], pa[3], ra[0], ra[1], n, ra[2]),
+                pop_args, (self._h_re, self._h_im, self._initial),
             )
         else:
-            out = _energies_general(
-                packed.gate_types, packed.controls, a, packed.layer_mask,
-                self._coeffs_re, self._coeffs_im, self._z, self._x,
-                packed.n_qubits, self._initial,
+            out = self._run_batched(
+                lambda pa, ra: _energies_general(
+                    pa[0], pa[1], pa[2], pa[3], ra[0], ra[1], ra[2], ra[3], n, ra[4]
+                ),
+                pop_args,
+                (self._coeffs_re, self._coeffs_im, self._z, self._x, self._initial),
             )
-        return np.asarray(out)
+        return self._apply_precision_noise(out)
 
 
 class SamplerExpectationEvaluator(BaseCircuitEvaluator):
@@ -331,33 +388,42 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
         self._key = jax.random.PRNGKey(seed)
         self._counter = 0
 
-    def _next_key(self):
+    def _next_keys(self, pop: int) -> np.ndarray:
+        """Per-individual PRNG keys [pop, 2] for one evaluation round."""
         self._counter += 1
-        return jax.random.fold_in(self._key, self._counter)
+        base = jax.random.fold_in(self._key, self._counter)
+        return np.asarray(jax.random.split(base, pop))
 
     def evaluate_packed(self, packed, angles=None):
         from queasars_tpu.sim.pallas_kernels import pallas_supported
 
         a = packed.angles if angles is None else angles
-        if (
+        n, shots = packed.n_qubits, self.shots
+        keys = self._next_keys(packed.n_individuals)
+        use_pallas = (
             self._use_pallas
             and self._initial is None
             and pallas_supported(packed.n_qubits, jax.default_backend())
-        ):
-            emp = _sampled_probs_pallas(
-                packed.gate_types, packed.controls, a, packed.layer_mask,
-                self._next_key(), packed.n_qubits, self.shots,
-            )
-        else:
-            emp = _sampled_probs(
-                packed.gate_types, packed.controls, a, packed.layer_mask,
-                self._next_key(), packed.n_qubits, self.shots, self._initial,
-            )
+        )
+
+        def sample_and_reduce(pa, ra):
+            if use_pallas:
+                emp = _sampled_probs_pallas(pa[0], pa[1], pa[2], pa[3], pa[4], n, shots)
+            else:
+                emp = _sampled_probs(pa[0], pa[1], pa[2], pa[3], pa[4], n, shots, ra[-1])
+            if self.alpha >= 1.0:
+                return expectation_from_probs(emp, ra[0])
+            return cvar_expectation_from_probs(emp, ra[0], ra[1], ra[2])
+
         if self.alpha >= 1.0:
-            out = expectation_from_probs(emp, self._table)
+            rep_args = (self._table, self._initial)
         else:
-            out = cvar_expectation_from_probs(emp, self._sorted, self._order, jnp.float32(self.alpha))
-        return np.asarray(out)
+            rep_args = (self._sorted, self._order, jnp.float32(self.alpha), self._initial)
+        return self._run_batched(
+            sample_and_reduce,
+            (packed.gate_types, packed.controls, a, packed.layer_mask, keys),
+            rep_args,
+        )
 
 
 class BitstringFunctionEvaluator(BaseCircuitEvaluator):
@@ -391,9 +457,10 @@ class BitstringFunctionEvaluator(BaseCircuitEvaluator):
         self._counter = 0
         self._value_cache: dict[int, float] = {}
 
-    def _next_key(self):
+    def _next_keys(self, pop: int) -> np.ndarray:
         self._counter += 1
-        return jax.random.fold_in(self._key, self._counter)
+        base = jax.random.fold_in(self._key, self._counter)
+        return np.asarray(jax.random.split(base, pop))
 
     def _state_value(self, state: int) -> float:
         if state not in self._value_cache:
@@ -403,31 +470,30 @@ class BitstringFunctionEvaluator(BaseCircuitEvaluator):
 
     def evaluate_packed(self, packed, angles=None):
         a = packed.angles if angles is None else angles
-        emp = np.asarray(
-            _sampled_probs(
-                packed.gate_types, packed.controls, a, packed.layer_mask,
-                self._next_key(), packed.n_qubits, self.shots, self._initial,
-            )
+        n, shots = packed.n_qubits, self.shots
+        keys = self._next_keys(packed.n_individuals)
+        emp = self._run_batched(
+            lambda pa, ra: _sampled_probs(pa[0], pa[1], pa[2], pa[3], pa[4], n, shots, ra[0]),
+            (packed.gate_types, packed.controls, a, packed.layer_mask, keys),
+            (self._initial,),
         )
-        energies = np.zeros(emp.shape[0], dtype=np.float64)
-        for b in range(emp.shape[0]):
-            (observed,) = np.nonzero(emp[b] > 0)
-            values = np.array([self._state_value(int(s)) for s in observed])
-            probs = emp[b, observed].astype(np.float64)
-            if self.alpha >= 1.0:
-                energies[b] = float(probs @ values)
-            else:
-                # reference tail accumulation (expectation_calculation.py:14-32)
-                order = np.argsort(values, kind="stable")
-                gathered, expectation = 0.0, 0.0
-                for i in order:
-                    p = min(self.alpha - gathered, probs[i])
-                    expectation += p * values[i]
-                    gathered += p
-                    if np.isclose(gathered, self.alpha):
-                        break
-                energies[b] = expectation / self.alpha
-        return energies
+        # vectorized host objective: the (Python) callable runs once per
+        # unique observed state across the whole batch (memoized across
+        # calls), everything else is numpy batch arithmetic
+        observed = np.nonzero(emp.any(axis=0))[0]
+        values = np.array([self._state_value(int(s)) for s in observed], dtype=np.float64)
+        probs = emp[:, observed].astype(np.float64)
+        if self.alpha >= 1.0:
+            return probs @ values
+        # CVaR tail accumulation over states sorted ascending by value —
+        # the vectorized equivalent of the reference's sequential loop
+        # (expectation_calculation.py:14-32)
+        order = np.argsort(values, kind="stable")
+        v_sorted = values[order]
+        p_sorted = probs[:, order]
+        cum_prev = np.cumsum(p_sorted, axis=1) - p_sorted
+        weights = np.clip(self.alpha - cum_prev, 0.0, p_sorted)
+        return (weights * v_sorted).sum(axis=1) / self.alpha
 
 
 EvaluatorLike = Union[

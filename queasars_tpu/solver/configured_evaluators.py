@@ -31,12 +31,20 @@ class ConfiguredSampler:
 
 @dataclass
 class ConfiguredEstimator:
-    """Exact-expectation settings (analog of ConfiguredEstimatorV2,
+    """Expectation-path settings (analog of ConfiguredEstimatorV2,
     configured_primitives.py:17-22).
 
-    :param precision: accepted for API parity; the statevector expectation
-        is exact, so this is informational only (the reference forwards it
-        to Aer's shot-noise model, circuit_evaluation.py:210-213)
+    :param precision: target standard error of each reported energy; the
+        reference forwards this to Aer's shot-noise model
+        (circuit_evaluation.py:210-213), here it becomes seeded Gaussian
+        noise of that standard deviation added to the exact expectation.
+        None or 0 = exact (deterministic) evaluation.
+    :param seed: RNG seed for the precision noise
     """
 
     precision: Optional[float] = None
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.precision is not None and self.precision < 0:
+            raise ValueError("precision must be non-negative")

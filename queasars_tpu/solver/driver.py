@@ -73,6 +73,12 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
         solves restart via ``initial_population=load_population(path)``
         (completes the reference's serialize-only persistence story,
         SURVEY.md §5)
+    :param mesh: a ``jax.sharding.Mesh`` to shard the population axis over
+        — every evaluation/optimization step then runs SPMD across the
+        mesh's devices (the reference's dask-executor seam,
+        base/evolutionary_algorithm.py:110-118, selection.py:75-84)
+    :param n_devices: convenience alternative to ``mesh``: build a 1-D
+        population mesh over the first ``n_devices`` local devices
     """
 
     population_initializer: Callable[[int], EVQEPopulation]
@@ -87,6 +93,8 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     use_pallas: Optional[bool] = None
     pack_min_layers: Optional[int] = None
     checkpoint_path: Optional[str] = None
+    mesh: Optional[object] = None
+    n_devices: Optional[int] = None
 
     def __post_init__(self):
         if (
@@ -110,6 +118,16 @@ class EvolvingAnsatzMinimumEigensolver:
     def __init__(self, configuration: EvolvingAnsatzMinimumEigensolverConfiguration):
         self.configuration = configuration
         self.logger = logging.getLogger(__name__)
+
+    def _resolve_mesh(self):
+        """The population mesh to run on (None = default device)."""
+        if self.configuration.mesh is not None:
+            return self.configuration.mesh
+        if self.configuration.n_devices is not None:
+            from queasars_tpu.parallel.mesh import population_mesh
+
+            return population_mesh(self.configuration.n_devices)
+        return None
 
     # ------------------------------------------------------------------
     # entry points (reference: :177-329)
@@ -136,28 +154,36 @@ class EvolvingAnsatzMinimumEigensolver:
         from ``initial_state`` (reference: :201-276; the reference takes an
         initial-state circuit — here the state itself)."""
 
+        mesh = self._resolve_mesh()
+
         def build_evaluator(op: PauliSum) -> BaseCircuitEvaluator:
             if self.configuration.configured_estimator is not None:
-                return StatevectorExpectationEvaluator(
+                evaluator = StatevectorExpectationEvaluator(
                     operator=op,
                     alpha=1.0,
                     initial_state=initial_state,
                     use_pallas=self.configuration.use_pallas,
+                    precision=self.configuration.configured_estimator.precision or 0.0,
+                    seed=self.configuration.configured_estimator.seed,
                 )
-            assert self.configuration.configured_sampler is not None
-            if not op.is_diagonal:
-                raise ValueError(
-                    "The operator must be diagonal when using the sampler path "
-                    "to approximate the expectation value!"
+            else:
+                assert self.configuration.configured_sampler is not None
+                if not op.is_diagonal:
+                    raise ValueError(
+                        "The operator must be diagonal when using the sampler path "
+                        "to approximate the expectation value!"
+                    )
+                evaluator = SamplerExpectationEvaluator(
+                    operator=op,
+                    shots=self.configuration.configured_sampler.shots,
+                    alpha=self.configuration.distribution_alpha_tail,
+                    seed=self.configuration.configured_sampler.seed,
+                    initial_state=initial_state,
+                    use_pallas=self.configuration.use_pallas,
                 )
-            return SamplerExpectationEvaluator(
-                operator=op,
-                shots=self.configuration.configured_sampler.shots,
-                alpha=self.configuration.distribution_alpha_tail,
-                seed=self.configuration.configured_sampler.seed,
-                initial_state=initial_state,
-                use_pallas=self.configuration.use_pallas,
-            )
+            if mesh is not None:
+                evaluator.set_mesh(mesh)
+            return evaluator
 
         evaluator = build_evaluator(operator)
         aux_evaluators: ListOrDict = None
@@ -178,14 +204,19 @@ class EvolvingAnsatzMinimumEigensolver:
         if self.configuration.configured_sampler is None:
             raise ValueError("compute_minimum_function_value requires a configured_sampler!")
 
+        mesh = self._resolve_mesh()
+
         def build_evaluator(op: BitstringEvaluator) -> BaseCircuitEvaluator:
-            return BitstringFunctionEvaluator(
+            evaluator = BitstringFunctionEvaluator(
                 bitstring_evaluator=op,
                 shots=self.configuration.configured_sampler.shots,
                 alpha=self.configuration.distribution_alpha_tail,
                 seed=self.configuration.configured_sampler.seed,
                 initial_state=initial_state,
             )
+            if mesh is not None:
+                evaluator.set_mesh(mesh)
+            return evaluator
 
         evaluator = build_evaluator(operator)
         aux_evaluators: ListOrDict = None

@@ -66,6 +66,11 @@ class EVQEMinimumEigensolverConfiguration:
     :param initial_population: optional resume population (new capability)
     :param use_pallas: route diagonal evaluation through the fused VMEM
         kernel (TPU only; None = QUEASARS_USE_PALLAS env toggle)
+    :param mesh / n_devices: shard the population axis over a device mesh —
+        all evaluation/optimization steps run SPMD across the mesh, the
+        TPU-native analog of the reference's dask cluster executor
+        (evqe.py:232-236); trajectories are bit-identical across device
+        counts (see parallel/mesh.py)
     """
 
     configured_estimator: Optional[ConfiguredEstimator]
@@ -92,6 +97,8 @@ class EVQEMinimumEigensolverConfiguration:
     use_pallas: Optional[bool] = None
     pack_min_layers: Optional[int] = None
     checkpoint_path: Optional[str] = None
+    mesh: Optional[object] = None
+    n_devices: Optional[int] = None
 
     def __post_init__(self):
         if (
@@ -205,6 +212,8 @@ class EVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             use_pallas=configuration.use_pallas,
             pack_min_layers=configuration.pack_min_layers,
             checkpoint_path=configuration.checkpoint_path,
+            mesh=configuration.mesh,
+            n_devices=configuration.n_devices,
         )
         super().__init__(configuration=config)
 
