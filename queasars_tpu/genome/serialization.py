@@ -153,12 +153,19 @@ class EVQEPopulationJSONEncoder(JSONEncoder):
 
 
 def load_population(path: str) -> EVQEPopulation:
-    """Load a checkpointed population JSON (the resume counterpart of the
-    driver's ``checkpoint_path`` option)."""
+    """Load a checkpointed population JSON — either a population-only file
+    or the population embedded in a full solver-state checkpoint (see
+    solver/checkpoint.py; for exact-trajectory resume prefer
+    ``resume_from_checkpoint=`` which restores RNGs and counters too)."""
     import json as _json
 
     with open(path) as fh:
-        return _json.load(fh, cls=EVQEPopulationJSONDecoder)
+        decoded = _json.load(fh, cls=EVQEPopulationJSONDecoder)
+    if isinstance(decoded, EVQEPopulation):
+        return decoded
+    if isinstance(decoded, dict) and isinstance(decoded.get("population"), EVQEPopulation):
+        return decoded["population"]
+    raise ValueError(f"no population found in checkpoint file {path!r}")
 
 
 class EVQEPopulationJSONDecoder(JSONDecoder):

@@ -68,11 +68,16 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     :param initial_population: optional resume population (new capability)
     :param use_pallas: route diagonal evaluation through the fused VMEM
         kernel (TPU only; None = QUEASARS_USE_PALLAS env toggle)
-    :param checkpoint_path: when set, the latest evaluated population is
-        written there as JSON after every generation; crashed/preempted
-        solves restart via ``initial_population=load_population(path)``
-        (completes the reference's serialize-only persistence story,
-        SURVEY.md §5)
+    :param checkpoint_path: when set, the FULL solver state (population,
+        operator RNG states, generation counter, evaluation ledger,
+        trajectory, best-so-far, evaluator randomness) is written there as
+        JSON after every completed generation pass; crashed/preempted
+        solves restart bit-identically via
+        ``resume_from_checkpoint=path`` (completes the reference's
+        serialize-only persistence story, SURVEY.md §5)
+    :param resume_from_checkpoint: path of a checkpoint written through
+        ``checkpoint_path`` — the solve continues exactly where it left
+        off, reproducing the uninterrupted run's remaining trajectory
     :param mesh: a ``jax.sharding.Mesh`` to shard the population axis over
         — every evaluation/optimization step then runs SPMD across the
         mesh's devices (the reference's dask-executor seam,
@@ -93,6 +98,7 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     use_pallas: Optional[bool] = None
     pack_min_layers: Optional[int] = None
     checkpoint_path: Optional[str] = None
+    resume_from_checkpoint: Optional[str] = None
     mesh: Optional[object] = None
     n_devices: Optional[int] = None
 
@@ -246,6 +252,43 @@ class EvolvingAnsatzMinimumEigensolver:
         if self.configuration.termination_criterion is not None:
             self.configuration.termination_criterion.reset_state()
 
+        resume_state = None
+        if self.configuration.resume_from_checkpoint is not None:
+            from queasars_tpu.solver.checkpoint import (
+                load_checkpoint,
+                restore_evaluator_state,
+                restore_operator_rng_states,
+            )
+
+            resume_state = load_checkpoint(self.configuration.resume_from_checkpoint)
+            n_circuit_evaluations = list(resume_state.n_circuit_evaluations)
+            n_generations = resume_state.n_generations
+            population_evaluations = list(resume_state.population_evaluations)
+            current_best_individual = resume_state.best_individual
+            current_best_expectation_value = resume_state.best_expectation_value
+            if resume_state.operator_rngs:
+                restore_operator_rng_states(
+                    self.configuration.evolutionary_operators, resume_state.operator_rngs
+                )
+            restore_evaluator_state(circuit_evaluator, resume_state.evaluator)
+            # replay the termination criterion over the restored trajectory
+            # so its internal windows match the uninterrupted run
+            if self.configuration.termination_criterion is not None:
+                replay_best_individual: Optional[EVQEIndividual] = None
+                replay_best_value: Optional[float] = None
+                for evaluation in population_evaluations:
+                    if (
+                        replay_best_value is None
+                        or evaluation.best_expectation_value < replay_best_value
+                    ):
+                        replay_best_individual = evaluation.best_individual
+                        replay_best_value = evaluation.best_expectation_value
+                    terminate = self.configuration.termination_criterion.check_termination(
+                        population_evaluation=evaluation,
+                        best_individual=replay_best_individual,
+                        best_expectation_value=replay_best_value,
+                    )
+
         def result_callback(evaluation_result: BasePopulationEvaluationResult) -> None:
             nonlocal current_best_individual, current_best_expectation_value
             nonlocal terminate, n_generations
@@ -263,9 +306,6 @@ class EvolvingAnsatzMinimumEigensolver:
             filtered = [v for v in evaluation_result.expectation_values if v is not None]
             self.logger.info("Current median expectation value: %f", median(filtered))
             self.logger.info("Current average expectation value: %f", mean(filtered))
-
-            if self.configuration.checkpoint_path is not None:
-                self._write_checkpoint(evaluation_result.population)
 
             n_generations += 1
 
@@ -289,7 +329,9 @@ class EvolvingAnsatzMinimumEigensolver:
             pack_min_layers=self.configuration.pack_min_layers,
         )
 
-        if self.configuration.initial_population is not None:
+        if resume_state is not None:
+            population = resume_state.population
+        elif self.configuration.initial_population is not None:
             population = self.configuration.initial_population
         else:
             population = self.configuration.population_initializer(circuit_evaluator.n_qubits)
@@ -324,6 +366,23 @@ class EvolvingAnsatzMinimumEigensolver:
                 population = operator.apply_operator(
                     population=population, operator_context=operator_context
                 )
+            else:
+                # one full pipeline pass completed — persist the entire
+                # solver state so a crash resumes the exact trajectory
+                if self.configuration.checkpoint_path is not None:
+                    from queasars_tpu.solver.checkpoint import write_checkpoint
+
+                    write_checkpoint(
+                        self.configuration.checkpoint_path,
+                        population=population,
+                        n_generations=n_generations,
+                        n_circuit_evaluations=n_circuit_evaluations,
+                        population_evaluations=population_evaluations,
+                        best_individual=current_best_individual,
+                        best_expectation_value=current_best_expectation_value,
+                        operators=self.configuration.evolutionary_operators,
+                        evaluator=circuit_evaluator,
+                    )
 
         if current_best_individual is None or len(population_evaluations) == 0:
             raise RuntimeError(
@@ -351,19 +410,6 @@ class EvolvingAnsatzMinimumEigensolver:
             }
 
         return result
-
-    def _write_checkpoint(self, population: EVQEPopulation) -> None:
-        """Atomically persist the latest population as JSON."""
-        import json
-        import os
-
-        from queasars_tpu.genome.serialization import EVQEPopulationJSONEncoder
-
-        path = self.configuration.checkpoint_path
-        tmp_path = path + ".tmp"
-        with open(tmp_path, "w") as fh:
-            json.dump(population, fh, cls=EVQEPopulationJSONEncoder)
-        os.replace(tmp_path, path)
 
     def _measure_eigenstate(
         self, individual: EVQEIndividual, initial_state: Optional[np.ndarray]

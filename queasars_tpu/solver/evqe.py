@@ -97,6 +97,7 @@ class EVQEMinimumEigensolverConfiguration:
     use_pallas: Optional[bool] = None
     pack_min_layers: Optional[int] = None
     checkpoint_path: Optional[str] = None
+    resume_from_checkpoint: Optional[str] = None
     mesh: Optional[object] = None
     n_devices: Optional[int] = None
 
@@ -212,6 +213,7 @@ class EVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             use_pallas=configuration.use_pallas,
             pack_min_layers=configuration.pack_min_layers,
             checkpoint_path=configuration.checkpoint_path,
+            resume_from_checkpoint=configuration.resume_from_checkpoint,
             mesh=configuration.mesh,
             n_devices=configuration.n_devices,
         )
