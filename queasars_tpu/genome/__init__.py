@@ -31,8 +31,16 @@ from queasars_tpu.genome.circuit_layer import EVQECircuitLayer, EVQECircuitLayer
 from queasars_tpu.genome.individual import EVQEIndividual, EVQEIndividualException
 from queasars_tpu.genome.population import EVQEPopulation
 from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.genome.parameter_order import (
+    get_parameter_order,
+    parameter_order,
+    set_parameter_order,
+)
 
 __all__ = [
+    "get_parameter_order",
+    "parameter_order",
+    "set_parameter_order",
     "EVQEGateType",
     "EVQEGate",
     "IdentityGate",

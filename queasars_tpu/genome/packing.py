@@ -17,6 +17,7 @@ import numpy as np
 
 from queasars_tpu.genome.gates import EVQEGateType, ControlledRotationGate
 from queasars_tpu.genome.individual import EVQEIndividual
+from queasars_tpu.genome.parameter_order import get_parameter_order, layer_slot_order
 
 
 def _layer_bucket(value: int) -> int:
@@ -50,6 +51,10 @@ class PackedPopulation:
     param_mask: np.ndarray
     n_params: np.ndarray
     n_qubits: int
+    #: flat-vector interpretation used at pack time ("canonical"/"qiskit",
+    #: see genome/parameter_order.py) — all flat<->tensor round trips on
+    #: this instance use the same mode
+    parameter_order: str = "canonical"
 
     @property
     def n_individuals(self) -> int:
@@ -63,14 +68,20 @@ class PackedPopulation:
     def pack(
         individuals: Sequence[EVQEIndividual],
         min_layers: Optional[int] = None,
+        parameter_order: Optional[str] = None,
     ) -> "PackedPopulation":
         """Pack genomes into padded tensors.
 
         L_max = layer bucket >= the longest individual (>= min_layers if
         given) so repeated packing hits a small set of jit shapes.
+
+        :param parameter_order: flat-vector interpretation
+            ("canonical"/"qiskit", see genome/parameter_order.py); None =
+            the process-global mode
         """
         if len(individuals) == 0:
             raise ValueError("cannot pack an empty population")
+        order = parameter_order if parameter_order is not None else get_parameter_order()
         n_qubits = individuals[0].n_qubits
         longest = max(len(ind.layers) for ind in individuals)
         l_max = _layer_bucket(max(longest, min_layers or 1))
@@ -90,15 +101,17 @@ class PackedPopulation:
             cursor = 0
             for l, layer in enumerate(individual.layers):
                 layer_mask[p, l] = True
+                parameterized: list[int] = []
                 for q, gate in enumerate(layer.gates):
-                    code = gate.gate_type().value
-                    gate_types[p, l, q] = code
+                    gate_types[p, l, q] = gate.gate_type().value
                     if isinstance(gate, ControlledRotationGate):
                         controls[p, l, q] = gate.control_qubit_index
                     if gate.n_parameters() > 0:
                         param_mask[p, l, q] = True
-                        angles[p, l, q, :] = flat[cursor : cursor + 3]
-                        cursor += 3
+                        parameterized.append(q)
+                for q, a in layer_slot_order(parameterized, order):
+                    angles[p, l, q, a] = flat[cursor]
+                    cursor += 1
             n_params[p] = cursor
 
         return PackedPopulation(
@@ -109,42 +122,50 @@ class PackedPopulation:
             param_mask=param_mask,
             n_params=n_params,
             n_qubits=n_qubits,
+            parameter_order=order,
         )
+
+    def _layer_parameterized_qubits(self, individual_index: int, layer: int) -> list[int]:
+        mask = self.param_mask[individual_index, layer]
+        return [q for q in range(self.n_qubits) if mask[q]]
 
     def angles_to_flat(self, individual_index: int, angles: np.ndarray) -> tuple[float, ...]:
         """Extract one individual's flat parameter vector from an angle
-        tensor [L, n, 3] (inverse of packing; canonical order)."""
+        tensor [L, n, 3] (inverse of packing, in this instance's
+        parameter order)."""
         values: list[float] = []
-        mask = self.param_mask[individual_index]
         for l in range(self.max_layers):
             if not self.layer_mask[individual_index, l]:
                 continue
-            for q in range(self.n_qubits):
-                if mask[l, q]:
-                    values.extend(float(angles[l, q, k]) for k in range(3))
+            slots = layer_slot_order(
+                self._layer_parameterized_qubits(individual_index, l), self.parameter_order
+            )
+            values.extend(float(angles[l, q, a]) for q, a in slots)
         return tuple(values)
 
     def param_coordinates(self, individual_index: int) -> np.ndarray:
         """[n_params, 3] array of (layer, qubit, angle_index) coordinates in
-        canonical flat order for one individual."""
+        flat order for one individual (this instance's parameter order —
+        the order batched NFT cycles through)."""
         coords: list[tuple[int, int, int]] = []
         for l in range(self.max_layers):
             if not self.layer_mask[individual_index, l]:
                 continue
-            for q in range(self.n_qubits):
-                if self.param_mask[individual_index, l, q]:
-                    coords.extend((l, q, k) for k in range(3))
+            slots = layer_slot_order(
+                self._layer_parameterized_qubits(individual_index, l), self.parameter_order
+            )
+            coords.extend((l, q, a) for q, a in slots)
         return np.asarray(coords, dtype=np.int32).reshape(-1, 3)
 
     def layer_param_coordinates(self, individual_index: int, layer_id: int) -> np.ndarray:
-        """[k, 3] coordinates of one layer's parameters (layer_id may be
-        negative, counting real layers from the end)."""
+        """[k, 3] coordinates of one layer's parameters in flat order
+        (layer_id may be negative, counting real layers from the end)."""
         real_layers = int(self.layer_mask[individual_index].sum())
         layer_id = layer_id % real_layers
-        coords: list[tuple[int, int, int]] = []
-        for q in range(self.n_qubits):
-            if self.param_mask[individual_index, layer_id, q]:
-                coords.extend((layer_id, q, k) for k in range(3))
+        slots = layer_slot_order(
+            self._layer_parameterized_qubits(individual_index, layer_id), self.parameter_order
+        )
+        coords = [(layer_id, q, a) for q, a in slots]
         return np.asarray(coords, dtype=np.int32).reshape(-1, 3)
 
 

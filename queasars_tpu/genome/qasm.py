@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from queasars_tpu.genome.gates import EVQEGateType
 from queasars_tpu.genome.individual import EVQEIndividual
+from queasars_tpu.genome.parameter_order import get_parameter_order, layer_slot_order
 
 
 def individual_to_qasm(
@@ -36,18 +37,24 @@ def individual_to_qasm(
     if include_measurements:
         lines.append(f"creg c[{n}];")
 
+    mode = get_parameter_order()
     cursor = 0
     params = individual.parameter_values
     for layer in individual.layers:
+        parameterized = [q for q, gate in enumerate(layer.gates) if gate.n_parameters() > 0]
+        # gather this layer's (theta, phi, lambda) per qubit following the
+        # active flat-parameter ordering mode
+        triplets: dict[int, list[float]] = {q: [0.0, 0.0, 0.0] for q in parameterized}
+        for q, a in layer_slot_order(parameterized, mode):
+            triplets[q][a] = params[cursor]
+            cursor += 1
         for q, gate in enumerate(layer.gates):
             gate_type = gate.gate_type()
             if gate_type == EVQEGateType.ROTATION:
-                theta, phi, lam = params[cursor : cursor + 3]
-                cursor += 3
+                theta, phi, lam = triplets[q]
                 lines.append(f"u3({theta!r},{phi!r},{lam!r}) q[{q}];")
             elif gate_type == EVQEGateType.CONTROLLED_ROTATION:
-                theta, phi, lam = params[cursor : cursor + 3]
-                cursor += 3
+                theta, phi, lam = triplets[q]
                 control = gate.control_qubit_index
                 lines.append(f"cu3({theta!r},{phi!r},{lam!r}) q[{control}],q[{q}];")
             # IDENTITY / CONTROL slots emit nothing

@@ -101,6 +101,11 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     resume_from_checkpoint: Optional[str] = None
     mesh: Optional[object] = None
     n_devices: Optional[int] = None
+    #: flat-parameter ordering for packing and optimizer traversal:
+    #: "canonical" (qubits ascending, theta/phi/lambda) or "qiskit"
+    #: (alphabetical parameter-name order, matching the reference's
+    #: implicit binding order — see genome/parameter_order.py)
+    parameter_order: str = "canonical"
 
     def __post_init__(self):
         if (
@@ -198,7 +203,10 @@ class EvolvingAnsatzMinimumEigensolver:
         elif isinstance(aux_operators, dict):
             aux_evaluators = {key: build_evaluator(op) for key, op in aux_operators.items()}
 
-        return self._solve_by_evolution(evaluator, aux_evaluators, initial_state)
+        from queasars_tpu.genome.parameter_order import parameter_order
+
+        with parameter_order(self.configuration.parameter_order):
+            return self._solve_by_evolution(evaluator, aux_evaluators, initial_state)
 
     def compute_minimum_function_value(
         self,
@@ -231,7 +239,10 @@ class EvolvingAnsatzMinimumEigensolver:
         elif isinstance(aux_operators, dict):
             aux_evaluators = {key: build_evaluator(op) for key, op in aux_operators.items()}
 
-        return self._solve_by_evolution(evaluator, aux_evaluators, initial_state)
+        from queasars_tpu.genome.parameter_order import parameter_order
+
+        with parameter_order(self.configuration.parameter_order):
+            return self._solve_by_evolution(evaluator, aux_evaluators, initial_state)
 
     # ------------------------------------------------------------------
     # the generation loop (reference: :331-478)

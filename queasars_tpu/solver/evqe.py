@@ -100,6 +100,7 @@ class EVQEMinimumEigensolverConfiguration:
     resume_from_checkpoint: Optional[str] = None
     mesh: Optional[object] = None
     n_devices: Optional[int] = None
+    parameter_order: str = "canonical"
 
     def __post_init__(self):
         if (
@@ -216,6 +217,7 @@ class EVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             resume_from_checkpoint=configuration.resume_from_checkpoint,
             mesh=configuration.mesh,
             n_devices=configuration.n_devices,
+            parameter_order=configuration.parameter_order,
         )
         super().__init__(configuration=config)
 
