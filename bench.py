@@ -6,14 +6,22 @@ measurement probabilities against the diagonal JSSP-style Hamiltonian
 energy table) — at the BASELINE.json north-star configuration: 20 qubits,
 population 32.
 
-Baseline: the reference delegates this exact work to qiskit-aer's CPU
-statevector simulator (one circuit per dask/thread future).  Aer is not
-installed here, so the baseline proxy is this same engine's single-core
-CPU rate measured in a subprocess (a statevector simulator on one CPU
-core, which is what Aer gives each reference worker).  ``vs_baseline`` is
-the TPU-chip rate over that CPU-core rate.
+Baseline calibration: the reference delegates this exact work to
+qiskit-aer's C++ CPU statevector simulator, one circuit per dask/thread
+worker (~one core per concurrent evaluation).  Aer is not installed here,
+so the denominator is the vendored single-core C++ statevector gate loop
+(csrc/statevector_sim.cpp, -O3 -march=native) run on the identical
+workload — the Aer stand-in.  The jnp-on-CPU rate is also reported for
+reference ("cpu_jnp_rate") but is NOT the baseline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Correctness gate: before reporting, the fused Pallas kernel is compared
+against the jnp engine ON DEVICE at n=8, 16 and 20 (1e-5 on probability
+vectors).  If any check fails the benchmark refuses to report a number.
+Set QUEASARS_BENCH_FAST=1 to skip the n=8/16 checks (each is an extra
+multi-minute remote Pallas compile); the n=20 check reuses the benchmark
+kernel shape and always runs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -32,21 +40,67 @@ LAYERS = 5
 N_TERMS = 512  # diagonal Hamiltonian terms (JSSP instances at 20q are O(100-1000))
 
 
-def build_workload():
+def build_workload(n_qubits=N_QUBITS, population=POPULATION, layers=LAYERS):
     from queasars_tpu.genome import EVQEPopulation
     from queasars_tpu.genome.packing import PackedPopulation
 
     rng = np.random.default_rng(0)
-    population = EVQEPopulation.random_population(N_QUBITS, LAYERS, POPULATION, True, random_seed=0)
-    packed = PackedPopulation.pack(list(population.individuals))
+    pop = EVQEPopulation.random_population(n_qubits, layers, population, True, random_seed=0)
+    packed = PackedPopulation.pack(list(pop.individuals))
     # synthetic diagonal energy table standing in for a packed JSSP
     # Hamiltonian (the table's origin does not affect evaluation cost)
-    z_masks = rng.integers(0, 1 << N_QUBITS, size=N_TERMS, dtype=np.uint64)
+    z_masks = rng.integers(0, 1 << n_qubits, size=N_TERMS, dtype=np.uint64)
     coeffs = rng.normal(size=N_TERMS)
     return packed, z_masks, coeffs
 
 
-def measure_rate(repeats: int, warmup: int = 2) -> float:
+def build_table(z_masks, coeffs, n_qubits):
+    import jax.numpy as jnp
+
+    from queasars_tpu.paulis.diagonal import _energy_table_scan
+
+    table = _energy_table_scan(
+        jnp.asarray(z_masks.astype(np.uint32)), jnp.asarray(coeffs, dtype=jnp.float32), n_qubits
+    )
+    return np.asarray(table)
+
+
+def pallas_correctness_check(packed, table) -> None:
+    """Compare the fused kernel against the jnp engine on device; raise on
+    mismatch (VERDICT r1 weak #3: the n=20 TPU path must be value-checked
+    where it actually runs)."""
+    import jax
+
+    from queasars_tpu.genome import EVQEPopulation
+    from queasars_tpu.genome.packing import PackedPopulation
+    from queasars_tpu.sim.pallas_kernels import pallas_population_probs, pallas_supported
+    from queasars_tpu.sim.statevector import probabilities
+
+    def check(gt, ctrl, ang, lm, n):
+        got = np.asarray(pallas_population_probs(gt, ctrl, ang, lm, n))
+        want = np.asarray(probabilities(gt, ctrl, ang, lm, n))
+        err = float(np.abs(got - want).max())
+        if err > 1e-5:
+            raise AssertionError(f"pallas/jnp probability mismatch at n={n}: max |diff| = {err:.3e}")
+        return err
+
+    errors = {}
+    if os.environ.get("QUEASARS_BENCH_FAST") != "1":
+        for n in (8, 16):
+            if not pallas_supported(n, jax.default_backend()):
+                continue
+            small = EVQEPopulation.random_population(n, 2, 4, True, random_seed=1)
+            sp = PackedPopulation.pack(list(small.individuals))
+            errors[n] = check(sp.gate_types, sp.controls, sp.angles, sp.layer_mask, n)
+    # n=20: identical shapes to the benchmark body, so the compiled kernel
+    # is reused for the timing runs afterwards
+    errors[N_QUBITS] = check(
+        packed.gate_types, packed.controls, packed.angles, packed.layer_mask, N_QUBITS
+    )
+    print(f"# pallas correctness vs jnp engine: {errors}", file=sys.stderr)
+
+
+def measure_rate(packed, table, repeats: int, warmup: int = 2) -> float:
     """Time repeated jitted batched evaluations (fresh angles each call so
     nothing is cached away); returns circuit-evals/sec.
 
@@ -56,24 +110,18 @@ def measure_rate(repeats: int, warmup: int = 2) -> float:
     import jax
     import jax.numpy as jnp
 
-    from queasars_tpu.paulis.diagonal import _energy_table_scan
     from queasars_tpu.sim.evaluators import _energies_exact as _energies_jnp
     from queasars_tpu.sim.pallas_kernels import pallas_energies_exact, pallas_supported
 
     if pallas_supported(N_QUBITS, jax.default_backend()) and os.environ.get(
         "QUEASARS_BENCH_NO_PALLAS"
     ) != "1":
-        def _energies_exact(gt, c, a, lm, tab, n):
+        def _energies(gt, c, a, lm, tab, n):
             return pallas_energies_exact(gt, c, a, lm, tab, n)
     else:
-        _energies_exact = _energies_jnp
+        _energies = _energies_jnp
 
-    packed, z_masks, coeffs = build_workload()
-    table = _energy_table_scan(
-        jnp.asarray(z_masks.astype(np.uint32)), jnp.asarray(coeffs, dtype=jnp.float32), N_QUBITS
-    )
-    table.block_until_ready()
-
+    table_dev = jnp.asarray(table)
     angle_variants = [
         packed.angles + np.float32(0.001 * i) for i in range(max(repeats, warmup))
     ]
@@ -82,19 +130,41 @@ def measure_rate(repeats: int, warmup: int = 2) -> float:
     # which silently inflates rates by orders of magnitude.
     for i in range(warmup):
         np.asarray(
-            _energies_exact(
+            _energies(
                 packed.gate_types, packed.controls, angle_variants[i], packed.layer_mask,
-                table, N_QUBITS,
+                table_dev, N_QUBITS,
             )
         )
 
     start = time.perf_counter()
     for i in range(repeats):
         np.asarray(
-            _energies_exact(
+            _energies(
                 packed.gate_types, packed.controls, angle_variants[i], packed.layer_mask,
-                table, N_QUBITS,
+                table_dev, N_QUBITS,
             )
+        )
+    elapsed = time.perf_counter() - start
+    return POPULATION * repeats / elapsed
+
+
+def measure_cpp_rate(packed, table, repeats: int = 3) -> float | None:
+    """Single-core C++ statevector rate on the identical workload — the
+    Aer-equivalent baseline denominator."""
+    from queasars_tpu.utils.native import native_population_energies
+
+    table32 = np.asarray(table, np.float32)
+    angle_variants = [packed.angles + np.float32(0.001 * i) for i in range(repeats + 1)]
+    out = native_population_energies(
+        packed.gate_types, packed.controls, angle_variants[0], packed.layer_mask, table32, N_QUBITS
+    )
+    if out is None:
+        return None
+    start = time.perf_counter()
+    for i in range(repeats):
+        native_population_energies(
+            packed.gate_types, packed.controls, angle_variants[i + 1], packed.layer_mask,
+            table32, N_QUBITS,
         )
     elapsed = time.perf_counter() - start
     return POPULATION * repeats / elapsed
@@ -102,27 +172,53 @@ def measure_rate(repeats: int, warmup: int = 2) -> float:
 
 def main() -> None:
     if os.environ.get("QUEASARS_BENCH_CPU_PROXY") == "1":
-        # subprocess mode: single-CPU-core Aer-proxy baseline
+        # subprocess mode: single-CPU-core jnp rate (informational)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        rate = measure_rate(repeats=2, warmup=1)
+        packed, z_masks, coeffs = build_workload()
+        table = build_table(z_masks, coeffs, N_QUBITS)
+        rate = measure_rate(packed, table, repeats=2, warmup=1)
         print(json.dumps({"cpu_rate": rate}))
         return
 
+    packed, z_masks, coeffs = build_workload()
+    table = build_table(z_masks, coeffs, N_QUBITS)
+
+    pallas_error = None
     try:
-        tpu_rate = measure_rate(repeats=20)
-    except Exception:
-        # pallas path unavailable (e.g. compile-service failure) — fall
-        # back to the jnp engine so the benchmark always reports
+        pallas_correctness_check(packed, table)
+    except AssertionError as exc:
+        pallas_error = str(exc)
+    except Exception as exc:  # pallas unavailable (e.g. compile service down)
+        print(f"# pallas check skipped: {exc}", file=sys.stderr)
         os.environ["QUEASARS_BENCH_NO_PALLAS"] = "1"
-        tpu_rate = measure_rate(repeats=5)
+
+    if pallas_error is not None:
+        # the gate: never report a speed number from a kernel that
+        # disagrees with the engine
+        print(json.dumps({
+            "metric": "population_circuit_evals_per_sec_20q_pop32",
+            "value": None,
+            "unit": "evals/s",
+            "vs_baseline": None,
+            "error": pallas_error,
+        }))
+        sys.exit(1)
+
+    try:
+        tpu_rate = measure_rate(packed, table, repeats=20)
+    except Exception:
+        os.environ["QUEASARS_BENCH_NO_PALLAS"] = "1"
+        tpu_rate = measure_rate(packed, table, repeats=5)
+
+    cpp_rate = measure_cpp_rate(packed, table)
 
     env = dict(os.environ)
     env["QUEASARS_BENCH_CPU_PROXY"] = "1"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("JAX_PLATFORMS", None)
-    cpu_rate = None
+    cpu_jnp_rate = None
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -130,15 +226,19 @@ def main() -> None:
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
-                cpu_rate = json.loads(line).get("cpu_rate")
+                cpu_jnp_rate = json.loads(line).get("cpu_rate")
     except Exception:
-        cpu_rate = None
+        cpu_jnp_rate = None
 
+    baseline = cpp_rate if cpp_rate else cpu_jnp_rate
     result = {
         "metric": "population_circuit_evals_per_sec_20q_pop32",
         "value": round(tpu_rate, 2),
         "unit": "evals/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2) if cpu_rate else None,
+        "vs_baseline": round(tpu_rate / baseline, 2) if baseline else None,
+        "baseline": "aer_proxy_cpp_1core" if cpp_rate else "jnp_cpu_1core",
+        "cpp_rate": round(cpp_rate, 2) if cpp_rate else None,
+        "cpu_jnp_rate": round(cpu_jnp_rate, 2) if cpu_jnp_rate else None,
     }
     print(json.dumps(result))
 

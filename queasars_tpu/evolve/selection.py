@@ -60,9 +60,9 @@ class EVQESelection(BaseEvolutionaryOperator[EVQEPopulation]):
         self._use_tournament_selection = use_tournament_selection
         if self._use_tournament_selection:
             if tournament_size is None:
-                raise ValueError("tournament_size cannot be None, if tournament selection should be used!")
+                raise ValueError("tournament selection needs an explicit tournament_size")
             if tournament_size < 1:
-                raise ValueError("the tournament_size must be at least 1!")
+                raise ValueError("tournament_size must be a positive integer")
             self._tournament_size = tournament_size
         self._random_generator = Random(random_seed)
 
@@ -83,9 +83,9 @@ class EVQESelection(BaseEvolutionaryOperator[EVQEPopulation]):
             or population.species_membership is None
         ):
             raise EVQESelectionException(
-                "Selection can't be finished if speciation information is missing!\n"
-                + "Either the species_representatives, species_members or species_membership\n"
-                + "attribute of the population is None!"
+                "selection requires a speciated population: run the speciation operator "
+                "first so species_representatives/members/membership are populated "
+                "(reference precondition: selection.py:89-99)"
             )
 
         best_index = int(np.argmin(evaluation_results))
@@ -104,8 +104,8 @@ class EVQESelection(BaseEvolutionaryOperator[EVQEPopulation]):
             if evaluation_results[best_index] <= 0:
                 offset = -evaluation_results[best_index] + 1
                 warn(
-                    "Tournament selection should be preferred over roulette wheel selection, "
-                    + "if negative expectation values are involved in the fitness!"
+                    "roulette selection with non-positive best fitness: offsetting weights; "
+                    "consider use_tournament_selection=True for negative expectation values"
                 )
             else:
                 offset = 0

@@ -50,11 +50,26 @@ class CircuitEvaluatorException(Exception):
 
 
 def _prepare_initial_state(
-    initial_state: Optional[np.ndarray], n_qubits: int
+    initial_state: Optional[Union[np.ndarray, EVQEIndividual]], n_qubits: int
 ) -> Optional[jnp.ndarray]:
-    """Accept a complex [2^n] or stacked real [2, 2^n] start state."""
+    """Accept a complex [2^n] or stacked real [2, 2^n] start state, or an
+    :class:`EVQEIndividual` whose (parameter-bound) circuit prepares the
+    start state — the TPU-native form of the reference's initial-state
+    circuit prepend (circuit_evaluation.py:148-149,201-202): the state is
+    simulated once here instead of re-prepending gates to every circuit.
+    """
     if initial_state is None:
         return None
+    if isinstance(initial_state, EVQEIndividual):
+        if initial_state.n_qubits != n_qubits:
+            raise CircuitEvaluatorException(
+                "the initial-state circuit acts on a different qubit count than the operator"
+            )
+        packed = PackedPopulation.pack([initial_state])
+        state = simulate_circuits(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n_qubits
+        )[0]
+        return jnp.asarray(state)
     arr = np.asarray(initial_state)
     if arr.ndim == 1:
         if arr.shape[0] != 1 << n_qubits:

@@ -114,11 +114,11 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
             and self.termination_criterion is None
         ):
             raise ValueError(
-                "At least one of the parameters max_generations, max_circuit_evaluations or"
-                + "termination_criterion must not be None!"
+                "no stopping condition configured: set max_generations, "
+                "max_circuit_evaluations and/or a termination_criterion"
             )
         if self.configured_sampler is None and self.configured_estimator is None:
-            raise ValueError("Either a configured_sampler or a configured_estimator is required!")
+            raise ValueError("provide a configured_sampler and/or a configured_estimator")
 
 
 class EvolvingAnsatzMinimumEigensolver:
@@ -159,11 +159,13 @@ class EvolvingAnsatzMinimumEigensolver:
         self,
         operator: PauliSum,
         aux_operators: ListOrDict = None,
-        initial_state: Optional[np.ndarray] = None,
+        initial_state: Union[np.ndarray, EVQEIndividual, None] = None,
     ) -> EvolvingAnsatzMinimumEigensolverResult:
         """Like :meth:`compute_minimum_eigenvalue`, starting every circuit
-        from ``initial_state`` (reference: :201-276; the reference takes an
-        initial-state circuit — here the state itself)."""
+        from ``initial_state`` (reference: :201-276) — either a prepared
+        statevector ([2^n] complex or [2, 2^n] re/im planes) or an
+        :class:`EVQEIndividual` whose circuit prepares the state (the
+        reference's initial-state-circuit prepend, simulated once)."""
 
         mesh = self._resolve_mesh()
 
@@ -212,7 +214,7 @@ class EvolvingAnsatzMinimumEigensolver:
         self,
         operator: BitstringEvaluator,
         aux_operators: ListOrDict = None,
-        initial_state: Optional[np.ndarray] = None,
+        initial_state: Union[np.ndarray, EVQEIndividual, None] = None,
     ) -> EvolvingAnsatzMinimumEigensolverResult:
         """Minimize a black-box bitstring objective (reference: :278-329)."""
         if self.configuration.configured_sampler is None:
@@ -397,7 +399,8 @@ class EvolvingAnsatzMinimumEigensolver:
 
         if current_best_individual is None or len(population_evaluations) == 0:
             raise RuntimeError(
-                "The algorithm seems to have terminated without having evaluated any population!"
+                "the solve terminated before any population evaluation completed "
+                "(budget too small for even one selection step?)"
             )
 
         result = EvolvingAnsatzMinimumEigensolverResult()
@@ -423,7 +426,7 @@ class EvolvingAnsatzMinimumEigensolver:
         return result
 
     def _measure_eigenstate(
-        self, individual: EVQEIndividual, initial_state: Optional[np.ndarray]
+        self, individual: EVQEIndividual, initial_state
     ) -> dict[int, float]:
         """Measurement distribution of the best circuit (reference samples
         the best circuit with the configured sampler, :449-454); exact

@@ -109,8 +109,8 @@ class EVQEMinimumEigensolverConfiguration:
             and self.termination_criterion is None
         ):
             raise ValueError(
-                "At least one of the parameters max_generations, max_circuit_evaluations or"
-                + "termination_criterion must not be None!"
+                "no stopping condition configured: set max_generations, "
+                "max_circuit_evaluations and/or a termination_criterion"
             )
         for name in (
             "parameter_search_probability",
@@ -118,20 +118,19 @@ class EVQEMinimumEigensolverConfiguration:
             "layer_removal_probability",
         ):
             if not 0 <= getattr(self, name) <= 1:
-                raise ValueError(f"The {name} must not exceed the range (0, 1)!")
+                raise ValueError(f"{name} must lie within [0, 1]")
         if self.n_initial_layers < 1:
             raise ValueError(
-                "The number of initial layers for each individual "
-                + f"of the population must be at least 1! But it was {self.n_initial_layers}!"
+                f"n_initial_layers must be >= 1 (got {self.n_initial_layers})"
             )
         if self.use_tournament_selection and self.tournament_size is None:
-            raise ValueError("To use tournament_selection, a tournament_size must be specified! It cannot be None!")
+            raise ValueError("tournament selection needs an explicit tournament_size")
         if self.use_tournament_selection and self.tournament_size < 1:
-            raise ValueError(f"The tournament_size cannot be smaller than 1!, but it was {self.tournament_size}!")
+            raise ValueError(f"tournament_size must be positive (got {self.tournament_size})")
         if self.use_tournament_selection and self.population_size < self.tournament_size:
             raise ValueError(
-                f"The tournament_size cannot be larger than the size of the population ({self.population_size})!\n"
-                + f"Yet the tournament_size is {self.tournament_size}!"
+                f"tournament_size ({self.tournament_size}) cannot exceed the "
+                f"population size ({self.population_size})"
             )
 
 

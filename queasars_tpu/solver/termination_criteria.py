@@ -73,7 +73,7 @@ class BestIndividualRelativeChangeTolerance(EvolvingAnsatzMinimumEigensolverBase
 
     def __init__(self, minimum_relative_change: float, allowed_consecutive_violations: int = 0):
         if minimum_relative_change <= 0 or minimum_relative_change > 1:
-            raise ValueError("The minimum relative improvement parameter must not exceed the range )0,1)!")
+            raise ValueError("minimum_relative_change must lie in the half-open interval (0, 1]")
         if allowed_consecutive_violations < 0:
             raise ValueError("allowed_consecutive_violations must be at least 0!")
         self._minimum_relative_change = minimum_relative_change

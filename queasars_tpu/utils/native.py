@@ -18,7 +18,10 @@ from typing import Optional
 import numpy as np
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
-_SOURCE = _REPO_ROOT / "csrc" / "diag_table.cpp"
+_SOURCES = [
+    _REPO_ROOT / "csrc" / "diag_table.cpp",
+    _REPO_ROOT / "csrc" / "statevector_sim.cpp",
+]
 _BUILD_DIR = _REPO_ROOT / "build"
 _LIBRARY = _BUILD_DIR / "libqueasars_native.so"
 
@@ -31,7 +34,7 @@ def _build_library() -> bool:
     _BUILD_DIR.mkdir(exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        str(_SOURCE), "-o", str(_LIBRARY),
+        *[str(source) for source in _SOURCES], "-o", str(_LIBRARY),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -48,10 +51,12 @@ def load_native() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not _LIBRARY.exists() or (
-            _SOURCE.exists() and _SOURCE.stat().st_mtime > _LIBRARY.stat().st_mtime
-        ):
-            if not _SOURCE.exists() or not _build_library():
+        stale = not _LIBRARY.exists() or any(
+            source.exists() and source.stat().st_mtime > _LIBRARY.stat().st_mtime
+            for source in _SOURCES
+        )
+        if stale:
+            if not all(source.exists() for source in _SOURCES) or not _build_library():
                 _load_failed = True
                 return None
         try:
@@ -70,6 +75,23 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.diag_argmin.restype = ctypes.c_int64
         lib.diag_energies_at.argtypes = [f64_p, u64_p, ctypes.c_int64, u64_p, ctypes.c_int64, f64_p]
         lib.diag_energies_at.restype = None
+
+        i32_p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8_p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        f32_p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        c64_p = np.ctypeslib.ndpointer(np.complex64, flags="C_CONTIGUOUS")
+        lib.population_energies_cpu.argtypes = [
+            i32_p, i32_p, f32_p, u8_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            f32_p, f32_p, c64_p,
+        ]
+        lib.population_energies_cpu.restype = None
+        lib.probabilities_cpu.argtypes = [
+            i32_p, i32_p, f32_p, u8_p,
+            ctypes.c_int32, ctypes.c_int32,
+            f32_p, c64_p,
+        ]
+        lib.probabilities_cpu.restype = None
         _lib = lib
         return _lib
 
@@ -115,4 +137,58 @@ def native_diag_energies_at(
     states = np.ascontiguousarray(states, dtype=np.uint64)
     out = np.empty(states.shape[0], dtype=np.float64)
     lib.diag_energies_at(coeffs, z_masks, coeffs.shape[0], states, states.shape[0], out)
+    return out
+
+
+def native_population_energies(
+    gate_types: np.ndarray,
+    controls: np.ndarray,
+    angles: np.ndarray,
+    layer_mask: np.ndarray,
+    table: np.ndarray,
+    n_qubits: int,
+) -> Optional[np.ndarray]:
+    """Single-core C++ statevector evaluation of a packed population —
+    the benchmark's qiskit-aer stand-in (csrc/statevector_sim.cpp) and a
+    host oracle for small-n validation.  None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    gate_types = np.ascontiguousarray(gate_types, dtype=np.int32)
+    controls = np.ascontiguousarray(controls, dtype=np.int32)
+    angles = np.ascontiguousarray(angles, dtype=np.float32)
+    layer_mask = np.ascontiguousarray(layer_mask, dtype=np.uint8)
+    table = np.ascontiguousarray(table, dtype=np.float32)
+    pop, n_layers = gate_types.shape[0], gate_types.shape[1]
+    out = np.empty(pop, dtype=np.float32)
+    scratch = np.empty(1 << n_qubits, dtype=np.complex64)
+    lib.population_energies_cpu(
+        gate_types, controls, angles, layer_mask,
+        pop, n_layers, n_qubits, table, out, scratch,
+    )
+    return out
+
+
+def native_probabilities(
+    gate_types: np.ndarray,
+    controls: np.ndarray,
+    angles: np.ndarray,
+    layer_mask: np.ndarray,
+    n_qubits: int,
+) -> Optional[np.ndarray]:
+    """C++ measurement probabilities of ONE genome ([L, n] tensors);
+    None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    gate_types = np.ascontiguousarray(gate_types, dtype=np.int32)
+    controls = np.ascontiguousarray(controls, dtype=np.int32)
+    angles = np.ascontiguousarray(angles, dtype=np.float32)
+    layer_mask = np.ascontiguousarray(layer_mask, dtype=np.uint8)
+    out = np.empty(1 << n_qubits, dtype=np.float32)
+    scratch = np.empty(1 << n_qubits, dtype=np.complex64)
+    lib.probabilities_cpu(
+        gate_types, controls, angles, layer_mask,
+        gate_types.shape[0], n_qubits, out, scratch,
+    )
     return out

@@ -127,3 +127,42 @@ def test_angles_override_path():
     flipped = evaluator.evaluate_packed(packed, angles=override)
     assert base[0] == pytest.approx(1.0, abs=1e-6)
     assert flipped[0] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_initial_state_circuit_prepend():
+    """An EVQEIndividual passed as initial_state behaves exactly like the
+    statevector its circuit prepares (reference prepends the circuit,
+    circuit_evaluation.py:148-149,201-202)."""
+    op = pauli_z_string(0, 2)
+    # preparation circuit: rotate qubit 0 by theta=pi (maps |00> -> |10>)
+    prep = rotation_individual(np.pi, n_qubits=2)
+    ident_layer = EVQECircuitLayer(
+        n_qubits=2, gates=(IdentityGate(qubit_index=0), IdentityGate(qubit_index=1))
+    )
+    ident = EVQEIndividual(n_qubits=2, layers=(ident_layer,), parameter_values=())
+
+    from_circuit = StatevectorExpectationEvaluator(op, initial_state=prep)
+    state = np.zeros(4, np.complex64)
+    state[1] = 1.0  # |q1 q0> = |01> in little-endian integer 1
+    from_state = StatevectorExpectationEvaluator(op, initial_state=state)
+    got_circuit = from_circuit.evaluate_individuals([ident])[0]
+    got_state = from_state.evaluate_individuals([ident])[0]
+    assert got_circuit == pytest.approx(-1.0, abs=1e-6)
+    assert got_circuit == pytest.approx(got_state, abs=1e-6)
+
+    with pytest.raises(CircuitEvaluatorException):
+        StatevectorExpectationEvaluator(op, initial_state=rotation_individual(np.pi, n_qubits=3))
+
+
+def test_estimator_precision_noise_statistics():
+    """precision adds seeded Gaussian noise of matching standard error."""
+    op = pauli_z_string(0, 1)
+    ind = rotation_individual(0.0)
+    exact = StatevectorExpectationEvaluator(op).evaluate_individuals([ind])[0]
+    noisy_eval = StatevectorExpectationEvaluator(op, precision=0.1, seed=0)
+    draws = np.array([noisy_eval.evaluate_individuals([ind])[0] for _ in range(300)])
+    assert abs(draws.mean() - exact) < 0.03
+    assert 0.07 < draws.std() < 0.13
+    # deterministic given the seed
+    replay = StatevectorExpectationEvaluator(op, precision=0.1, seed=0)
+    assert replay.evaluate_individuals([ind])[0] == draws[0]
