@@ -131,6 +131,42 @@ def _apply_global_slot(state, target, gate_type, control, angles, local_bits, de
     return jnp.stack([out_re, out_im])
 
 
+def _simulate_local(
+    gate_types, controls, angles, layer_mask, device_id, local_bits, n_devices, n_qubits
+):
+    """Run one genome's circuit on this device's amplitude shard
+    ([2, 2^local_bits]); global-qubit gates exchange shards via ppermute."""
+    local = jnp.zeros((2, 1 << local_bits), jnp.float32)
+    amp0 = jnp.logical_and(
+        device_id == 0,
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1 << local_bits), 1)[0] == 0,
+    )
+    local = local.at[0].set(jnp.where(amp0, 1.0, 0.0))
+
+    def layer_step(carry, layer):
+        types_l, controls_l, angles_l, mask_l = layer
+        new = carry
+        for q in range(n_qubits):
+            fn = _apply_local_slot if q < local_bits else _apply_global_slot
+            new = fn(
+                new, q, types_l[q], controls_l[q],
+                angles_l[q], local_bits, device_id, n_devices,
+            )
+        return jnp.where(mask_l, new, carry), None
+
+    local, _ = jax.lax.scan(layer_step, local, (gate_types, controls, angles, layer_mask))
+    return local
+
+
+def _mesh_bits(mesh: Mesh, n_qubits: int) -> tuple[int, int]:
+    n_devices = mesh.shape[AMP_AXIS]
+    device_bits = int(np.log2(n_devices))
+    assert 1 << device_bits == n_devices, "device count must be a power of two"
+    local_bits = n_qubits - device_bits
+    assert local_bits >= 1, "state too small for this many devices"
+    return n_devices, local_bits
+
+
 def make_sharded_circuit_fn(mesh: Mesh, n_qubits: int):
     """Build a jitted ``(gate_types [L,n], controls, angles, layer_mask) ->
     state [2, 2^n]`` function with the state sharded over the mesh's
@@ -139,40 +175,82 @@ def make_sharded_circuit_fn(mesh: Mesh, n_qubits: int):
     The output keeps its NamedSharding; downstream expectation/sampling
     ops run sharded too.
     """
-    n_devices = mesh.shape[AMP_AXIS]
-    device_bits = int(np.log2(n_devices))
-    assert 1 << device_bits == n_devices, "device count must be a power of two"
-    local_bits = n_qubits - device_bits
-    assert local_bits >= 1, "state too small for this many devices"
+    n_devices, local_bits = _mesh_bits(mesh, n_qubits)
 
     def sharded_body(gate_types, controls, angles, layer_mask):
         device_id = jax.lax.axis_index(AMP_AXIS)
-        local = jnp.zeros((2, 1 << local_bits), jnp.float32)
-        amp0 = jnp.logical_and(
-            device_id == 0,
-            jax.lax.broadcasted_iota(jnp.int32, (1, 1 << local_bits), 1)[0] == 0,
+        return _simulate_local(
+            gate_types, controls, angles, layer_mask,
+            device_id, local_bits, n_devices, n_qubits,
         )
-        local = local.at[0].set(jnp.where(amp0, 1.0, 0.0))
-
-        def layer_step(carry, layer):
-            types_l, controls_l, angles_l, mask_l = layer
-            new = carry
-            for q in range(n_qubits):
-                fn = _apply_local_slot if q < local_bits else _apply_global_slot
-                new = fn(
-                    new, q if q < local_bits else q, types_l[q], controls_l[q],
-                    angles_l[q], local_bits, device_id, n_devices,
-                )
-            return jnp.where(mask_l, new, carry), None
-
-        local, _ = jax.lax.scan(layer_step, local, (gate_types, controls, angles, layer_mask))
-        return local
 
     mapped = shard_map(
         sharded_body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=P(None, AMP_AXIS),
+    )
+    return jax.jit(mapped)
+
+
+def make_sharded_population_probs_fn(mesh: Mesh, n_qubits: int):
+    """Build a jitted ``([P,L,n] genome tensors) -> probs [P, 2^n]``
+    function, amplitudes sharded over the ``amp`` axis.
+
+    Individuals run sequentially per device (``lax.map``) so peak memory
+    stays at one state shard; the population axis is the replicated loop
+    axis here — the opposite factorization of parallel/mesh.py, chosen
+    when one state no longer fits a chip (SURVEY.md §2.3 P4).
+    """
+    n_devices, local_bits = _mesh_bits(mesh, n_qubits)
+
+    def sharded_body(gate_types, controls, angles, layer_mask):
+        device_id = jax.lax.axis_index(AMP_AXIS)
+
+        def one(args):
+            gt, ctrl, ang, lm = args
+            state = _simulate_local(
+                gt, ctrl, ang, lm, device_id, local_bits, n_devices, n_qubits
+            )
+            return state[0] ** 2 + state[1] ** 2
+
+        return jax.lax.map(one, (gate_types, controls, angles, layer_mask))
+
+    mapped = shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(None, AMP_AXIS),
+    )
+    return jax.jit(mapped)
+
+
+def make_sharded_population_energies_fn(mesh: Mesh, n_qubits: int):
+    """Build a jitted ``([P,L,n] genome tensors, table [2^n]) ->
+    energies [P]`` function: amplitude-sharded simulation, local diagonal
+    contraction, one psum over the amp axis — only P scalars leave the
+    mesh."""
+    n_devices, local_bits = _mesh_bits(mesh, n_qubits)
+
+    def sharded_body(gate_types, controls, angles, layer_mask, table_local):
+        device_id = jax.lax.axis_index(AMP_AXIS)
+
+        def one(args):
+            gt, ctrl, ang, lm = args
+            state = _simulate_local(
+                gt, ctrl, ang, lm, device_id, local_bits, n_devices, n_qubits
+            )
+            probs = state[0] ** 2 + state[1] ** 2
+            return jnp.dot(probs, table_local, preferred_element_type=jnp.float32)
+
+        partials = jax.lax.map(one, (gate_types, controls, angles, layer_mask))
+        return jax.lax.psum(partials, AMP_AXIS)
+
+    mapped = shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(AMP_AXIS)),
+        out_specs=P(),
     )
     return jax.jit(mapped)
 

@@ -106,6 +106,12 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     #: (alphabetical parameter-name order, matching the reference's
     #: implicit binding order — see genome/parameter_order.py)
     parameter_order: str = "canonical"
+    #: amplitude sharding: split each statevector across the mesh instead
+    #: of sharding the population axis (SURVEY.md §2.3 P4 — the scale
+    #: axis the reference lacks).  None = automatic (on when a mesh is
+    #: configured and the operator exceeds 20 qubits), True/False = force.
+    #: Estimator path with diagonal operators and no initial state only.
+    shard_amplitudes: Optional[bool] = None
 
     def __post_init__(self):
         if (
@@ -169,7 +175,31 @@ class EvolvingAnsatzMinimumEigensolver:
 
         mesh = self._resolve_mesh()
 
+        def amplitude_sharding_applies(op: PauliSum) -> bool:
+            requested = self.configuration.shard_amplitudes
+            if requested is False or mesh is None:
+                return False
+            if self.configuration.configured_estimator is None or not op.is_diagonal:
+                if requested:
+                    raise ValueError(
+                        "shard_amplitudes requires the estimator path and a diagonal operator"
+                    )
+                return False
+            if initial_state is not None:
+                if requested:
+                    raise ValueError("shard_amplitudes does not support an initial state yet")
+                return False
+            if requested is None:
+                return op.n_qubits > 20
+            return True
+
         def build_evaluator(op: PauliSum) -> BaseCircuitEvaluator:
+            if amplitude_sharding_applies(op):
+                from queasars_tpu.sim.sharded_evaluator import (
+                    AmplitudeShardedExpectationEvaluator,
+                )
+
+                return AmplitudeShardedExpectationEvaluator(operator=op, mesh=mesh)
             if self.configuration.configured_estimator is not None:
                 evaluator = StatevectorExpectationEvaluator(
                     operator=op,

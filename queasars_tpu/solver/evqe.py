@@ -101,6 +101,7 @@ class EVQEMinimumEigensolverConfiguration:
     mesh: Optional[object] = None
     n_devices: Optional[int] = None
     parameter_order: str = "canonical"
+    shard_amplitudes: Optional[bool] = None
 
     def __post_init__(self):
         if (
@@ -217,6 +218,7 @@ class EVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             mesh=configuration.mesh,
             n_devices=configuration.n_devices,
             parameter_order=configuration.parameter_order,
+            shard_amplitudes=configuration.shard_amplitudes,
         )
         super().__init__(configuration=config)
 

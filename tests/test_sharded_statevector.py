@@ -70,3 +70,146 @@ def test_output_is_actually_sharded(amp_mesh):
     assert len(state.sharding.device_set) == 8
     shard_shapes = {s.data.shape for s in state.addressable_shards}
     assert shard_shapes == {(2, (1 << n) // 8)}
+
+
+# ---------------------------------------------------------------------------
+# population-batched amplitude sharding + evaluator integration (round 2)
+# ---------------------------------------------------------------------------
+
+from queasars_tpu.genome import EVQEPopulation
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.paulis import PauliSum, pauli_z_string
+from queasars_tpu.sim.evaluators import StatevectorExpectationEvaluator
+from queasars_tpu.sim.sharded_evaluator import (
+    AmplitudeShardedExpectationEvaluator,
+    amplitude_mesh,
+)
+from queasars_tpu.sim.sharded_statevector import make_sharded_population_probs_fn
+from queasars_tpu.sim.statevector import probabilities as _single_chip_probs
+
+
+def _population(n_qubits=10, pop=5, layers=2, seed=3):
+    population = EVQEPopulation.random_population(n_qubits, layers, pop, True, random_seed=seed)
+    return PackedPopulation.pack(list(population.individuals))
+
+
+def _chain(n_qubits):
+    return PauliSum.sum([pauli_z_string(q, n_qubits) * float(q + 1) for q in range(n_qubits)])
+
+
+def test_sharded_population_probs_match_single_chip():
+    packed = _population()
+    mesh = amplitude_mesh(8)
+    fn = make_sharded_population_probs_fn(mesh, packed.n_qubits)
+    sharded = np.asarray(
+        fn(packed.gate_types, packed.controls, packed.angles, packed.layer_mask)
+    )
+    single = np.asarray(
+        _single_chip_probs(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask,
+            packed.n_qubits,
+        )
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+
+def test_amplitude_sharded_evaluator_exact_matches_single_chip():
+    packed = _population()
+    operator = _chain(packed.n_qubits)
+    sharded = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(8))
+    single = StatevectorExpectationEvaluator(operator)
+    np.testing.assert_allclose(
+        sharded.evaluate_packed(packed), single.evaluate_packed(packed), atol=1e-5
+    )
+
+
+def test_amplitude_sharded_evaluator_cvar_matches_single_chip():
+    packed = _population()
+    operator = _chain(packed.n_qubits)
+    sharded = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(8), alpha=0.3)
+    single = StatevectorExpectationEvaluator(operator, alpha=0.3)
+    np.testing.assert_allclose(
+        sharded.evaluate_packed(packed), single.evaluate_packed(packed), atol=1e-5
+    )
+
+
+def test_amplitude_sharded_evaluator_shots_deterministic():
+    packed = _population(pop=3)
+    operator = _chain(packed.n_qubits)
+    a = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(8), shots=256, seed=4)
+    b = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(8), shots=256, seed=4)
+    np.testing.assert_array_equal(a.evaluate_packed(packed), b.evaluate_packed(packed))
+    exact = StatevectorExpectationEvaluator(operator).evaluate_packed(packed)
+    noisy = a.evaluate_packed(packed)
+    assert np.all(np.abs(noisy - exact) < 5.0)  # plausible shot noise at 256 shots
+
+
+def test_amplitude_sharded_angles_override():
+    packed = _population(pop=2)
+    operator = _chain(packed.n_qubits)
+    sharded = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(8))
+    override = packed.angles + np.float32(0.3)
+    single = StatevectorExpectationEvaluator(operator)
+    np.testing.assert_allclose(
+        sharded.evaluate_packed(packed, angles=override),
+        single.evaluate_packed(packed, angles=override),
+        atol=1e-5,
+    )
+
+
+def test_full_solve_with_amplitude_sharding():
+    """End-to-end EVQE solve with shard_amplitudes=True: the host-stepped
+    NFT drives the amplitude-sharded evaluator through the full pipeline."""
+    from queasars_tpu.optim import BatchedNFT, NFTConfig
+    from queasars_tpu.parallel import population_mesh
+    from queasars_tpu.solver import (
+        ConfiguredEstimator,
+        EVQEMinimumEigensolver,
+        EVQEMinimumEigensolverConfiguration,
+    )
+
+    n_qubits = 8
+    config = EVQEMinimumEigensolverConfiguration(
+        configured_estimator=ConfiguredEstimator(),
+        configured_sampler=None,
+        optimizer=BatchedNFT(NFTConfig(maxiter=6)),
+        optimizer_n_circuit_evaluations=None,
+        max_generations=2,
+        max_circuit_evaluations=None,
+        termination_criterion=None,
+        random_seed=1,
+        population_size=4,
+        speciation_genetic_distance_threshold=2,
+        selection_alpha_penalty=0.05,
+        selection_beta_penalty=0.05,
+        parameter_search_probability=0.5,
+        topological_search_probability=0.5,
+        layer_removal_probability=0.1,
+        use_tournament_selection=True,
+        tournament_size=2,
+        mesh=population_mesh(8),
+        shard_amplitudes=True,
+    )
+    result = EVQEMinimumEigensolver(config).compute_minimum_eigenvalue(_chain(n_qubits))
+    assert result.generations == 2
+    first_generation = result.population_evaluation_results[0]
+    # optimization happened: the final best is no worse than the first
+    # generation's median (last-layer search runs before the first
+    # evaluation, so strict comparisons against "random init" are not
+    # available; the pipeline completing E2E is the capability under test)
+    assert result.eigenvalue <= float(np.median(first_generation.expectation_values))
+    assert np.isfinite(result.eigenvalue)
+
+
+def test_amplitude_sharding_beyond_single_chip_qubits():
+    """22-qubit evaluation across 8 devices (the '>20 qubits across the
+    mesh' capability, SURVEY.md §2.3 P4) — each device holds 2^19 amps."""
+    n_qubits = 22
+    population = EVQEPopulation.random_population(n_qubits, 1, 2, True, random_seed=0)
+    packed = PackedPopulation.pack(list(population.individuals))
+    operator = PauliSum.sum([pauli_z_string(q, n_qubits) for q in range(n_qubits)])
+    sharded = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(8))
+    energies = sharded.evaluate_packed(packed)
+    assert energies.shape == (2,)
+    assert np.all(np.abs(energies) <= n_qubits + 1e-3)
+    assert np.all(np.isfinite(energies))
