@@ -6,6 +6,11 @@ cluster (SURVEY.md §2.3); here the population axis is sharded over a
 program — collectives ride ICI, no scheduler, no locks.
 """
 
+from queasars_tpu.parallel.multihost import (
+    initialize_multihost,
+    is_multihost,
+    process_info,
+)
 from queasars_tpu.parallel.mesh import (
     pad_population_axis,
     population_mesh,
@@ -17,6 +22,9 @@ from queasars_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "initialize_multihost",
+    "is_multihost",
+    "process_info",
     "pad_population_axis",
     "population_mesh",
     "population_pad_multiple",

@@ -1,0 +1,84 @@
+"""Multi-host runtime smoke test: two REAL controller processes.
+
+The TPU analog of the reference's dask LocalCluster multi-process tests
+(test_evqe_operators.py:25-29): two OS processes join one JAX runtime via
+``initialize_multihost`` and run a cross-process ``psum`` over a global
+mesh — verifying the multi-controller path the framework documents for
+pod-scale solves (parallel/multihost.py) with actual processes, no mocks.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from queasars_tpu.parallel import initialize_multihost, is_multihost, process_info
+
+coordinator, rank = sys.argv[1], int(sys.argv[2])
+initialize_multihost(coordinator_address=coordinator, num_processes=2, process_id=rank)
+assert is_multihost()
+pid, count = process_info()
+assert (pid, count) == (rank, 2)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+devices = jax.devices()          # GLOBAL device list across both processes
+assert len(devices) == 2, devices
+mesh = Mesh(np.array(devices), ("pop",))
+
+local = jnp.full((1,), float(rank + 1))
+local = jax.device_put(local, jax.local_devices()[0])
+garr = jax.make_array_from_single_device_arrays(
+    (2,), NamedSharding(mesh, P("pop")), [local]
+)
+total = jax.jit(
+    jax.shard_map(
+        lambda x: jax.lax.psum(x.sum(), "pop"),
+        mesh=mesh, in_specs=P("pop"), out_specs=P(),
+    )
+)(garr)
+# psum over both processes: 1 + 2 = 3
+assert float(total) == 3.0, float(total)
+print(f"RANK{rank}_OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        return sock.getsockname()[1]
+
+
+def test_two_process_global_psum(tmp_path):
+    coordinator = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, coordinator, str(rank)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for rank in range(2)
+    ]
+    outputs = []
+    try:
+        for proc in procs:
+            out, err = proc.communicate(timeout=240)
+            outputs.append((proc.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for proc in procs:
+            proc.kill()
+        pytest.fail("multihost worker processes timed out")
+    for rank, (code, out, err) in enumerate(outputs):
+        assert code == 0, f"rank {rank} failed:\n{err[-2000:]}"
+        assert f"RANK{rank}_OK" in out
