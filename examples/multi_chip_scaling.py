@@ -71,6 +71,52 @@ def main() -> None:
     print(f"one {n}-qubit state sharded over {amp_mesh.devices.size} devices -> energy {energy:.4f} "
           f"(shards: {sorted({s.data.shape for s in state.addressable_shards})})")
 
+    # --- mesh-integrated EVQE solve ------------------------------------
+    # the solver itself runs SPMD: mesh= in the configuration shards every
+    # evaluation/optimization step over the devices; trajectories are
+    # bit-identical regardless of the device count
+    from queasars_tpu.optim import BatchedNFT, NFTConfig
+    from queasars_tpu.solver import (
+        ConfiguredEstimator,
+        EVQEMinimumEigensolver,
+        EVQEMinimumEigensolverConfiguration,
+    )
+
+    config = EVQEMinimumEigensolverConfiguration(
+        configured_estimator=ConfiguredEstimator(),
+        configured_sampler=None,
+        optimizer=BatchedNFT(NFTConfig(maxiter=8)),
+        optimizer_n_circuit_evaluations=None,
+        max_generations=3,
+        max_circuit_evaluations=None,
+        termination_criterion=None,
+        random_seed=0,
+        population_size=16,
+        speciation_genetic_distance_threshold=2,
+        selection_alpha_penalty=0.1,
+        selection_beta_penalty=0.05,
+        parameter_search_probability=0.5,
+        topological_search_probability=0.5,
+        layer_removal_probability=0.1,
+        use_tournament_selection=True,
+        tournament_size=2,
+        mesh=mesh,
+    )
+    result = EVQEMinimumEigensolver(config).compute_minimum_eigenvalue(hamiltonian)
+    print(f"mesh-integrated EVQE solve over {mesh.devices.size} devices: "
+          f"best energy {result.eigenvalue:.4f} in {result.generations} generations")
+
+    # --- amplitude-sharded EVQE solve (states beyond one chip) ---------
+    # shard_amplitudes=True splits every statevector across the mesh — the
+    # factorization for operators bigger than a chip's memory (auto-picked
+    # for >20 qubits when a mesh is configured)
+    from dataclasses import replace
+
+    amp_result = EVQEMinimumEigensolver(
+        replace(config, population_size=8, max_generations=2, shard_amplitudes=True)
+    ).compute_minimum_eigenvalue(hamiltonian)
+    print(f"amplitude-sharded EVQE solve: best energy {amp_result.eigenvalue:.4f}")
+
 
 if __name__ == "__main__":
     main()

@@ -1,9 +1,11 @@
 """Persist solver results and populations as JSON; resume a solve.
 
 Counterpart of the reference's "Serialize and store the results" workflow
-(using_the_ibm_runtime.ipynb) plus the resume capability the reference
-lacks: a second solver continues from the first solve's final population
-via ``initial_population=``.
+(using_the_ibm_runtime.ipynb) plus two resume capabilities the reference
+lacks: continuing from a stored final population
+(``initial_population=``) and exact-trajectory crash recovery from a
+full-solver-state checkpoint (``checkpoint_path=`` /
+``resume_from_checkpoint=``).
 """
 
 import sys
@@ -76,6 +78,27 @@ def main() -> None:
     print(f"resumed solve: eigenvalue {resumed.eigenvalue:.4f} "
           f"after {resumed.generations} more generations")
     assert resumed.eigenvalue <= restored.eigenvalue + 1e-6
+
+    # crash recovery: checkpoint_path persists the FULL solver state every
+    # generation; resume_from_checkpoint continues the exact trajectory
+    # (operator RNGs, ledger, best-so-far, shot counters all restored)
+    checkpoint = "/tmp/evqe_checkpoint.json"
+    EVQEMinimumEigensolver(
+        make_config(max_generations=2, checkpoint_path=checkpoint)
+    ).compute_minimum_eigenvalue(hamiltonian)  # "crashes" after 2 generations
+    recovered = EVQEMinimumEigensolver(
+        make_config(max_generations=4, resume_from_checkpoint=checkpoint)
+    ).compute_minimum_eigenvalue(hamiltonian)
+    uninterrupted = EVQEMinimumEigensolver(
+        make_config(max_generations=4)
+    ).compute_minimum_eigenvalue(hamiltonian)
+    assert recovered.eigenvalue == uninterrupted.eigenvalue
+    trajectory = [g.best_expectation_value for g in recovered.population_evaluation_results]
+    assert trajectory == [
+        g.best_expectation_value for g in uninterrupted.population_evaluation_results
+    ]
+    print(f"crash-recovered solve reproduced the uninterrupted trajectory exactly: "
+          f"{[round(v, 4) for v in trajectory]}")
 
 
 if __name__ == "__main__":
