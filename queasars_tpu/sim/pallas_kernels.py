@@ -49,19 +49,19 @@ def _u3_entries(theta, phi, lam):
     return u00, u01, u10, u11
 
 
-def _population_probs_kernel(
-    gate_types_ref,  # SMEM [1, L, n] int32
-    controls_ref,    # SMEM [1, L, n] int32
-    angles_ref,      # SMEM [1, L, n, 3] f32
-    layer_mask_ref,  # SMEM [1, L, 1] int32
-    out_ref,         # HBM [P, R, 128] f32 (full array; program p writes slot p)
-    state_re,        # VMEM scratch [R, 128]
-    state_im,        # VMEM scratch [R, 128]
-    dma_sem,         # DMA completion semaphore
-    *,
+def _run_circuit_in_vmem(
+    gate_types_ref,
+    controls_ref,
+    angles_ref,
+    layer_mask_ref,
+    state_re,
+    state_im,
     n_qubits: int,
     n_layers: int,
 ):
+    """Shared kernel body: initialize |0...0> in the VMEM scratch planes
+    and apply the whole genome circuit (layers predicated by mask, slots
+    by gate type)."""
     rows = 1 << (n_qubits - LANE_BITS)
 
     # narrow index vectors; full [R, 128] masks are never materialized —
@@ -153,12 +153,57 @@ def _population_probs_kernel(
 
     jax.lax.fori_loop(0, n_layers, layer_body, 0)
 
+
+def _population_probs_kernel(
+    gate_types_ref,  # SMEM [1, L, n] int32
+    controls_ref,    # SMEM [1, L, n] int32
+    angles_ref,      # SMEM [1, L, n, 3] f32
+    layer_mask_ref,  # SMEM [1, L, 1] int32
+    out_ref,         # HBM [P, R, 128] f32 (full array; program p writes slot p)
+    state_re,        # VMEM scratch [R, 128]
+    state_im,        # VMEM scratch [R, 128]
+    dma_sem,         # DMA completion semaphore
+    *,
+    n_qubits: int,
+    n_layers: int,
+):
+    _run_circuit_in_vmem(
+        gate_types_ref, controls_ref, angles_ref, layer_mask_ref,
+        state_re, state_im, n_qubits, n_layers,
+    )
     # measurement probabilities overwrite the real plane, then one DMA
     # ships them to HBM — the only data leaving the chip per individual
     state_re[:] = state_re[:] * state_re[:] + state_im[:] * state_im[:]
     copy = pltpu.make_async_copy(state_re, out_ref.at[pl.program_id(0)], dma_sem)
     copy.start()
     copy.wait()
+
+
+def _population_energies_kernel(
+    gate_types_ref,  # SMEM [1, L, n] int32
+    controls_ref,    # SMEM [1, L, n] int32
+    angles_ref,      # SMEM [1, L, n, 3] f32
+    layer_mask_ref,  # SMEM [1, L, 1] int32
+    table_ref,       # VMEM [R, 128] f32 (diagonal energy table, all programs)
+    out_ref,         # VMEM [1, 8, 128] f32 per program (partial-sum tile)
+    state_re,        # VMEM scratch [R, 128]
+    state_im,        # VMEM scratch [R, 128]
+    *,
+    n_qubits: int,
+    n_layers: int,
+):
+    """Fully fused evaluation: the energy contraction happens against the
+    VMEM-resident table, so only one (8, 128) partial-sum tile per
+    individual leaves the chip (4 KB, vs a 4 MB probability plane + an
+    HBM-side dot).  The tile shape satisfies Mosaic's (8, 128) minimum
+    output block."""
+    rows = 1 << (n_qubits - LANE_BITS)
+    _run_circuit_in_vmem(
+        gate_types_ref, controls_ref, angles_ref, layer_mask_ref,
+        state_re, state_im, n_qubits, n_layers,
+    )
+    prod = (state_re[:] * state_re[:] + state_im[:] * state_im[:]) * table_ref[:]
+    out_ref[0, :, :] = jnp.sum(prod.reshape(rows // 8, 8, LANES), axis=0)
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "interpret"))
@@ -193,7 +238,7 @@ def pallas_population_probs(
             pl.BlockSpec((1, n_layers, n_qubits, 3), lambda p: (p, 0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_layers, 1), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((pop, rows, LANES), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rows, LANES), jnp.float32),
@@ -224,15 +269,56 @@ def pallas_energies_exact(
     n_qubits: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Exact diagonal-table energies [P]: fused probs kernel + one matvec.
+    """Exact diagonal-table energies [P], fully fused in VMEM: the state
+    never touches HBM AND the diagonal contraction happens in-kernel —
+    only 128 lane-partial sums per individual are shipped out (512 B,
+    vs the 4 MB probability plane + a 128 MB HBM-side dot per batch of
+    the unfused formulation).
 
     Same contract as ``_energies_exact`` (evaluators.py) for n_qubits >= 7,
     diagonal operators, no initial state.
     """
-    probs = pallas_population_probs(
-        gate_types, controls, angles, layer_mask, n_qubits, interpret=interpret
+    if n_qubits < LANE_BITS:
+        raise ValueError("the fused kernel requires n_qubits >= 7")
+    pop, n_layers = gate_types.shape[0], gate_types.shape[1]
+    rows = 1 << (n_qubits - LANE_BITS)
+    if rows < 8:
+        # below 10 qubits the (8, 128) partial-sum tile cannot be formed;
+        # the probability plane is tiny there anyway — ship it and dot
+        probs = pallas_population_probs(
+            gate_types, controls, angles, layer_mask, n_qubits, interpret=interpret
+        )
+        return jnp.dot(probs, table.reshape(-1), preferred_element_type=jnp.float32)
+
+    kernel = partial(_population_energies_kernel, n_qubits=n_qubits, n_layers=n_layers)
+    partials = pl.pallas_call(
+        kernel,
+        grid=(pop,),
+        in_specs=[
+            pl.BlockSpec((1, n_layers, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_layers, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_layers, n_qubits, 3), lambda p: (p, 0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_layers, 1), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            # the table block is the same for every program — the pipeline
+            # fetches it once and keeps it VMEM-resident
+            pl.BlockSpec((rows, LANES), lambda p: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda p: (p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((pop, 8, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        gate_types,
+        controls,
+        angles,
+        layer_mask.astype(jnp.int32)[:, :, None],
+        table.reshape(rows, LANES),
     )
-    return jnp.dot(probs, table.reshape(-1), preferred_element_type=jnp.float32)
+    return jnp.sum(partials, axis=(-2, -1))
 
 
 def pallas_supported(n_qubits: int, platform: str) -> bool:

@@ -72,3 +72,39 @@ def test_diagonal_energy_table_uses_native_and_agrees():
     table = diagonal_energy_table(op)
     coeffs, z_masks = diagonal_terms(op)
     np.testing.assert_allclose(table, numpy_table(coeffs, z_masks, n), atol=1e-12)
+
+
+def test_cpp_statevector_matches_jnp_engine():
+    """The vendored C++ statevector (the benchmark's Aer stand-in,
+    csrc/statevector_sim.cpp) agrees with the jnp engine on random
+    genomes — pinning the baseline denominator's correctness."""
+    import pytest
+
+    from queasars_tpu.genome import EVQEPopulation
+    from queasars_tpu.genome.packing import PackedPopulation
+    from queasars_tpu.sim.evaluators import _energies_exact
+    from queasars_tpu.utils.native import native_population_energies, native_probabilities
+
+    n = 7
+    rng = np.random.default_rng(5)
+    table = rng.normal(size=1 << n).astype(np.float32)
+    population = EVQEPopulation.random_population(n, 3, 6, True, random_seed=2)
+    packed = PackedPopulation.pack(list(population.individuals))
+
+    cpp = native_population_energies(
+        packed.gate_types, packed.controls, packed.angles, packed.layer_mask, table, n
+    )
+    if cpp is None:
+        pytest.skip("native toolchain unavailable")
+    jnp_energies = np.asarray(
+        _energies_exact(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, table, n
+        )
+    )
+    np.testing.assert_allclose(cpp, jnp_energies, atol=5e-4)
+
+    probs = native_probabilities(
+        packed.gate_types[0], packed.controls[0], packed.angles[0], packed.layer_mask[0], n
+    )
+    assert probs is not None
+    assert abs(float(probs.sum()) - 1.0) < 1e-5
