@@ -72,7 +72,9 @@ def population_energies(
             coeffs_re, coeffs_im, z_masks, x_masks = table
             states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
             fn = lambda s: general_pauli_expectation_real(s, coeffs_re, coeffs_im, z_masks, x_masks)
-            energies = jax.vmap(fn)(states)
+            # lax.map keeps per-individual reductions shape-independent —
+            # required for bit-identical trajectories across mesh sizes
+            energies = jax.lax.map(fn, states)
         return _with_precision_noise(energies, keys, precision)
     if use_pallas and not use_cvar and not use_shots and initial_state is None:
         from queasars_tpu.sim.pallas_kernels import pallas_energies_exact
@@ -132,8 +134,11 @@ def objective_operands(evaluator):
     if isinstance(evaluator, StatevectorExpectationEvaluator):
         if not evaluator._diagonal:
             # general (non-diagonal) Pauli sum: dense MXU matvec for small
-            # systems, matrix-free term scan otherwise
-            if evaluator._dense:
+            # systems, matrix-free term scan otherwise.  Mesh runs always
+            # use the term scan: the tiny-K dense gemm is not bit-stable
+            # across batch sizes, which would break the device-count
+            # trajectory-identity invariant (parallel/mesh.py).
+            if evaluator._dense and evaluator.mesh is None:
                 general_table = (evaluator._h_re, evaluator._h_im)
             else:
                 general_table = (evaluator._coeffs_re, evaluator._coeffs_im, evaluator._z, evaluator._x)

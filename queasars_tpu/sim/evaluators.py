@@ -124,7 +124,11 @@ def _energies_general(
 ):
     states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
     fn = lambda s: general_pauli_expectation_real(s, coeffs_re, coeffs_im, z_masks, x_masks)
-    return jax.vmap(fn)(states)
+    # lax.map (not vmap): each individual's term-scan reductions keep the
+    # exact same shape regardless of the batch size, so mesh shards of any
+    # size produce bit-identical energies (vmap'd row reductions vectorize
+    # differently per batch size on CPU)
+    return jax.lax.map(fn, states)
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "shots"))
@@ -343,7 +347,11 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
                 pop_args,
                 (self._sorted, self._order, jnp.float32(self.alpha), self._initial),
             )
-        elif self._dense:
+        elif self._dense and self.mesh is None:
+            # dense MXU matvec: fastest for small n, but its tiny-K gemm is
+            # not bit-stable across batch sizes — mesh runs use the term
+            # scan instead so trajectories stay identical across device
+            # counts
             out = self._run_batched(
                 lambda pa, ra: _energies_dense(pa[0], pa[1], pa[2], pa[3], ra[0], ra[1], n, ra[2]),
                 pop_args, (self._h_re, self._h_im, self._initial),

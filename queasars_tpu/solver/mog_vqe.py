@@ -111,6 +111,12 @@ class MoGVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             initial_population=configuration.initial_population,
             use_pallas=configuration.use_pallas,
             pack_min_layers=configuration.pack_min_layers,
+            checkpoint_path=configuration.checkpoint_path,
+            resume_from_checkpoint=configuration.resume_from_checkpoint,
+            mesh=configuration.mesh,
+            n_devices=configuration.n_devices,
+            parameter_order=configuration.parameter_order,
+            shard_amplitudes=configuration.shard_amplitudes,
         )
         super().__init__(configuration=config)
 

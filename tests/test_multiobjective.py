@@ -94,3 +94,50 @@ def test_mog_vqe_solve_heisenberg():
     final = result.final_population_evaluation_result
     best_energy = min(final.expectation_values)
     assert any(abs(e - best_energy) < 1e-9 for _, e, _ in front)
+
+
+def test_mog_vqe_mesh_solve_matches_single_device():
+    """MoG-VQE accepts the mesh knobs too: a non-diagonal (Heisenberg)
+    solve sharded over the 8-device mesh matches 1-device.
+
+    Tolerance note: on the CPU-emulated mesh, XLA picks different
+    vectorized-vs-scalar transcendental code paths for different local
+    batch widths, so the general (non-diagonal) path can differ by an
+    ulp that NFT then amplifies slightly; the diagonal hot path is
+    bit-identical (test_mesh_solver.py), and on real TPU meshes the VPU
+    evaluates transcendentals identically at every shape."""
+    from queasars_tpu.parallel import population_mesh
+
+    n = 3
+    hamiltonian = heisenberg(n)
+
+    def solve(n_devices):
+        config = EVQEMinimumEigensolverConfiguration(
+            configured_estimator=ConfiguredEstimator(),
+            configured_sampler=None,
+            optimizer=BatchedNFT(NFTConfig(maxiter=6)),
+            optimizer_n_circuit_evaluations=None,
+            max_generations=2,
+            max_circuit_evaluations=None,
+            termination_criterion=None,
+            random_seed=3,
+            population_size=6,
+            speciation_genetic_distance_threshold=2,
+            selection_alpha_penalty=0.0,
+            selection_beta_penalty=0.0,
+            parameter_search_probability=0.4,
+            topological_search_probability=0.5,
+            layer_removal_probability=0.05,
+            mesh=population_mesh(n_devices),
+        )
+        return MoGVQEMinimumEigensolver(config).compute_minimum_eigenvalue(hamiltonian)
+
+    result_1 = solve(1)
+    result_8 = solve(8)
+    assert result_1.eigenvalue == pytest.approx(result_8.eigenvalue, abs=1e-5)
+    for gen_a, gen_b in zip(
+        result_1.population_evaluation_results, result_8.population_evaluation_results
+    ):
+        np.testing.assert_allclose(
+            gen_a.expectation_values, gen_b.expectation_values, atol=1e-3
+        )
