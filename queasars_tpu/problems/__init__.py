@@ -1,1 +1,15 @@
 """Problem domains (reference layer L5)."""
+
+from queasars_tpu.problems.qubo import (
+    BoundedIntegerVariable,
+    IntegerQuadraticProgram,
+    decode_qubo_bits,
+    qubo_hamiltonian,
+)
+
+__all__ = [
+    "BoundedIntegerVariable",
+    "IntegerQuadraticProgram",
+    "decode_qubo_bits",
+    "qubo_hamiltonian",
+]

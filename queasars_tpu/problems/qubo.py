@@ -1,0 +1,226 @@
+"""QUBO / integer-program to Ising-Hamiltonian encoding.
+
+The reference's example workflows build Hamiltonians with docplex +
+qiskit-optimization (``from_docplex_mp`` -> ``IntegerToBinary`` ->
+``to_ising``; see reference test/minimum_eigensolvers/evqe/model.py:10-23
+and the example notebooks).  This module provides the same pipeline
+natively: binary quadratic objectives and bounded-integer variables map
+to a diagonal :class:`~queasars_tpu.paulis.PauliSum` plus a constant
+offset (dropped from the operator exactly like ``to_ising`` drops it).
+
+Conventions: qubit ``i`` carries binary variable ``x_i``; basis-state bit
+``i`` IS ``x_i`` (little-endian, the framework-wide convention), and the
+substitution is ``x_i = (1 - z_i) / 2``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import ceil, log2
+from typing import Optional, Sequence
+
+import numpy as np
+
+from queasars_tpu.paulis import PauliSum
+from queasars_tpu.paulis.strings import pauli_identity_string, pauli_z_string
+
+
+def _zz_string(i: int, j: int, n_qubits: int) -> PauliSum:
+    label = "".join(
+        "Z" if pos in (n_qubits - 1 - i, n_qubits - 1 - j) else "I" for pos in range(n_qubits)
+    )
+    return PauliSum.from_label(label, 1.0)
+
+
+def qubo_hamiltonian(
+    quadratic: np.ndarray,
+    linear: Optional[np.ndarray] = None,
+    constant: float = 0.0,
+) -> tuple[PauliSum, float]:
+    """Ising form of ``min_x  x^T Q x + l . x + c`` over binary ``x``.
+
+    :param quadratic: [n, n] QUBO matrix (symmetrized internally; the
+        diagonal contributes linearly since x_i^2 = x_i)
+    :param linear: optional [n] linear coefficients
+    :param constant: optional constant term
+    :return: (diagonal PauliSum WITHOUT the identity term, offset) such
+        that objective(x) = <x|H|x> + offset for every basis state
+    """
+    quadratic = np.asarray(quadratic, dtype=np.float64)
+    n = quadratic.shape[0]
+    if quadratic.shape != (n, n):
+        raise ValueError("quadratic must be a square matrix")
+    symmetric = (quadratic + quadratic.T) / 2.0
+    lin = np.zeros(n) if linear is None else np.asarray(linear, dtype=np.float64)
+    if lin.shape != (n,):
+        raise ValueError("linear must have one coefficient per variable")
+
+    # accumulate Ising coefficients in float64 on host (coefficients can
+    # be large for penalty formulations; see SURVEY §7 hard parts)
+    z_coeffs = np.zeros(n)
+    zz_coeffs = np.zeros((n, n))
+    offset = float(constant)
+
+    # diagonal Q_ii x_i^2 = Q_ii x_i folds into the linear part
+    lin = lin + np.diag(symmetric)
+    # x_i = (1 - z_i)/2
+    offset += float(lin.sum()) / 2.0
+    z_coeffs -= lin / 2.0
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            q = 2.0 * symmetric[i, j]  # x_i x_j appears twice in x^T Q x
+            if q == 0.0:
+                continue
+            # x_i x_j = (1 - z_i - z_j + z_i z_j)/4
+            offset += q / 4.0
+            z_coeffs[i] -= q / 4.0
+            z_coeffs[j] -= q / 4.0
+            zz_coeffs[i, j] += q / 4.0
+
+    terms: list[PauliSum] = []
+    for i in range(n):
+        if z_coeffs[i] != 0.0:
+            terms.append(pauli_z_string(i, n) * float(z_coeffs[i]))
+        for j in range(i + 1, n):
+            if zz_coeffs[i, j] != 0.0:
+                terms.append(_zz_string(i, j, n) * float(zz_coeffs[i, j]))
+    if not terms:
+        terms.append(pauli_identity_string(n) * 0.0)
+    return PauliSum.sum(terms), offset
+
+
+def decode_qubo_bits(state: int, n_variables: int) -> list[int]:
+    """Basis state -> binary variable assignment (bit i = x_i)."""
+    return [(state >> i) & 1 for i in range(n_variables)]
+
+
+@dataclass(frozen=True)
+class BoundedIntegerVariable:
+    """A bounded integer variable in the binary coding qiskit-optimization's
+    ``IntegerToBinary`` uses: value = lb + sum_i c_i b_i with c_i = 2^i
+    except the last coefficient, which is clipped so the maximum hits
+    exactly ``ub`` (reference workflow: model.py:18-23).
+
+    :param name: variable name (for decoding reports)
+    :param lowerbound / upperbound: inclusive integer range
+    """
+
+    name: str
+    lowerbound: int
+    upperbound: int
+
+    def __post_init__(self):
+        if self.upperbound <= self.lowerbound:
+            raise ValueError("upperbound must exceed lowerbound")
+
+    @property
+    def n_bits(self) -> int:
+        return ceil(log2(self.upperbound - self.lowerbound + 1))
+
+    @property
+    def coefficients(self) -> tuple[int, ...]:
+        span = self.upperbound - self.lowerbound
+        coeffs = [1 << i for i in range(self.n_bits - 1)]
+        coeffs.append(span - ((1 << (self.n_bits - 1)) - 1))
+        return tuple(coeffs)
+
+    def value_from_bits(self, bits: Sequence[int]) -> int:
+        if len(bits) != self.n_bits:
+            raise ValueError(f"{self.name} needs exactly {self.n_bits} bits")
+        return self.lowerbound + sum(c * b for c, b in zip(self.coefficients, bits))
+
+
+class IntegerQuadraticProgram:
+    """A quadratic objective over bounded integer variables, lowered to a
+    QUBO over the variables' binary codings — the native counterpart of
+    the reference's docplex -> IntegerToBinary -> to_ising pipeline.
+
+    Usage::
+
+        program = IntegerQuadraticProgram()
+        x = program.integer_var(0, 3, "x")
+        y = program.integer_var(0, 3, "y")
+        program.minimize(quadratic={(x, x): 1.0, (y, y): -1.0})
+        hamiltonian, offset = program.to_ising()
+        values = program.decode(state)    # {"x": ..., "y": ...}
+    """
+
+    def __init__(self) -> None:
+        self._variables: list[BoundedIntegerVariable] = []
+        self._quadratic: dict[tuple[int, int], float] = {}
+        self._linear: dict[int, float] = {}
+        self._constant: float = 0.0
+
+    def integer_var(self, lowerbound: int, upperbound: int, name: str) -> int:
+        """Register a variable; returns its index."""
+        self._variables.append(BoundedIntegerVariable(name, lowerbound, upperbound))
+        return len(self._variables) - 1
+
+    def minimize(
+        self,
+        quadratic: Optional[dict[tuple[int, int], float]] = None,
+        linear: Optional[dict[int, float]] = None,
+        constant: float = 0.0,
+    ) -> None:
+        """Set the objective  sum q_ij v_i v_j + sum l_i v_i + c."""
+        self._quadratic = dict(quadratic or {})
+        self._linear = dict(linear or {})
+        self._constant = float(constant)
+
+    @property
+    def n_qubits(self) -> int:
+        return sum(variable.n_bits for variable in self._variables)
+
+    def _bit_layout(self) -> list[tuple[int, int]]:
+        """Per variable: (first qubit index, n_bits), variables packed in
+        registration order from qubit 0 upward."""
+        layout = []
+        cursor = 0
+        for variable in self._variables:
+            layout.append((cursor, variable.n_bits))
+            cursor += variable.n_bits
+        return layout
+
+    def to_ising(self) -> tuple[PauliSum, float]:
+        """Lower to (diagonal PauliSum, constant offset)."""
+        n = self.n_qubits
+        layout = self._bit_layout()
+        # per-variable affine form over the global bit vector:
+        # v_k = lb_k + sum_b w_kb x_b
+        weights = np.zeros((len(self._variables), n))
+        lbs = np.array([v.lowerbound for v in self._variables], dtype=np.float64)
+        for k, (start, bits) in enumerate(layout):
+            for b, coeff in enumerate(self._variables[k].coefficients):
+                weights[k, start + b] = coeff
+
+        quadratic = np.zeros((n, n))
+        linear = np.zeros(n)
+        constant = self._constant
+        for (i, j), q in self._quadratic.items():
+            # v_i v_j = (lb_i + w_i.x)(lb_j + w_j.x)
+            quadratic += q * np.outer(weights[i], weights[j])
+            linear += q * (lbs[i] * weights[j] + lbs[j] * weights[i])
+            constant += q * lbs[i] * lbs[j]
+        for i, l in self._linear.items():
+            linear += l * weights[i]
+            constant += l * lbs[i]
+        return qubo_hamiltonian(quadratic, linear, constant)
+
+    def decode(self, state: int) -> dict[str, int]:
+        """Basis state -> named integer values."""
+        values = {}
+        for variable, (start, bits) in zip(self._variables, self._bit_layout()):
+            assignment = [(state >> (start + b)) & 1 for b in range(bits)]
+            values[variable.name] = variable.value_from_bits(assignment)
+        return values
+
+    def objective_value(self, values: dict[str, int]) -> float:
+        """Objective at an integer assignment (for validation)."""
+        by_index = [values[v.name] for v in self._variables]
+        total = self._constant
+        for (i, j), q in self._quadratic.items():
+            total += q * by_index[i] * by_index[j]
+        for i, l in self._linear.items():
+            total += l * by_index[i]
+        return total
