@@ -37,9 +37,16 @@ from queasars_tpu.genome.packing import PackedPopulation
 POP_AXIS = "pop"
 
 #: population padding quantum — mesh runs pad the population to a multiple
-#: of lcm(n_devices, POPULATION_PAD) so 1-, 2-, 4- and 8-device meshes all
-#: compile the same per-shape program and give bit-identical trajectories
+#: of this (and of the device count) so 1-, 2-, 4- and 8-device meshes
+#: compile consistent per-row programs and give bit-identical trajectories
 POPULATION_PAD = 8
+
+#: minimum individuals per device block: a local batch of 1 makes XLA CPU
+#: pick scalar (libm) transcendental code paths that differ from the
+#: vectorized ones by an ulp — padding to >= 2 per device keeps every
+#: block on the vectorized path and preserves cross-device-count
+#: bit-identity
+MIN_BLOCK = 2
 
 
 def population_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
@@ -55,7 +62,7 @@ def population_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence]
 
 def population_pad_multiple(mesh: Mesh) -> int:
     """The multiple the population axis is padded to for this mesh."""
-    return lcm(mesh.devices.size, POPULATION_PAD)
+    return max(lcm(mesh.devices.size, POPULATION_PAD), MIN_BLOCK * mesh.devices.size)
 
 
 def pad_population_axis(array: np.ndarray, multiple: int) -> np.ndarray:

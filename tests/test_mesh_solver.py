@@ -100,3 +100,35 @@ def test_mesh_solve_reaches_ground_state_energy():
     optimizes: the Z-chain ground state energy is -sum(q+1) = -10."""
     result = _solve(8, generations=4)
     assert result.eigenvalue < -6.0
+
+
+def test_population_smaller_than_mesh():
+    """pop < n_devices: padding fills whole devices with masked
+    individuals; results still match the 1-device mesh exactly."""
+    configuration = EVQEMinimumEigensolverConfiguration(
+        configured_estimator=ConfiguredEstimator(),
+        configured_sampler=None,
+        optimizer=BatchedNFT(NFTConfig(maxiter=4)),
+        optimizer_n_circuit_evaluations=None,
+        max_generations=2,
+        max_circuit_evaluations=None,
+        termination_criterion=None,
+        random_seed=2,
+        population_size=3,
+        speciation_genetic_distance_threshold=2,
+        selection_alpha_penalty=0.1,
+        selection_beta_penalty=0.1,
+        parameter_search_probability=0.5,
+        topological_search_probability=0.5,
+        layer_removal_probability=0.1,
+        use_tournament_selection=True,
+        tournament_size=2,
+        mesh=population_mesh(8),
+    )
+    result_8 = EVQEMinimumEigensolver(configuration).compute_minimum_eigenvalue(_hamiltonian())
+    from dataclasses import replace
+
+    result_1 = EVQEMinimumEigensolver(
+        replace(configuration, mesh=population_mesh(1))
+    ).compute_minimum_eigenvalue(_hamiltonian())
+    _assert_identical_trajectories(result_1, result_8)
