@@ -84,7 +84,16 @@ def run_population_sharded(mesh: Mesh, fn: Callable, pop_args: tuple, rep_args: 
         ``rep_args`` are replicated operands (tables, permutations,
         scalars, optional initial states)
     :return: fn's outputs with global (padded) population axes
+
+    Multi-host: when more than one controller process is attached
+    (``initialize_multihost``), every process runs this same call with
+    identical host data (the solver's host logic is deterministic and
+    replicated); inputs are assembled into global arrays from each
+    process's addressable shards, and outputs are all-gathered so every
+    host sees the full population axis.
     """
+    if jax.process_count() > 1:
+        return _run_population_sharded_multihost(mesh, fn, pop_args, rep_args)
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
@@ -93,6 +102,35 @@ def run_population_sharded(mesh: Mesh, fn: Callable, pop_args: tuple, rep_args: 
         check_vma=False,
     )
     return mapped(pop_args, rep_args)
+
+
+def _run_population_sharded_multihost(mesh: Mesh, fn: Callable, pop_args: tuple, rep_args: tuple):
+    """Multi-controller variant: globalize inputs, all-gather outputs."""
+    pop_sharding = NamedSharding(mesh, P(POP_AXIS))
+    rep_sharding = NamedSharding(mesh, P())
+
+    def globalize(sharding):
+        def build(value):
+            arr = np.asarray(value)
+            return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+        return build
+
+    pop_global = jax.tree.map(globalize(pop_sharding), pop_args)
+    rep_global = jax.tree.map(globalize(rep_sharding), rep_args)
+
+    def gathered(pa, ra):
+        out = fn(pa, ra)
+        return jax.tree.map(lambda x: jax.lax.all_gather(x, POP_AXIS, axis=0, tiled=True), out)
+
+    mapped = jax.shard_map(
+        gathered,
+        mesh=mesh,
+        in_specs=(P(POP_AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return mapped(pop_global, rep_global)
 
 
 def _pad_to_multiple(array: np.ndarray, multiple: int) -> np.ndarray:

@@ -82,3 +82,94 @@ def test_two_process_global_psum(tmp_path):
     for rank, (code, out, err) in enumerate(outputs):
         assert code == 0, f"rank {rank} failed:\n{err[-2000:]}"
         assert f"RANK{rank}_OK" in out
+
+
+SOLVE_WORKER = """
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from queasars_tpu.parallel import initialize_multihost, population_mesh
+
+coordinator, rank = sys.argv[1], int(sys.argv[2])
+initialize_multihost(coordinator_address=coordinator, num_processes=2, process_id=rank)
+assert len(jax.devices()) == 2
+
+from queasars_tpu.optim import BatchedNFT, NFTConfig
+from queasars_tpu.paulis import PauliSum, pauli_z_string
+from queasars_tpu.solver import (
+    ConfiguredEstimator, EVQEMinimumEigensolver, EVQEMinimumEigensolverConfiguration)
+
+hamiltonian = PauliSum.sum([pauli_z_string(q, 4) * float(q + 1) for q in range(4)])
+config = EVQEMinimumEigensolverConfiguration(
+    configured_estimator=ConfiguredEstimator(), configured_sampler=None,
+    optimizer=BatchedNFT(NFTConfig(maxiter=4)), optimizer_n_circuit_evaluations=None,
+    max_generations=2, max_circuit_evaluations=None, termination_criterion=None,
+    random_seed=6, population_size=4, speciation_genetic_distance_threshold=2,
+    selection_alpha_penalty=0.1, selection_beta_penalty=0.1,
+    parameter_search_probability=0.5, topological_search_probability=0.5,
+    layer_removal_probability=0.1, use_tournament_selection=True, tournament_size=2,
+    mesh=population_mesh(),  # spans BOTH processes' devices
+)
+result = EVQEMinimumEigensolver(config).compute_minimum_eigenvalue(hamiltonian)
+trajectory = [list(g.expectation_values) for g in result.population_evaluation_results]
+print("RESULT" + json.dumps({"rank": rank, "eigenvalue": result.eigenvalue,
+                             "trajectory": trajectory}), flush=True)
+"""
+
+
+def test_two_process_evqe_solve_matches_single_process():
+    """A FULL EVQE solve across two controller processes: the mesh spans
+    both hosts' devices, every generation runs as one SPMD program, and
+    both controllers produce the trajectory a single-process 2-device
+    mesh produces — bit-identically."""
+    import json
+
+    coordinator = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", SOLVE_WORKER, coordinator, str(rank)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for rank in range(2)
+    ]
+    payloads = {}
+    for rank, proc in enumerate(procs):
+        out, err = proc.communicate(timeout=280)
+        assert proc.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                payloads[rank] = json.loads(line[len("RESULT"):])
+    assert set(payloads) == {0, 1}
+    # both controllers observed the identical solve
+    assert payloads[0] == {**payloads[1], "rank": 0}
+
+    # and it matches a single-process solve over a 2-device mesh exactly
+    from queasars_tpu.optim import BatchedNFT, NFTConfig
+    from queasars_tpu.parallel import population_mesh
+    from queasars_tpu.paulis import PauliSum, pauli_z_string
+    from queasars_tpu.solver import (
+        ConfiguredEstimator,
+        EVQEMinimumEigensolver,
+        EVQEMinimumEigensolverConfiguration,
+    )
+
+    hamiltonian = PauliSum.sum([pauli_z_string(q, 4) * float(q + 1) for q in range(4)])
+    config = EVQEMinimumEigensolverConfiguration(
+        configured_estimator=ConfiguredEstimator(), configured_sampler=None,
+        optimizer=BatchedNFT(NFTConfig(maxiter=4)), optimizer_n_circuit_evaluations=None,
+        max_generations=2, max_circuit_evaluations=None, termination_criterion=None,
+        random_seed=6, population_size=4, speciation_genetic_distance_threshold=2,
+        selection_alpha_penalty=0.1, selection_beta_penalty=0.1,
+        parameter_search_probability=0.5, topological_search_probability=0.5,
+        layer_removal_probability=0.1, use_tournament_selection=True, tournament_size=2,
+        mesh=population_mesh(2),
+    )
+    local = EVQEMinimumEigensolver(config).compute_minimum_eigenvalue(hamiltonian)
+    assert payloads[0]["eigenvalue"] == local.eigenvalue
+    assert payloads[0]["trajectory"] == [
+        list(g.expectation_values) for g in local.population_evaluation_results
+    ]
