@@ -62,7 +62,9 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         mesh; the axis is renamed to ``amp``)
     :param alpha: CVaR lower-tail mass in (0, 1]
     :param shots: finite measurement shots (None = exact distributions)
-    :param seed: RNG seed for the shot sampling
+    :param seed: RNG seed for the shot sampling / precision noise
+    :param precision: standard error of each reported energy (seeded
+        Gaussian noise, matching StatevectorExpectationEvaluator)
     """
 
     def __init__(
@@ -72,6 +74,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         alpha: float = 1.0,
         shots: Optional[int] = None,
         seed: int = 0,
+        precision: float = 0.0,
     ):
         super().__init__(operator.n_qubits)
         if not operator.is_diagonal:
@@ -81,10 +84,14 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             )
         if not 0 < alpha <= 1:
             raise ValueError("alpha must be in the range (0, 1]!")
+        if precision < 0:
+            raise ValueError("precision must be non-negative")
         self.operator = operator
         self.amp_mesh = as_amplitude_mesh(mesh)
         self.alpha = float(alpha)
         self.shots = None if shots is None else int(shots)
+        self.precision = float(precision)
+        self._noise_rng = np.random.default_rng(seed)
         table = diagonal_energy_table(operator, dtype=np.float32)
         self._table_host = table
         self._table = jax.device_put(
@@ -116,6 +123,13 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         base = jax.random.fold_in(self._key, self._counter)
         return jax.random.split(base, pop)
 
+    def _apply_precision_noise(self, energies: np.ndarray) -> np.ndarray:
+        if self.precision == 0.0:
+            return energies
+        return energies + self._noise_rng.normal(0.0, self.precision, size=energies.shape).astype(
+            energies.dtype
+        )
+
     def evaluate_packed(self, packed, angles=None):
         a = packed.angles if angles is None else angles
         energies_fn, probs_fn = self._shape_fns(packed)
@@ -123,7 +137,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             out = energies_fn(
                 packed.gate_types, packed.controls, a, packed.layer_mask, self._table
             )
-            return np.asarray(out)
+            return self._apply_precision_noise(np.asarray(out))
         probs = probs_fn(packed.gate_types, packed.controls, a, packed.layer_mask)
         if self.shots is not None:
             keys = self._next_keys(packed.n_individuals)
@@ -135,4 +149,4 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             out = cvar_expectation_from_probs(
                 probs, self._sorted, self._order, jnp.float32(self.alpha)
             )
-        return np.asarray(out)
+        return self._apply_precision_noise(np.asarray(out))

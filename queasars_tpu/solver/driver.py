@@ -199,7 +199,13 @@ class EvolvingAnsatzMinimumEigensolver:
                     AmplitudeShardedExpectationEvaluator,
                 )
 
-                return AmplitudeShardedExpectationEvaluator(operator=op, mesh=mesh)
+                estimator = self.configuration.configured_estimator
+                return AmplitudeShardedExpectationEvaluator(
+                    operator=op,
+                    mesh=mesh,
+                    precision=estimator.precision or 0.0,
+                    seed=estimator.seed,
+                )
             if self.configuration.configured_estimator is not None:
                 evaluator = StatevectorExpectationEvaluator(
                     operator=op,
