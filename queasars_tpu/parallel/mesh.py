@@ -133,10 +133,6 @@ def _run_population_sharded_multihost(mesh: Mesh, fn: Callable, pop_args: tuple,
     return mapped(pop_global, rep_global)
 
 
-def _pad_to_multiple(array: np.ndarray, multiple: int) -> np.ndarray:
-    return pad_population_axis(array, multiple)
-
-
 def shard_packed(packed: PackedPopulation, mesh: Mesh) -> tuple[dict, int]:
     """Place a packed population's tensors on the mesh, sharded over the
     population axis (padding the population to the mesh's pad multiple).

@@ -1,6 +1,11 @@
 """Seeded trajectory determinism: identical configs produce identical
-solves (the reproducibility contract, BASELINE.md 'seeded trajectory
-fidelity' — deterministic within this framework across runs/devices)."""
+solves — the run-to-run reproducibility contract.
+
+Reference *parity* (as opposed to self-consistency) is pinned elsewhere:
+genome structures/draws against a reference-derived oracle + static
+fixtures (test_reference_fixtures.py), the reference's E2E anchor
+(test_reference_anchor.py), and committed solve-trajectory fixtures
+(test_trajectory_fixtures.py)."""
 
 import numpy as np
 
