@@ -93,7 +93,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         self.precision = float(precision)
         self._noise_rng = np.random.default_rng(seed)
         table = diagonal_energy_table(operator, dtype=np.float32)
-        self._table_host = table
+        self._table_host = jnp.asarray(table)  # transferred once
         self._table = jax.device_put(
             table, NamedSharding(self.amp_mesh, P(AMP_AXIS))
         )
@@ -144,7 +144,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             counts = jax.vmap(lambda k, p: sample_counts(k, p, self.shots))(keys, probs)
             probs = counts.astype(jnp.float32) / self.shots
         if self.alpha >= 1.0:
-            out = expectation_from_probs(probs, jnp.asarray(self._table_host))
+            out = expectation_from_probs(probs, self._table_host)
         else:
             out = cvar_expectation_from_probs(
                 probs, self._sorted, self._order, jnp.float32(self.alpha)
