@@ -59,3 +59,53 @@ def test_gantt_plots(tmp_path):
     assert os.path.getsize(path_solution) > 0
     fig = plot_jssp_problem_instance_gantt(instance)
     assert fig is not None
+
+
+def test_reference_wire_format_population_decodes():
+    """A population JSON authored in the REFERENCE encoder's exact wire
+    format (sentinel keys and nesting transcribed from
+    evqe/serialization.py:33-64 and quantum_circuit/serialization.py:30-59)
+    decodes into our genome objects and round-trips byte-compatibly."""
+    import json
+    import os
+
+    from queasars_tpu.genome import EVQEPopulation
+    from queasars_tpu.genome.gates import (
+        ControlGate,
+        ControlledRotationGate,
+        IdentityGate,
+        RotationGate,
+    )
+    from queasars_tpu.genome.serialization import (
+        EVQEPopulationJSONDecoder,
+        EVQEPopulationJSONEncoder,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "reference_wire_population.json")
+    with open(path) as fh:
+        population = json.load(fh, cls=EVQEPopulationJSONDecoder)
+
+    assert isinstance(population, EVQEPopulation)
+    assert len(population.individuals) == 2
+    first = population.individuals[0]
+    assert first.n_qubits == 3
+    gates = first.layers[0].gates
+    assert isinstance(gates[0], RotationGate)
+    assert isinstance(gates[1], ControlledRotationGate) and gates[1].control_qubit_index == 2
+    assert isinstance(gates[2], ControlGate) and gates[2].controlled_qubit_index == 1
+    assert first.parameter_values == (0.1, 0.2, 0.3, 0.4, 0.5, 0.6)
+    assert isinstance(population.individuals[1].layers[0].gates[2], IdentityGate)
+    # speciation state restored
+    assert population.species_members is not None
+    ((representative, members),) = population.species_members.items()
+    assert members == [0, 1]
+    assert population.species_membership[0] == representative
+
+    # our encoder emits the same wire format back
+    redecoded = json.loads(
+        json.dumps(population, cls=EVQEPopulationJSONEncoder), cls=EVQEPopulationJSONDecoder
+    )
+    assert redecoded.individuals == population.individuals
+    with open(path) as fh:
+        raw = json.load(fh)
+    assert json.loads(json.dumps(population, cls=EVQEPopulationJSONEncoder)) == raw
