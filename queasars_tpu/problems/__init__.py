@@ -4,6 +4,7 @@ from queasars_tpu.problems.qubo import (
     BoundedIntegerVariable,
     IntegerQuadraticProgram,
     decode_qubo_bits,
+    maxcut_hamiltonian,
     qubo_hamiltonian,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "BoundedIntegerVariable",
     "IntegerQuadraticProgram",
     "decode_qubo_bits",
+    "maxcut_hamiltonian",
     "qubo_hamiltonian",
 ]

@@ -95,6 +95,37 @@ def decode_qubo_bits(state: int, n_variables: int) -> list[int]:
     return [(state >> i) & 1 for i in range(n_variables)]
 
 
+def maxcut_hamiltonian(
+    n_nodes: int,
+    edges: Sequence[tuple[int, int]],
+    weights: Optional[Sequence[float]] = None,
+) -> tuple[PauliSum, float]:
+    """Ising form of (weighted) MaxCut: minimizing the returned operator
+    maximizes the cut.
+
+    cut(x) = sum_{(i,j)} w_ij [x_i != x_j]; with x_i = (1 - z_i)/2 this is
+    sum w_ij (1 - z_i z_j)/2, so H = sum (w_ij / 2) Z_i Z_j and
+    cut = offset + <x|(-H... (precisely: cut(x) = offset - <x|H|x> with
+    offset = sum(w)/2 — the returned offset).
+
+    :return: (H, offset) with cut_value(state) = offset - <state|H|state>
+    """
+    if weights is None:
+        weights = [1.0] * len(edges)
+    if len(weights) != len(edges):
+        raise ValueError("one weight per edge required")
+    terms: list[PauliSum] = []
+    offset = 0.0
+    for (i, j), w in zip(edges, weights):
+        if not (0 <= i < n_nodes and 0 <= j < n_nodes) or i == j:
+            raise ValueError(f"invalid edge ({i}, {j})")
+        terms.append(_zz_string(i, j, n_nodes) * (w / 2.0))
+        offset += w / 2.0
+    if not terms:
+        terms.append(pauli_identity_string(n_nodes) * 0.0)
+    return PauliSum.sum(terms), offset
+
+
 @dataclass(frozen=True)
 class BoundedIntegerVariable:
     """A bounded integer variable in the binary coding qiskit-optimization's

@@ -108,3 +108,62 @@ def test_integer_program_solve_end_to_end():
     result = EVQEMinimumEigensolver(configuration).compute_minimum_eigenvalue(hamiltonian)
     likeliest = max(result.eigenstate.items(), key=lambda kv: kv[1])[0]
     assert program.decode(likeliest) == {"x": 0, "y": 3}
+
+
+def test_maxcut_hamiltonian_exhaustive():
+    """Every basis state's cut value = offset - <H> (5-node weighted graph)."""
+    from queasars_tpu.problems.qubo import maxcut_hamiltonian
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 3)]
+    weights = [1.0, 2.0, 0.5, 1.5, 1.0, 3.0]
+    hamiltonian, offset = maxcut_hamiltonian(5, edges, weights)
+    table = diagonal_energy_table(hamiltonian)
+    for state in range(1 << 5):
+        bits = decode_qubo_bits(state, 5)
+        cut = sum(w for (i, j), w in zip(edges, weights) if bits[i] != bits[j])
+        assert offset - table[state] == pytest.approx(cut, abs=1e-9)
+    # the operator's minimum is the maximum cut
+    best = int(np.argmin(table))
+    best_bits = decode_qubo_bits(best, 5)
+    best_cut = sum(w for (i, j), w in zip(edges, weights) if best_bits[i] != best_bits[j])
+    all_cuts = [
+        sum(w for (i, j), w in zip(edges, weights)
+            if decode_qubo_bits(s, 5)[i] != decode_qubo_bits(s, 5)[j])
+        for s in range(1 << 5)
+    ]
+    assert best_cut == pytest.approx(max(all_cuts))
+
+
+def test_maxcut_solve_end_to_end():
+    from queasars_tpu.optim import BatchedNFT, NFTConfig
+    from queasars_tpu.problems.qubo import maxcut_hamiltonian
+    from queasars_tpu.solver import (
+        ConfiguredEstimator,
+        ConfiguredSampler,
+        EVQEMinimumEigensolver,
+        EVQEMinimumEigensolverConfiguration,
+    )
+
+    # a 4-cycle: max cut = 4 (alternating partition)
+    hamiltonian, offset = maxcut_hamiltonian(4, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    configuration = EVQEMinimumEigensolverConfiguration(
+        configured_estimator=ConfiguredEstimator(),
+        configured_sampler=ConfiguredSampler(shots=512, seed=0),
+        optimizer=BatchedNFT(NFTConfig(maxiter=15)),
+        optimizer_n_circuit_evaluations=None,
+        max_generations=3,
+        max_circuit_evaluations=None,
+        termination_criterion=None,
+        random_seed=0,
+        population_size=8,
+        speciation_genetic_distance_threshold=2,
+        selection_alpha_penalty=0.1,
+        selection_beta_penalty=0.1,
+        parameter_search_probability=0.4,
+        topological_search_probability=0.4,
+        layer_removal_probability=0.05,
+        use_tournament_selection=True,
+        tournament_size=2,
+    )
+    result = EVQEMinimumEigensolver(configuration).compute_minimum_eigenvalue(hamiltonian)
+    assert offset - result.eigenvalue == pytest.approx(4.0, abs=1e-3)
