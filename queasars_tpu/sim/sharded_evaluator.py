@@ -14,7 +14,10 @@ Distribution notes:
   one ``psum`` — only P scalars leave the mesh;
 - CVaR / shot paths operate on the amplitude-sharded probability array
   with global ops (the energy-order gather crosses shards; XLA inserts
-  the collectives) — correct everywhere, cheapest below ~24 qubits.
+  the collectives) — correct everywhere, cheapest below ~24 qubits;
+- single-controller meshes only for now: population sharding
+  (parallel/mesh.py) is multi-controller aware, amplitude sharding is
+  not yet (its table placement uses direct device_put).
 """
 
 from __future__ import annotations
