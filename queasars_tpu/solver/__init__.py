@@ -41,3 +41,7 @@ __all__ = [
     "MoGVQEMinimumEigensolver",
     "result_pareto_front",
 ]
+
+from queasars_tpu.solver.visualization import plot_convergence, plot_pareto_front  # noqa: E402
+
+__all__ += ["plot_convergence", "plot_pareto_front"]
