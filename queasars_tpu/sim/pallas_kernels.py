@@ -8,9 +8,12 @@ state planes, every gate is applied with VPU ops + ``pltpu.roll`` partner
 exchanges, and only the final scalar energy (or the probability vector)
 leaves the chip.
 
-VMEM budget at n=20: state 2 x 4 MB + energy table 4 MB = 12 MB of the
-~16 MB/core — the documented working limit of the fused path.  n < 7
-(state smaller than one 128-lane row) falls back to the jnp engine.
+VMEM budget at n=20: state 2 x 4 MB + energy table 4 MB = 12 MB resident
+plus roll temporaries — past the 16 MB default scoped budget (hence the
+raised ``vmem_limit_bytes``) and, with the compiler's working set, at the
+edge of the 128 MB physical VMEM; n=21 fails to compile, which pins the
+documented n <= 20 working limit.  n < 7 (state smaller than one 128-lane
+row) falls back to the jnp engine.
 
 Layout: the 2^n amplitudes live as [R, 128] float32 planes with
 R = 2^(n-7); flat index = row * 128 + lane, bit q of the flat index is
