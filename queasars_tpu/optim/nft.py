@@ -233,6 +233,15 @@ class BatchedNFT:
         if coords.shape[1] == 0 or not np.any(np.logical_and(active, n_free > 0)):
             # nothing to optimize (e.g. an all-identity layer)
             return np.asarray(a), np.asarray(evaluator.evaluate_packed(packed, angles=a)), 0
+        # evaluators that own their distribution (amplitude sharding) may
+        # provide a device-side NFT sweep of their own; None = not
+        # applicable for this configuration
+        device_nft = getattr(evaluator, "nft_minimize", None)
+        if device_nft is not None:
+            device_result = device_nft(packed, coords, n_free, active, a, self.config, seed)
+            if device_result is not None:
+                out_angles, energies = device_result
+                return out_angles, energies, self.config.n_circuit_evaluations()
         try:
             operands = objective_operands(evaluator)
         except TypeError:

@@ -6,8 +6,9 @@ the population loops per device — the factorization to use when 2^n
 amplitudes no longer fit a single chip (n >~ 30 at f32 pairs on 16 GB
 HBM; configurable lower for headroom).  Exposes the same
 ``evaluate_packed`` contract as the single-chip evaluators, so the whole
-solver stack (selection, host-stepped NFT, budget ledger) runs unchanged
-on top.
+solver stack runs unchanged on top — and provides a device-side NFT sweep
+(:meth:`AmplitudeShardedExpectationEvaluator.nft_minimize`) so the exact
+optimization hot path runs as one compiled SPMD scan over the mesh.
 
 Distribution notes:
 - exact alpha=1 energies are fully distributed: local diagonal dot +
@@ -37,6 +38,7 @@ from queasars_tpu.sim.expectation import cvar_expectation_from_probs, expectatio
 from queasars_tpu.sim.sampling import sample_counts
 from queasars_tpu.sim.sharded_statevector import (
     AMP_AXIS,
+    make_population_energies_body,
     make_sharded_population_energies_fn,
     make_sharded_population_probs_fn,
 )
@@ -125,6 +127,83 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         self._counter += 1
         base = jax.random.fold_in(self._key, self._counter)
         return jax.random.split(base, pop)
+
+    def _nft_fn(self, maxiter: int, reset_interval: int):
+        """Compiled amplitude-sharded NFT sweep (cached per hyperparams;
+        shapes are handled by jit retracing)."""
+        import jax
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        key = ("nft", maxiter, reset_interval)
+        if key in self._fns:
+            return self._fns[key]
+
+        body = make_population_energies_body(self.amp_mesh, self.n_qubits)
+
+        def nft(gate_types, controls, layer_mask, angles, coords, n_free, active, table_local):
+            pop = gate_types.shape[0]
+            pop_idx = jnp.arange(pop)
+
+            def objective(a):
+                return body(gate_types, controls, a, layer_mask, table_local)
+
+            def step(carry, k):
+                angles_c, z0 = carry
+                z0 = jax.lax.cond(
+                    (k % reset_interval) == 0, lambda: objective(angles_c), lambda: z0
+                )
+                idx = jnp.where(n_free > 0, k % jnp.maximum(n_free, 1), 0)
+                coord = coords[pop_idx, idx]
+                l, q, a_i = coord[:, 0], coord[:, 1], coord[:, 2]
+                plus = angles_c.at[pop_idx, l, q, a_i].add(jnp.pi / 2)
+                minus = angles_c.at[pop_idx, l, q, a_i].add(-jnp.pi / 2)
+                z1 = objective(plus)
+                z3 = objective(minus)
+                mid = (z1 + z3) / 2
+                shift = jnp.arctan2((z1 - z3) / 2, z0 - mid)
+                minimum_value = mid - jnp.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
+                updated = angles_c.at[pop_idx, l, q, a_i].add(shift + jnp.pi)
+                apply = jnp.logical_and(active, n_free > 0)
+                angles_c = jnp.where(apply[:, None, None, None], updated, angles_c)
+                z0 = jnp.where(apply, minimum_value, z0)
+                return (angles_c, z0), None
+
+            init = (angles, jnp.zeros(pop, jnp.float32))
+            (angles_final, z0), _ = jax.lax.scan(step, init, jnp.arange(maxiter))
+            return angles_final, z0
+
+        mapped = jax.jit(
+            shard_map(
+                nft,
+                mesh=self.amp_mesh,
+                in_specs=(PartitionSpec(),) * 7 + (PartitionSpec(AMP_AXIS),),
+                out_specs=(PartitionSpec(), PartitionSpec()),
+                check_vma=False,
+            )
+        )
+        self._fns[key] = mapped
+        return mapped
+
+    def nft_minimize(self, packed, coords, n_free, active, angles, config, seed):
+        """Device-side NFT sweep for BatchedNFT's evaluator hook: the whole
+        maxiter scan (simulation, psum reductions, parameter updates) runs
+        as ONE compiled SPMD program over the amplitude mesh — instead of
+        one host dispatch per probe.  Returns None when this evaluator
+        configuration needs the host-stepped path (CVaR tails, finite
+        shots, precision noise, five-point NFT)."""
+        if self.alpha < 1.0 or self.shots is not None or self.precision > 0.0:
+            return None
+        if getattr(config, "five_point", False):
+            return None
+        fn = self._nft_fn(config.maxiter, config.reset_interval)
+        out_angles, energies = fn(
+            packed.gate_types, packed.controls, packed.layer_mask,
+            jnp.asarray(angles), jnp.asarray(coords), jnp.asarray(n_free),
+            jnp.asarray(active), self._table,
+        )
+        return np.asarray(out_angles), np.asarray(energies)
 
     def _apply_precision_noise(self, energies: np.ndarray) -> np.ndarray:
         if self.precision == 0.0:

@@ -225,14 +225,17 @@ def make_sharded_population_probs_fn(mesh: Mesh, n_qubits: int):
     return jax.jit(mapped)
 
 
-def make_sharded_population_energies_fn(mesh: Mesh, n_qubits: int):
-    """Build a jitted ``([P,L,n] genome tensors, table [2^n]) ->
-    energies [P]`` function: amplitude-sharded simulation, local diagonal
-    contraction, one psum over the amp axis — only P scalars leave the
-    mesh."""
+def make_population_energies_body(mesh: Mesh, n_qubits: int):
+    """The per-device energies computation for use INSIDE a ``shard_map``
+    over the amp axis: ``(genome tensors [P,L,n] (replicated),
+    table_local [2^n / D]) -> energies [P] (replicated via psum)``.
+
+    Exposed separately so optimizer scans can close over it and run whole
+    parameter sweeps on device (one compiled program, collectives
+    included) instead of paying a host dispatch per probe."""
     n_devices, local_bits = _mesh_bits(mesh, n_qubits)
 
-    def sharded_body(gate_types, controls, angles, layer_mask, table_local):
+    def body(gate_types, controls, angles, layer_mask, table_local):
         device_id = jax.lax.axis_index(AMP_AXIS)
 
         def one(args):
@@ -246,8 +249,17 @@ def make_sharded_population_energies_fn(mesh: Mesh, n_qubits: int):
         partials = jax.lax.map(one, (gate_types, controls, angles, layer_mask))
         return jax.lax.psum(partials, AMP_AXIS)
 
+    return body
+
+
+def make_sharded_population_energies_fn(mesh: Mesh, n_qubits: int):
+    """Build a jitted ``([P,L,n] genome tensors, table [2^n]) ->
+    energies [P]`` function: amplitude-sharded simulation, local diagonal
+    contraction, one psum over the amp axis — only P scalars leave the
+    mesh."""
+    body = make_population_energies_body(mesh, n_qubits)
     mapped = shard_map(
-        sharded_body,
+        body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(AMP_AXIS)),
         out_specs=P(),

@@ -213,3 +213,62 @@ def test_amplitude_sharding_beyond_single_chip_qubits():
     assert energies.shape == (2,)
     assert np.all(np.abs(energies) <= n_qubits + 1e-3)
     assert np.all(np.isfinite(energies))
+
+
+def test_amplitude_sharded_device_nft_matches_single_chip():
+    """The device-side NFT sweep over the amplitude mesh produces the same
+    optimization as single-chip batched NFT (same 3-point math; the psum
+    reduction tolerates float reordering)."""
+    from queasars_tpu.optim.nft import BatchedNFT, NFTConfig
+
+    packed = _population(n_qubits=8, pop=4, layers=2, seed=6)
+    operator = _chain(packed.n_qubits)
+    coords = np.stack(
+        [
+            np.pad(
+                packed.param_coordinates(i),
+                ((0, int(packed.n_params.max()) - packed.n_params[i]), (0, 0)),
+            )
+            for i in range(packed.n_individuals)
+        ]
+    )
+    active = np.ones(packed.n_individuals, bool)
+    optimizer = BatchedNFT(NFTConfig(maxiter=8))
+
+    sharded_eval = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(8))
+    angles_sharded, energies_sharded, nfev = optimizer.minimize(
+        sharded_eval, packed, coords, packed.n_params, active, seed=0
+    )
+    assert nfev == NFTConfig(maxiter=8).n_circuit_evaluations()
+
+    single_eval = StatevectorExpectationEvaluator(operator)
+    angles_single, energies_single, _ = optimizer.minimize(
+        single_eval, packed, coords, packed.n_params, active, seed=0
+    )
+    # raw angles can differ by arctan2 branch flips on degenerate (flat)
+    # coordinates — the OUTCOMES must agree: reported energies, and the
+    # true energies of the returned angle tensors
+    np.testing.assert_allclose(energies_sharded, energies_single, atol=2e-4)
+    np.testing.assert_allclose(
+        single_eval.evaluate_packed(packed, angles=angles_sharded),
+        single_eval.evaluate_packed(packed, angles=angles_single),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        single_eval.evaluate_packed(packed, angles=angles_sharded), energies_sharded, atol=2e-4
+    )
+    # it actually optimized
+    before = single_eval.evaluate_packed(packed)
+    assert energies_sharded.sum() < before.sum()
+
+
+def test_amplitude_sharded_nft_falls_back_for_cvar():
+    from queasars_tpu.optim.nft import NFTConfig
+
+    packed = _population(n_qubits=8, pop=2, layers=1, seed=1)
+    operator = _chain(packed.n_qubits)
+    evaluator = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(8), alpha=0.5)
+    assert evaluator.nft_minimize(
+        packed, np.zeros((2, 1, 3), np.int32), np.ones(2, np.int32),
+        np.ones(2, bool), packed.angles, NFTConfig(maxiter=2), 0,
+    ) is None
