@@ -31,18 +31,35 @@ class SPSATerminationChecker:
         maxfev: Optional[int] = None,
     ):
         self._minimum_relative_change = minimum_relative_change
-        self._allowed_consecutive_violations = allowed_consecutive_violations
+        self._window = allowed_consecutive_violations + 1
         self._maxfev = maxfev
         self._reset()
 
     def _reset(self) -> None:
-        self._function_value_history: list[float] = []
-        self._change_history: list[float] = []
-        self._n_function_evaluations = 0
-        self._n_function_evaluation_history: list[float] = []
-        self._best_function_value = float("inf")
-        self._best_parameter_values: Optional[np.ndarray] = None
+        self._values: list[float] = []
+        self._changes: list[float] = []
+        self._nfev = 0
+        self._nfev_history: list[float] = []
+        self._best_value = float("inf")
+        self._best_parameters: Optional[np.ndarray] = None
         self._done = False
+
+    def _record(self, nfev: int, parameters: np.ndarray, value: float) -> None:
+        self._values.append(value)
+        self._nfev_history.append(nfev)
+        if value < self._best_value:
+            self._best_value = value
+            self._best_parameters = np.asarray(parameters).copy()
+
+    def _stalled(self) -> bool:
+        """True when the last ``window`` relative changes all sit below the
+        threshold (the reference's consecutive-violation rule)."""
+        if len(self._values) < 2:
+            return False
+        previous = self._values[-2]
+        self._changes.append(abs(self._values[-1] - previous) / previous)
+        recent = self._changes[-self._window :]
+        return len(recent) >= self._window and max(recent) < self._minimum_relative_change
 
     def termination_check(
         self,
@@ -57,60 +74,42 @@ class SPSATerminationChecker:
         Reference: spsa_termination.py:48-96 (including the reuse
         auto-reset and the maxfev check preceding the accepted gate).
         """
-        if self._done or n_function_evaluations < self._n_function_evaluations:
+        if self._done or n_function_evaluations < self._nfev:
             self._reset()
+        self._nfev = n_function_evaluations
 
-        self._n_function_evaluations = n_function_evaluations
-
-        if self._maxfev is not None and self._n_function_evaluations >= self._maxfev:
+        if self._maxfev is not None and self._nfev >= self._maxfev:
             return True
-
         if not accepted:
             return False
 
-        self._function_value_history.append(function_value)
-        self._n_function_evaluation_history.append(n_function_evaluations)
-
-        if function_value < self._best_function_value:
-            self._best_function_value = function_value
-            self._best_parameter_values = np.asarray(parameter_values).copy()
-
-        if len(self._function_value_history) < 2:
-            return False
-
-        change = abs(function_value - self._function_value_history[-2]) / self._function_value_history[-2]
-        self._change_history.append(change)
-
-        if len(self._change_history) < self._allowed_consecutive_violations + 1:
-            return False
-
-        window = self._change_history[-self._allowed_consecutive_violations - 1 :]
-        if max(window) < self._minimum_relative_change:
+        self._record(n_function_evaluations, parameter_values, function_value)
+        if self._stalled():
             self._done = True
             return True
         return False
 
     @property
     def n_function_evaluations(self) -> int:
-        return self._n_function_evaluations
+        return self._nfev
 
     @property
     def function_value_history(self) -> list[float]:
-        return self._function_value_history
+        return self._values
 
     @property
     def n_function_evaluation_history(self) -> list[float]:
-        return self._n_function_evaluation_history
+        return self._nfev_history
 
     @property
     def best_function_value(self) -> float:
-        return self._best_function_value
+        return self._best_value
 
     @property
     def best_parameter_values(self) -> np.ndarray:
-        if self._best_parameter_values is None:
+        if self._best_parameters is None:
             raise ValueError(
-                "The termination checker seems to have never been called! "
-                "Therefore it currently stores no parameter values!"
+                "no accepted evaluation recorded yet — run the optimizer "
+                "before reading best_parameter_values"
             )
-        return self._best_parameter_values
+        return self._best_parameters

@@ -4,6 +4,10 @@ Wire-compatible with the reference codec
 (queasars/job_shop_scheduling/serialization.py:18-193): the same sentinel
 keys ("machine_name", "operation_name", "tuple", "dict", ...) are used so
 JSON produced by either implementation round-trips through the other.
+
+Implementation is table-driven: one spec per dataclass maps constructor
+fields to their wire keys, and both directions (encode/decode) are
+generated from it.
 """
 
 from __future__ import annotations
@@ -21,13 +25,39 @@ from queasars_tpu.problems.jssp.problem_instances import (
     UnscheduledOperation,
 )
 
+#: dataclass -> ordered (constructor_field, wire_key) pairs; the FIRST wire
+#: key doubles as the decoder's dispatch sentinel
+_WIRE_SPECS: dict[type, tuple[tuple[str, str], ...]] = {
+    Machine: (("name", "machine_name"),),
+    Operation: (
+        ("name", "operation_name"),
+        ("job_name", "operation_job_name"),
+        ("machine", "operation_machine"),
+        ("processing_duration", "operation_processing_duration"),
+    ),
+    Job: (("name", "job_name"), ("operations", "job_operations")),
+    JobShopSchedulingProblemInstance: (
+        ("name", "jssp_instance_name"),
+        ("machines", "jssp_instance_machines"),
+        ("jobs", "jssp_instance_jobs"),
+    ),
+    UnscheduledOperation: (("operation", "unscheduled_operation"),),
+    ScheduledOperation: (
+        ("operation", "scheduled_operation"),
+        ("start_time", "scheduled_start_time"),
+    ),
+    JobShopSchedulingResult: (
+        ("problem_instance", "jssp_result_problem_instance"),
+        ("schedule", "jssp_result_schedule"),
+    ),
+}
+
+_SENTINEL_TO_TYPE = {spec[0][1]: cls for cls, spec in _WIRE_SPECS.items()}
+
 
 class JSSPJSONEncoder(JSONEncoder):
-    """Serializes Machine, Operation, Job, JobShopSchedulingProblemInstance,
-    (Un)ScheduledOperation and JobShopSchedulingResult.
-
-    Reference key scheme: serialization.py:31-78.
-    """
+    """Serializes the JSSP data model plus tuple/dict containers
+    (reference key scheme: serialization.py:31-78)."""
 
     def default(self, o: Any) -> Any:
         if isinstance(o, tuple):
@@ -36,35 +66,13 @@ class JSSPJSONEncoder(JSONEncoder):
             return [self.default(entry) for entry in o]
         if isinstance(o, dict):
             return {"dict": self.default(list(o.items()))}
-        if isinstance(o, Machine):
-            return {"machine_name": o.name}
-        if isinstance(o, Operation):
-            return {
-                "operation_name": o.name,
-                "operation_job_name": o.job_name,
-                "operation_machine": self.default(o.machine),
-                "operation_processing_duration": o.processing_duration,
-            }
-        if isinstance(o, Job):
-            return {"job_name": o.name, "job_operations": self.default(o.operations)}
-        if isinstance(o, JobShopSchedulingProblemInstance):
-            return {
-                "jssp_instance_name": o.name,
-                "jssp_instance_machines": self.default(o.machines),
-                "jssp_instance_jobs": self.default(o.jobs),
-            }
-        if isinstance(o, UnscheduledOperation):
-            return {"unscheduled_operation": self.default(o.operation)}
-        if isinstance(o, ScheduledOperation):
-            return {
-                "scheduled_operation": self.default(o.operation),
-                "scheduled_start_time": self.default(o.start_time),
-            }
-        if isinstance(o, JobShopSchedulingResult):
-            return {
-                "jssp_result_problem_instance": self.default(o.problem_instance),
-                "jssp_result_schedule": self.default(o.schedule),
-            }
+        spec = _WIRE_SPECS.get(type(o))
+        if spec is not None:
+            payload = {}
+            for field, wire_key in spec:
+                value = getattr(o, field)
+                payload[wire_key] = value if isinstance(value, (str, int, float)) else self.default(value)
+            return payload
         return o
 
 
@@ -75,38 +83,17 @@ class JSSPJSONDecoder(JSONDecoder):
     def __init__(self, *args, **kwargs):
         super().__init__(object_hook=self.object_hook, *args, **kwargs)
 
-    def object_hook(self, object_dict):
-        if "tuple" in object_dict and len(object_dict) == 1:
-            return tuple(object_dict["tuple"])
-        if "dict" in object_dict and len(object_dict) == 1:
-            return dict(object_dict["dict"])
-        if "machine_name" in object_dict:
-            return Machine(name=object_dict["machine_name"])
-        if "operation_name" in object_dict:
-            return Operation(
-                name=object_dict["operation_name"],
-                job_name=object_dict["operation_job_name"],
-                machine=object_dict["operation_machine"],
-                processing_duration=object_dict["operation_processing_duration"],
-            )
-        if "job_name" in object_dict:
-            return Job(name=object_dict["job_name"], operations=object_dict["job_operations"])
-        if "jssp_instance_name" in object_dict:
-            return JobShopSchedulingProblemInstance(
-                name=object_dict["jssp_instance_name"],
-                machines=object_dict["jssp_instance_machines"],
-                jobs=object_dict["jssp_instance_jobs"],
-            )
-        if "unscheduled_operation" in object_dict:
-            return UnscheduledOperation(operation=object_dict["unscheduled_operation"])
-        if "scheduled_operation" in object_dict:
-            return ScheduledOperation(
-                operation=object_dict["scheduled_operation"],
-                start_time=object_dict["scheduled_start_time"],
-            )
-        if "jssp_result_problem_instance" in object_dict:
-            return JobShopSchedulingResult(
-                problem_instance=object_dict["jssp_result_problem_instance"],
-                schedule=object_dict["jssp_result_schedule"],
-            )
+    @staticmethod
+    def object_hook(object_dict):
+        if len(object_dict) == 1:
+            if "tuple" in object_dict:
+                return tuple(object_dict["tuple"])
+            if "dict" in object_dict:
+                return dict(object_dict["dict"])
+        for sentinel, cls in _SENTINEL_TO_TYPE.items():
+            if sentinel in object_dict:
+                kwargs = {
+                    field: object_dict[wire_key] for field, wire_key in _WIRE_SPECS[cls]
+                }
+                return cls(**kwargs)
         return object_dict
