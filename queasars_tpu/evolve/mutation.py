@@ -18,6 +18,7 @@ evaluates the whole batch each step.
 
 from __future__ import annotations
 
+import inspect
 from math import ceil
 from random import Random
 from typing import Optional, Sequence
@@ -62,8 +63,21 @@ def _batched_layer_optimization(
         n_free[i] = c.shape[0]
     active = np.logical_and(selected, n_free > 0)
 
+    kwargs = {}
+    if "last_layer" in inspect.signature(optimizer.minimize).parameters:
+        # layer-prefix-cache hint: valid when every selected individual
+        # optimizes its LAST real layer (then the probed parameters cannot
+        # affect anything after the optimized layer)
+        real_layers = packed.layer_mask.sum(axis=1).astype(np.int32)
+        if all(
+            layer_choice[i] is None or layer_choice[i] % real_layers[i] == real_layers[i] - 1
+            for i in range(pop)
+            if selected[i]
+        ):
+            kwargs["last_layer"] = real_layers - 1
+
     new_angles, _, nfev_each = optimizer.minimize(
-        evaluator, packed, coords, n_free, active, angles=angles, seed=seed
+        evaluator, packed, coords, n_free, active, angles=angles, seed=seed, **kwargs
     )
     return new_angles, int(active.sum()) * int(nfev_each)
 

@@ -60,11 +60,22 @@ class NFTConfig:
     :param maxiter: parameter-update steps (each costs 2 evaluations, plus
         1 extra on reset steps)
     :param reset_interval: re-measure the recycled z0 every this many steps
+    :param cache_prefix: when a sweep only optimizes each individual's
+        *last* circuit layer (the EVQELastLayerParameterSearch hot path),
+        simulate the frozen prefix layers once and re-enter every probe
+        from the cached per-individual state — each probe then applies a
+        single layer instead of the whole circuit.  Mathematically
+        identical (the prefix state does not depend on the probed
+        parameters); float rounding may differ at the ulp level from the
+        full-circuit evaluation.  None (default) enables it exactly when
+        the fused Pallas kernel path is active (TPU production runs);
+        True/False forces it for any engine.
     """
 
     maxiter: int = 40
     reset_interval: int = 32
     five_point: bool = False
+    cache_prefix: Optional[bool] = None
 
     def n_circuit_evaluations(self) -> int:
         """Evaluations used per optimized individual (ledger input for the
@@ -214,6 +225,7 @@ class BatchedNFT:
         active: np.ndarray,
         angles: Optional[np.ndarray] = None,
         seed: int = 0,
+        last_layer: Optional[np.ndarray] = None,
     ) -> tuple[np.ndarray, np.ndarray, int]:
         """Run NFT over the selected free parameters.
 
@@ -226,6 +238,10 @@ class BatchedNFT:
         :param active: [P] individuals taking part in this optimization
         :param angles: optional override of the packed angle tensor
         :param seed: RNG seed for the shot-sampling objective path
+        :param last_layer: [P] layer indices asserting that every
+            individual's free coordinates lie in that layer AND no later
+            (real) layer exists — enables the layer-prefix cache (see
+            :class:`NFTConfig`)
         :return: (optimized angles [P, L, n, 3], final energies [P],
             evaluations used per active individual)
         """
@@ -249,6 +265,46 @@ class BatchedNFT:
             # functions) cannot live inside the device scan — run the same
             # NFT math host-stepped against evaluate_packed
             return self._minimize_host(evaluator, packed, coords, n_free, active, a)
+        mesh = getattr(evaluator, "mesh", None)
+        cache = self.config.cache_prefix
+        use_prefix = (
+            last_layer is not None
+            and mesh is None
+            and (cache if cache is not None else operands.get("use_pallas", False))
+        )
+
+        gt, ctrl, lm = packed.gate_types, packed.controls, packed.layer_mask
+        a_in = np.asarray(a)
+        coords_in = np.asarray(coords)
+        initial = operands["initial_state"]
+        if use_prefix:
+            # simulate the frozen prefix (everything before each
+            # individual's optimized last layer) ONCE; every probe in the
+            # sweep then applies just that single layer from the cached
+            # per-individual state
+            ll = np.asarray(last_layer, np.int32)
+            prefix_mask = np.logical_and(
+                lm, np.arange(packed.max_layers)[None, :] < ll[:, None]
+            )
+            if operands.get("use_pallas", False):
+                from queasars_tpu.sim.pallas_kernels import pallas_population_states
+
+                prefix = pallas_population_states(gt, ctrl, a_in, prefix_mask, packed.n_qubits)
+            else:
+                from queasars_tpu.sim.statevector import simulate_circuits
+
+                prefix = simulate_circuits(
+                    gt, ctrl, a_in, prefix_mask, packed.n_qubits, initial
+                )
+            full_angles = a_in
+            gt = np.take_along_axis(gt, ll[:, None, None], axis=1)
+            ctrl = np.take_along_axis(ctrl, ll[:, None, None], axis=1)
+            a_in = np.take_along_axis(a_in, ll[:, None, None, None], axis=1)
+            lm = np.ones((packed.n_individuals, 1), dtype=bool)
+            coords_in = coords_in.copy()
+            coords_in[:, :, 0] = 0
+            initial = prefix
+
         pop_keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), packed.n_individuals))
         static_kwargs = dict(
             n_qubits=packed.n_qubits,
@@ -262,12 +318,12 @@ class BatchedNFT:
             five_point=self.config.five_point,
         )
         pop_args = (
-            packed.gate_types, packed.controls, packed.layer_mask, np.asarray(a),
-            np.asarray(coords), np.asarray(n_free), np.asarray(active), pop_keys,
+            gt, ctrl, lm, a_in,
+            coords_in, np.asarray(n_free), np.asarray(active), pop_keys,
         )
         rep_args = (
             operands["table"], operands["sorted_energies"], operands["energy_order"],
-            operands["alpha"], operands["initial_state"], operands.get("precision"),
+            operands["alpha"], initial, operands.get("precision"),
         )
 
         def fn(pa, ra):
@@ -278,9 +334,12 @@ class BatchedNFT:
                 **static_kwargs,
             )
 
-        mesh = getattr(evaluator, "mesh", None)
         if mesh is None:
             out_angles, energies = fn(pop_args, rep_args)
+            if use_prefix:
+                merged = full_angles.copy()
+                merged[np.arange(packed.n_individuals), ll] = np.asarray(out_angles)[:, 0]
+                out_angles = merged
         else:
             from queasars_tpu.parallel.mesh import (
                 pad_population_axis,

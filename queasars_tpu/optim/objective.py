@@ -76,15 +76,23 @@ def population_energies(
             # required for bit-identical trajectories across mesh sizes
             energies = jax.lax.map(fn, states)
         return _with_precision_noise(energies, keys, precision)
-    if use_pallas and not use_cvar and not use_shots and initial_state is None:
+    # the fused kernel handles no initial state (|0...0>) or per-individual
+    # start states [P, 2, 2^n] (the layer-prefix cache); a *shared* [2, 2^n]
+    # start state falls back to the jnp engine
+    pallas_ok = use_pallas and (initial_state is None or initial_state.ndim == 3)
+    if pallas_ok and not use_cvar and not use_shots:
         from queasars_tpu.sim.pallas_kernels import pallas_energies_exact
 
-        energies = pallas_energies_exact(gate_types, controls, angles, layer_mask, table, n_qubits)
+        energies = pallas_energies_exact(
+            gate_types, controls, angles, layer_mask, table, n_qubits, initial=initial_state
+        )
         return _with_precision_noise(energies, keys, precision)
-    if use_pallas and initial_state is None:
+    if pallas_ok:
         from queasars_tpu.sim.pallas_kernels import pallas_population_probs
 
-        probs = pallas_population_probs(gate_types, controls, angles, layer_mask, n_qubits)
+        probs = pallas_population_probs(
+            gate_types, controls, angles, layer_mask, n_qubits, initial=initial_state
+        )
     else:
         probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
     if use_shots:

@@ -181,6 +181,7 @@ class BatchedSPSA:
         angles: Optional[np.ndarray] = None,
         seed: int = 0,
         termination_checkers: Optional[Sequence[SPSATerminationChecker]] = None,
+        last_layer: Optional[np.ndarray] = None,
     ) -> tuple[np.ndarray, np.ndarray, int]:
         """Run SPSA over the selected free parameters.
 
@@ -188,7 +189,10 @@ class BatchedSPSA:
         ``termination_checkers`` (one per individual), steps run one jitted
         iteration at a time and individuals freeze when their checker
         terminates; the evaluation ledger then reports actual usage.
+        ``last_layer`` (the layer-prefix-cache hint) is accepted for
+        interface parity and currently unused here.
         """
+        del last_layer
         cfg = self.config
         a = packed.angles if angles is None else angles
         if coords.shape[1] == 0 or not np.any(np.logical_and(active, n_free > 0)):

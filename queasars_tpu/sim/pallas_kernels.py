@@ -61,10 +61,12 @@ def _run_circuit_in_vmem(
     state_im,
     n_qubits: int,
     n_layers: int,
+    init_ref=None,
 ):
-    """Shared kernel body: initialize |0...0> in the VMEM scratch planes
-    and apply the whole genome circuit (layers predicated by mask, slots
-    by gate type)."""
+    """Shared kernel body: initialize the VMEM scratch planes (|0...0>, or
+    a per-individual start state from ``init_ref`` [1, 2, R, 128]) and
+    apply the whole genome circuit (layers predicated by mask, slots by
+    gate type)."""
     rows = 1 << (n_qubits - LANE_BITS)
 
     # narrow index vectors; full [R, 128] masks are never materialized —
@@ -73,11 +75,15 @@ def _run_circuit_in_vmem(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-    # |0...0> (vectorized init — scalar stores to VMEM are not lowerable)
-    state_re[:] = jnp.where(
-        jnp.logical_and(row_ids == 0, lane_ids == 0), 1.0, 0.0
-    ).astype(jnp.float32)
-    state_im[:] = jnp.zeros((rows, LANES), jnp.float32)
+    if init_ref is not None:
+        state_re[:] = init_ref[0, 0]
+        state_im[:] = init_ref[0, 1]
+    else:
+        # |0...0> (vectorized init — scalar stores to VMEM are not lowerable)
+        state_re[:] = jnp.where(
+            jnp.logical_and(row_ids == 0, lane_ids == 0), 1.0, 0.0
+        ).astype(jnp.float32)
+        state_im[:] = jnp.zeros((rows, LANES), jnp.float32)
 
     def apply_slot(l, q):
         gate_type = gate_types_ref[0, l, q]
@@ -162,17 +168,19 @@ def _population_probs_kernel(
     controls_ref,    # SMEM [1, L, n] int32
     angles_ref,      # SMEM [1, L, n, 3] f32
     layer_mask_ref,  # SMEM [1, L, 1] int32
-    out_ref,         # HBM [P, R, 128] f32 (full array; program p writes slot p)
-    state_re,        # VMEM scratch [R, 128]
-    state_im,        # VMEM scratch [R, 128]
-    dma_sem,         # DMA completion semaphore
-    *,
+    *rest,           # [init_ref?], out_ref, state_re, state_im, dma_sem
     n_qubits: int,
     n_layers: int,
+    has_init: bool,
 ):
+    if has_init:
+        init_ref, out_ref, state_re, state_im, dma_sem = rest
+    else:
+        out_ref, state_re, state_im, dma_sem = rest
+        init_ref = None
     _run_circuit_in_vmem(
         gate_types_ref, controls_ref, angles_ref, layer_mask_ref,
-        state_re, state_im, n_qubits, n_layers,
+        state_re, state_im, n_qubits, n_layers, init_ref,
     )
     # measurement probabilities overwrite the real plane, then one DMA
     # ships them to HBM — the only data leaving the chip per individual
@@ -182,31 +190,75 @@ def _population_probs_kernel(
     copy.wait()
 
 
+def _population_states_kernel(
+    gate_types_ref,  # SMEM [1, L, n] int32
+    controls_ref,    # SMEM [1, L, n] int32
+    angles_ref,      # SMEM [1, L, n, 3] f32
+    layer_mask_ref,  # SMEM [1, L, 1] int32
+    out_ref,         # HBM [P, 2, R, 128] f32 (program p writes slot p)
+    state_re,        # VMEM scratch [R, 128]
+    state_im,        # VMEM scratch [R, 128]
+    dma_sem_re,      # DMA completion semaphores
+    dma_sem_im,
+    *,
+    n_qubits: int,
+    n_layers: int,
+):
+    """Full statevector planes out (the layer-prefix cache of the batched
+    optimizers: the state after the frozen prefix layers is computed once
+    per parameter sweep and re-entered via the ``initial`` input of the
+    probs/energies kernels)."""
+    _run_circuit_in_vmem(
+        gate_types_ref, controls_ref, angles_ref, layer_mask_ref,
+        state_re, state_im, n_qubits, n_layers,
+    )
+    p = pl.program_id(0)
+    copy_re = pltpu.make_async_copy(state_re, out_ref.at[p, 0], dma_sem_re)
+    copy_im = pltpu.make_async_copy(state_im, out_ref.at[p, 1], dma_sem_im)
+    copy_re.start()
+    copy_im.start()
+    copy_re.wait()
+    copy_im.wait()
+
+
 def _population_energies_kernel(
     gate_types_ref,  # SMEM [1, L, n] int32
     controls_ref,    # SMEM [1, L, n] int32
     angles_ref,      # SMEM [1, L, n, 3] f32
     layer_mask_ref,  # SMEM [1, L, 1] int32
     table_ref,       # VMEM [R, 128] f32 (diagonal energy table, all programs)
-    out_ref,         # VMEM [1, 8, 128] f32 per program (partial-sum tile)
-    state_re,        # VMEM scratch [R, 128]
-    state_im,        # VMEM scratch [R, 128]
-    *,
+    *rest,           # [init_ref?], out_ref, state_re, state_im
     n_qubits: int,
     n_layers: int,
+    has_init: bool,
 ):
     """Fully fused evaluation: the energy contraction happens against the
     VMEM-resident table, so only one (8, 128) partial-sum tile per
     individual leaves the chip (4 KB, vs a 4 MB probability plane + an
     HBM-side dot).  The tile shape satisfies Mosaic's (8, 128) minimum
     output block."""
+    if has_init:
+        init_ref, out_ref, state_re, state_im = rest
+    else:
+        out_ref, state_re, state_im = rest
+        init_ref = None
     rows = 1 << (n_qubits - LANE_BITS)
     _run_circuit_in_vmem(
         gate_types_ref, controls_ref, angles_ref, layer_mask_ref,
-        state_re, state_im, n_qubits, n_layers,
+        state_re, state_im, n_qubits, n_layers, init_ref,
     )
     prod = (state_re[:] * state_re[:] + state_im[:] * state_im[:]) * table_ref[:]
     out_ref[0, :, :] = jnp.sum(prod.reshape(rows // 8, 8, LANES), axis=0)
+
+
+def _genome_in_specs(n_layers: int, n_qubits: int) -> list[pl.BlockSpec]:
+    """Per-program SMEM blocks for the genome tensors."""
+    return [
+        pl.BlockSpec((1, n_layers, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, n_layers, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, n_layers, n_qubits, 3), lambda p: (p, 0, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, n_layers, 1), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+    ]
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "interpret"))
@@ -217,6 +269,7 @@ def pallas_population_probs(
     layer_mask: jax.Array,
     n_qubits: int,
     interpret: bool = False,
+    initial: jax.Array | None = None,
 ) -> jax.Array:
     """Measurement probabilities [P, 2^n] via the fused VMEM kernel.
 
@@ -225,22 +278,32 @@ def pallas_population_probs(
     state traffic on the jnp path).
 
     :param interpret: run in the Pallas interpreter (CPU testing)
+    :param initial: optional per-individual start states [P, 2, 2^n]
+        (e.g. the cached layer-prefix states of the batched optimizers)
     """
     if n_qubits < LANE_BITS:
         raise ValueError("the fused kernel requires n_qubits >= 7")
     pop, n_layers = gate_types.shape[0], gate_types.shape[1]
     rows = 1 << (n_qubits - LANE_BITS)
+    has_init = initial is not None
 
-    kernel = partial(_population_probs_kernel, n_qubits=n_qubits, n_layers=n_layers)
+    kernel = partial(
+        _population_probs_kernel, n_qubits=n_qubits, n_layers=n_layers, has_init=has_init
+    )
+    in_specs = _genome_in_specs(n_layers, n_qubits)
+    operands = [
+        gate_types,
+        controls,
+        angles,
+        layer_mask.astype(jnp.int32)[:, :, None],
+    ]
+    if has_init:
+        in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
+        operands.append(initial.reshape(pop, 2, rows, LANES))
     out = pl.pallas_call(
         kernel,
         grid=(pop,),
-        in_specs=[
-            pl.BlockSpec((1, n_layers, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_layers, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_layers, n_qubits, 3), lambda p: (p, 0, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_layers, 1), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((pop, rows, LANES), jnp.float32),
         scratch_shapes=[
@@ -253,13 +316,49 @@ def pallas_population_probs(
         # VMEM capacity
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
+    )(*operands)
+    return out.reshape(pop, rows * LANES)
+
+
+@partial(jax.jit, static_argnames=("n_qubits", "interpret"))
+def pallas_population_states(
+    gate_types: jax.Array,
+    controls: jax.Array,
+    angles: jax.Array,
+    layer_mask: jax.Array,
+    n_qubits: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Statevector re/im planes [P, 2, 2^n] via the fused VMEM kernel
+    (same contract as ``simulate_circuits``): used to compute the frozen
+    layer-prefix states once per optimizer parameter sweep."""
+    if n_qubits < LANE_BITS:
+        raise ValueError("the fused kernel requires n_qubits >= 7")
+    pop, n_layers = gate_types.shape[0], gate_types.shape[1]
+    rows = 1 << (n_qubits - LANE_BITS)
+
+    kernel = partial(_population_states_kernel, n_qubits=n_qubits, n_layers=n_layers)
+    out = pl.pallas_call(
+        kernel,
+        grid=(pop,),
+        in_specs=_genome_in_specs(n_layers, n_qubits),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((pop, 2, rows, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(
         gate_types,
         controls,
         angles,
         layer_mask.astype(jnp.int32)[:, :, None],
     )
-    return out.reshape(pop, rows * LANES)
+    return out.reshape(pop, 2, rows * LANES)
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "interpret"))
@@ -271,6 +370,7 @@ def pallas_energies_exact(
     table: jax.Array,
     n_qubits: int,
     interpret: bool = False,
+    initial: jax.Array | None = None,
 ) -> jax.Array:
     """Exact diagonal-table energies [P], fully fused in VMEM: the state
     never touches HBM AND the diagonal contraction happens in-kernel —
@@ -278,8 +378,9 @@ def pallas_energies_exact(
     vs the 4 MB probability plane + a 128 MB HBM-side dot per batch of
     the unfused formulation).
 
-    Same contract as ``_energies_exact`` (evaluators.py) for n_qubits >= 7,
-    diagonal operators, no initial state.
+    Same contract as ``_energies_exact`` (evaluators.py) for n_qubits >= 7
+    and diagonal operators; ``initial`` optionally provides per-individual
+    start states [P, 2, 2^n] (the optimizer layer-prefix cache).
     """
     if n_qubits < LANE_BITS:
         raise ValueError("the fused kernel requires n_qubits >= 7")
@@ -289,23 +390,33 @@ def pallas_energies_exact(
         # below 10 qubits the (8, 128) partial-sum tile cannot be formed;
         # the probability plane is tiny there anyway — ship it and dot
         probs = pallas_population_probs(
-            gate_types, controls, angles, layer_mask, n_qubits, interpret=interpret
+            gate_types, controls, angles, layer_mask, n_qubits,
+            interpret=interpret, initial=initial,
         )
         return jnp.dot(probs, table.reshape(-1), preferred_element_type=jnp.float32)
 
-    kernel = partial(_population_energies_kernel, n_qubits=n_qubits, n_layers=n_layers)
+    has_init = initial is not None
+    kernel = partial(
+        _population_energies_kernel, n_qubits=n_qubits, n_layers=n_layers, has_init=has_init
+    )
+    in_specs = _genome_in_specs(n_layers, n_qubits)
+    # the table block is the same for every program — the pipeline
+    # fetches it once and keeps it VMEM-resident
+    in_specs.append(pl.BlockSpec((rows, LANES), lambda p: (0, 0)))
+    operands = [
+        gate_types,
+        controls,
+        angles,
+        layer_mask.astype(jnp.int32)[:, :, None],
+        table.reshape(rows, LANES),
+    ]
+    if has_init:
+        in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
+        operands.append(initial.reshape(pop, 2, rows, LANES))
     partials = pl.pallas_call(
         kernel,
         grid=(pop,),
-        in_specs=[
-            pl.BlockSpec((1, n_layers, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_layers, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_layers, n_qubits, 3), lambda p: (p, 0, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_layers, 1), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
-            # the table block is the same for every program — the pipeline
-            # fetches it once and keeps it VMEM-resident
-            pl.BlockSpec((rows, LANES), lambda p: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, LANES), lambda p: (p, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((pop, 8, LANES), jnp.float32),
         scratch_shapes=[
@@ -314,13 +425,7 @@ def pallas_energies_exact(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(
-        gate_types,
-        controls,
-        angles,
-        layer_mask.astype(jnp.int32)[:, :, None],
-        table.reshape(rows, LANES),
-    )
+    )(*operands)
     return jnp.sum(partials, axis=(-2, -1))
 
 

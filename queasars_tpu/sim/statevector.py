@@ -182,7 +182,14 @@ def simulate_circuits(
     This is the TPU replacement for the reference's per-circuit
     ``executor.submit`` fan-out (selection.py:75-84): one vmapped program
     instead of B racing RPCs.
+
+    ``initial_state`` may be a shared ``[2, 2^n]`` start state or a
+    per-individual ``[B, 2, 2^n]`` batch (the layer-prefix cache of the
+    batched optimizers hands every individual its own cached prefix).
     """
+    if initial_state is not None and initial_state.ndim == 3:
+        fn = lambda t, c, a, m, s: apply_circuit_real(t, c, a, m, n_qubits, s)
+        return jax.vmap(fn)(gate_types, controls, angles, layer_mask, initial_state)
     fn = lambda t, c, a, m: apply_circuit_real(t, c, a, m, n_qubits, initial_state)
     return jax.vmap(fn)(gate_types, controls, angles, layer_mask)
 

@@ -1,0 +1,210 @@
+"""Layer-prefix-cached NFT: correctness of the cached fast path.
+
+When a sweep only optimizes each individual's last layer
+(EVQELastLayerParameterSearch — the reference pipeline's first, always-on
+stage, evqe.py:199-204), the state after the frozen prefix layers is
+probe-independent; NFTConfig(cache_prefix=True) simulates it once and
+re-enters every probe from the cached per-individual state.  These tests
+pin the cached path against the full-circuit path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from queasars_tpu.genome import EVQEPopulation
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.optim.nft import BatchedNFT, NFTConfig
+from queasars_tpu.paulis import PauliSum
+from queasars_tpu.sim.evaluators import (
+    SamplerExpectationEvaluator,
+    StatevectorExpectationEvaluator,
+)
+
+
+def _diagonal_operator(n_qubits: int, seed: int = 7) -> PauliSum:
+    rng = np.random.default_rng(seed)
+    parts = []
+    for _ in range(6):
+        z = int(rng.integers(1, 1 << n_qubits))
+        label = "".join("Z" if (z >> q) & 1 else "I" for q in range(n_qubits))[::-1]
+        parts.append(PauliSum.from_label(label, float(rng.normal())))
+    return PauliSum.sum(parts)
+
+
+def _problem(n_qubits: int = 5, pop: int = 6, layers: int = 3):
+    population = EVQEPopulation.random_population(n_qubits, layers, pop, True, random_seed=11)
+    packed = PackedPopulation.pack(list(population.individuals))
+    real_layers = packed.layer_mask.sum(axis=1).astype(np.int32)
+    last_layer = real_layers - 1
+    coords_list = [
+        packed.layer_param_coordinates(i, -1) for i in range(packed.n_individuals)
+    ]
+    k_max = max(c.shape[0] for c in coords_list)
+    coords = np.zeros((packed.n_individuals, k_max, 3), np.int32)
+    n_free = np.zeros(packed.n_individuals, np.int32)
+    for i, c in enumerate(coords_list):
+        coords[i, : c.shape[0]] = c
+        n_free[i] = c.shape[0]
+    active = n_free > 0
+    return packed, coords, n_free, active, last_layer
+
+
+def _run(evaluator, cache: bool, **problem):
+    optimizer = BatchedNFT(NFTConfig(maxiter=12, cache_prefix=cache))
+    return optimizer.minimize(
+        evaluator,
+        problem["packed"],
+        problem["coords"],
+        problem["n_free"],
+        problem["active"],
+        last_layer=problem["last_layer"],
+        seed=3,
+    )
+
+
+def test_cached_matches_full_circuit_exact():
+    packed, coords, n_free, active, last_layer = _problem()
+    op = _diagonal_operator(packed.n_qubits)
+    kwargs = dict(
+        packed=packed, coords=coords, n_free=n_free, active=active, last_layer=last_layer
+    )
+    evaluator = StatevectorExpectationEvaluator(op)
+    a_full, e_full, n_full = _run(evaluator, False, **kwargs)
+    a_cached, e_cached, n_cached = _run(evaluator, True, **kwargs)
+    assert n_full == n_cached
+    np.testing.assert_allclose(e_cached, e_full, rtol=1e-4, atol=1e-5)
+    # angles on degenerate (flat) coordinates may take different atan2
+    # branches from ulp-level z differences — the pinned invariant is that
+    # both angle sets give the same energies through the evaluator
+    np.testing.assert_allclose(
+        np.asarray(evaluator.evaluate_packed(kwargs["packed"], angles=a_cached)),
+        np.asarray(evaluator.evaluate_packed(kwargs["packed"], angles=a_full)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_cached_matches_full_circuit_cvar():
+    packed, coords, n_free, active, last_layer = _problem()
+    op = _diagonal_operator(packed.n_qubits)
+    kwargs = dict(
+        packed=packed, coords=coords, n_free=n_free, active=active, last_layer=last_layer
+    )
+    _, e_full, _ = _run(StatevectorExpectationEvaluator(op, alpha=0.5), False, **kwargs)
+    _, e_cached, _ = _run(StatevectorExpectationEvaluator(op, alpha=0.5), True, **kwargs)
+    np.testing.assert_allclose(e_cached, e_full, rtol=1e-4, atol=1e-5)
+
+
+def test_cached_prefix_untouched_layers_preserved():
+    """Angles outside the optimized last layer must come back unchanged."""
+    packed, coords, n_free, active, last_layer = _problem()
+    op = _diagonal_operator(packed.n_qubits)
+    before = packed.angles.copy()
+    a_cached, _, _ = _run(
+        StatevectorExpectationEvaluator(op), True,
+        packed=packed, coords=coords, n_free=n_free, active=active, last_layer=last_layer,
+    )
+    for i in range(packed.n_individuals):
+        for l in range(packed.max_layers):
+            if l != last_layer[i]:
+                np.testing.assert_array_equal(a_cached[i, l], before[i, l])
+
+
+def test_cached_sampler_path_runs_deterministically():
+    packed, coords, n_free, active, last_layer = _problem()
+    op = _diagonal_operator(packed.n_qubits)
+    kwargs = dict(
+        packed=packed, coords=coords, n_free=n_free, active=active, last_layer=last_layer
+    )
+    runs = [
+        _run(SamplerExpectationEvaluator(op, shots=256, seed=5), True, **kwargs)
+        for _ in range(2)
+    ]
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+    assert np.isfinite(runs[0][1]).all()
+
+
+def test_cached_with_shared_initial_state():
+    """A shared initial-state vector folds into the cached prefix."""
+    packed, coords, n_free, active, last_layer = _problem()
+    op = _diagonal_operator(packed.n_qubits)
+    rng = np.random.default_rng(0)
+    vec = rng.normal(size=1 << packed.n_qubits) + 1j * rng.normal(size=1 << packed.n_qubits)
+    vec /= np.linalg.norm(vec)
+    kwargs = dict(
+        packed=packed, coords=coords, n_free=n_free, active=active, last_layer=last_layer
+    )
+    _, e_full, _ = _run(StatevectorExpectationEvaluator(op, initial_state=vec), False, **kwargs)
+    _, e_cached, _ = _run(StatevectorExpectationEvaluator(op, initial_state=vec), True, **kwargs)
+    np.testing.assert_allclose(e_cached, e_full, rtol=1e-4, atol=1e-5)
+
+
+def test_last_layer_search_operator_uses_cache():
+    """EVQELastLayerParameterSearch end-to-end: cached and full-circuit
+    optimizers land on (numerically) the same population."""
+    from queasars_tpu.evolve.base import OperatorContext
+    from queasars_tpu.evolve.mutation import EVQELastLayerParameterSearch
+
+    op = _diagonal_operator(5)
+    outs = []
+    for cache in (False, True):
+        population = EVQEPopulation.random_population(5, 2, 4, True, random_seed=23)
+        operator = EVQELastLayerParameterSearch(
+            mutation_probability=1.0,
+            optimizer=BatchedNFT(NFTConfig(maxiter=8, cache_prefix=cache)),
+            optimizer_n_circuit_evaluations=None,
+            random_seed=17,
+        )
+        counts: list[int] = []
+        context = OperatorContext(
+            circuit_evaluator=StatevectorExpectationEvaluator(op),
+            result_callback=lambda r: None,
+            circuit_evaluation_count_callback=counts.append,
+        )
+        result = operator.apply_operator(population, context)
+        outs.append((result, counts))
+    (pop_full, counts_full), (pop_cached, counts_cached) = outs
+    assert counts_full == counts_cached
+    evaluator = StatevectorExpectationEvaluator(op)
+    e_full = evaluator.evaluate_individuals(list(pop_full.individuals))
+    e_cached = evaluator.evaluate_individuals(list(pop_cached.individuals))
+    for ind_f, ind_c in zip(pop_full.individuals, pop_cached.individuals):
+        assert ind_f.layers == ind_c.layers
+    np.testing.assert_allclose(e_cached, e_full, rtol=1e-4, atol=1e-4)
+
+
+def test_solver_e2e_with_prefix_cache():
+    """Full EVQE solve with the cached optimizer still finds the optimum."""
+    from queasars_tpu.paulis import diagonal_energy_table
+    from queasars_tpu.problems.qubo import qubo_hamiltonian
+    from queasars_tpu.solver import (
+        ConfiguredEstimator,
+        ConfiguredSampler,
+        EVQEMinimumEigensolver,
+        EVQEMinimumEigensolverConfiguration,
+    )
+
+    operator, _ = qubo_hamiltonian(np.array([[-2.0, 1.5], [0.0, -3.0]]))
+    config = EVQEMinimumEigensolverConfiguration(
+        configured_estimator=ConfiguredEstimator(),
+        configured_sampler=ConfiguredSampler(shots=1024, seed=0),
+        optimizer=BatchedNFT(NFTConfig(maxiter=10, cache_prefix=True)),
+        optimizer_n_circuit_evaluations=None,
+        max_generations=4,
+        max_circuit_evaluations=None,
+        termination_criterion=None,
+        random_seed=2,
+        population_size=6,
+        speciation_genetic_distance_threshold=2,
+        selection_alpha_penalty=0.05,
+        selection_beta_penalty=0.05,
+        parameter_search_probability=0.25,
+        topological_search_probability=0.4,
+        layer_removal_probability=0.05,
+    )
+    solver = EVQEMinimumEigensolver(config)
+    result = solver.compute_minimum_eigenvalue(operator)
+    table = diagonal_energy_table(operator)
+    assert float(result.eigenvalue) == pytest.approx(float(table.min()), abs=0.3)
