@@ -51,6 +51,7 @@ import jax.numpy as jnp
 
 from queasars_tpu.genome.packing import PackedPopulation
 from queasars_tpu.optim.objective import objective_operands, population_energies
+from queasars_tpu.optim.prefix import build_prefix_transform, prefix_enabled
 
 
 @dataclass(frozen=True)
@@ -266,12 +267,7 @@ class BatchedNFT:
             # NFT math host-stepped against evaluate_packed
             return self._minimize_host(evaluator, packed, coords, n_free, active, a)
         mesh = getattr(evaluator, "mesh", None)
-        cache = self.config.cache_prefix
-        use_prefix = (
-            last_layer is not None
-            and mesh is None
-            and (cache if cache is not None else operands.get("use_pallas", False))
-        )
+        use_prefix = prefix_enabled(self.config.cache_prefix, operands, mesh, last_layer)
 
         gt, ctrl, lm = packed.gate_types, packed.controls, packed.layer_mask
         a_in = np.asarray(a)
@@ -282,28 +278,11 @@ class BatchedNFT:
             # individual's optimized last layer) ONCE; every probe in the
             # sweep then applies just that single layer from the cached
             # per-individual state
-            ll = np.asarray(last_layer, np.int32)
-            prefix_mask = np.logical_and(
-                lm, np.arange(packed.max_layers)[None, :] < ll[:, None]
-            )
-            if operands.get("use_pallas", False):
-                from queasars_tpu.sim.pallas_kernels import pallas_population_states
-
-                prefix = pallas_population_states(gt, ctrl, a_in, prefix_mask, packed.n_qubits)
-            else:
-                from queasars_tpu.sim.statevector import simulate_circuits
-
-                prefix = simulate_circuits(
-                    gt, ctrl, a_in, prefix_mask, packed.n_qubits, initial
-                )
-            full_angles = a_in
-            gt = np.take_along_axis(gt, ll[:, None, None], axis=1)
-            ctrl = np.take_along_axis(ctrl, ll[:, None, None], axis=1)
-            a_in = np.take_along_axis(a_in, ll[:, None, None, None], axis=1)
-            lm = np.ones((packed.n_individuals, 1), dtype=bool)
-            coords_in = coords_in.copy()
-            coords_in[:, :, 0] = 0
-            initial = prefix
+            transform = build_prefix_transform(packed, a_in, coords_in, operands, last_layer)
+            gt, ctrl, lm = transform.gate_types, transform.controls, transform.layer_mask
+            a_in = transform.angles
+            coords_in = transform.coords
+            initial = transform.initial_state
 
         pop_keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), packed.n_individuals))
         static_kwargs = dict(
@@ -337,9 +316,7 @@ class BatchedNFT:
         if mesh is None:
             out_angles, energies = fn(pop_args, rep_args)
             if use_prefix:
-                merged = full_angles.copy()
-                merged[np.arange(packed.n_individuals), ll] = np.asarray(out_angles)[:, 0]
-                out_angles = merged
+                out_angles = transform.merge(np.asarray(out_angles))
         else:
             from queasars_tpu.parallel.mesh import (
                 pad_population_axis,

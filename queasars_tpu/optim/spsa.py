@@ -38,6 +38,9 @@ class SPSAConfig:
     :param calibration_steps: evaluation pairs used to calibrate ``a``
     :param alpha_power / gamma_power: schedule exponents
     :param stability_constant: ``A`` in the a_k schedule
+    :param cache_prefix: layer-prefix cache for last-layer-only sweeps
+        (same semantics as :class:`~queasars_tpu.optim.nft.NFTConfig`;
+        applies when no per-individual termination checkers are used)
     """
 
     maxiter: int = 100
@@ -48,6 +51,7 @@ class SPSAConfig:
     gamma_power: float = 0.101
     stability_constant: float = 0.0
     target_magnitude: float = 2 * np.pi / 10
+    cache_prefix: Optional[bool] = None
 
     def n_circuit_evaluations(self) -> int:
         calibration = 2 * self.calibration_steps if self.learning_rate is None else 0
@@ -189,10 +193,9 @@ class BatchedSPSA:
         ``termination_checkers`` (one per individual), steps run one jitted
         iteration at a time and individuals freeze when their checker
         terminates; the evaluation ledger then reports actual usage.
-        ``last_layer`` (the layer-prefix-cache hint) is accepted for
-        interface parity and currently unused here.
+        ``last_layer`` (see :class:`~queasars_tpu.optim.nft.NFTConfig`'s
+        ``cache_prefix``) enables the layer-prefix cache.
         """
-        del last_layer
         cfg = self.config
         a = packed.angles if angles is None else angles
         if coords.shape[1] == 0 or not np.any(np.logical_and(active, n_free > 0)):
@@ -213,6 +216,20 @@ class BatchedSPSA:
         precision = operands.get("precision")
         mesh = getattr(evaluator, "mesh", None)
 
+        from queasars_tpu.optim.prefix import build_prefix_transform, prefix_enabled
+
+        use_prefix = termination_checkers is None and prefix_enabled(
+            cfg.cache_prefix, operands, mesh, last_layer
+        )
+        a_in = np.asarray(a)
+        coords_in = np.asarray(coords)
+        initial = operands["initial_state"]
+        if use_prefix:
+            transform = build_prefix_transform(packed, a_in, coords_in, operands, last_layer)
+            a_in = transform.angles
+            coords_in = transform.coords
+            initial = transform.initial_state
+
         def run_sharded(fn, pop_args, rep_args, n_outputs):
             """Dispatch fn((pop_args), (rep_args)) directly or over the mesh."""
             if mesh is None:
@@ -230,10 +247,13 @@ class BatchedSPSA:
                 return out[: packed.n_individuals]
             return tuple(o[: packed.n_individuals] for o in out)
 
-        structure = (packed.gate_types, packed.controls, packed.layer_mask)
+        if use_prefix:
+            structure = (transform.gate_types, transform.controls, transform.layer_mask)
+        else:
+            structure = (packed.gate_types, packed.controls, packed.layer_mask)
         table_ops = (
             operands["table"], operands["sorted_energies"], operands["energy_order"],
-            operands["alpha"], operands["initial_state"], precision,
+            operands["alpha"], initial, precision,
         )
 
         if cfg.learning_rate is None:
@@ -248,7 +268,7 @@ class BatchedSPSA:
 
             magnitude = run_sharded(
                 calibrate,
-                (*structure, np.asarray(a), np.asarray(coords), coord_mask, pop_keys),
+                (*structure, a_in, coords_in, coord_mask, pop_keys),
                 table_ops, 1,
             )
             learning_rates = cfg.target_magnitude / np.maximum(np.asarray(magnitude), 1e-6)
@@ -280,11 +300,14 @@ class BatchedSPSA:
         if termination_checkers is None:
             out_angles, energies = run_sharded(
                 scan_step(cfg.maxiter, 0),
-                (*structure, np.asarray(a), np.asarray(coords), coord_mask,
+                (*structure, a_in, coords_in, coord_mask,
                  np.asarray(active), learning_rates, pop_keys),
                 table_ops, 2,
             )
-            return np.asarray(out_angles), np.asarray(energies), nfev + 2 * cfg.maxiter
+            out_angles = np.asarray(out_angles)
+            if use_prefix:
+                out_angles = transform.merge(out_angles)
+            return out_angles, np.asarray(energies), nfev + 2 * cfg.maxiter
 
         # host-stepped with per-individual termination
         current = np.asarray(a)

@@ -165,10 +165,10 @@ def _apply_gate(state_re, state_im, partner_plane, bit_vec, theta, phi, lam, con
 
 
 def _run_compact_circuit(
-    qubits_ref,      # SMEM [1, G] int32
-    controls_ref,    # SMEM [1, G] int32
+    qubits_ref,      # SMEM [1, 1, G] int32
+    controls_ref,    # SMEM [1, 1, G] int32
     angles_ref,      # SMEM [1, G, 3] f32 (gathered per-gate triples)
-    bounds_ref,      # SMEM [1, 2L+1] int32
+    bounds_ref,      # SMEM [1, 1, 2L+1] int32
     state_re,
     state_im,
     n_qubits: int,
@@ -189,7 +189,7 @@ def _run_compact_circuit(
         state_im[:] = jnp.zeros((rows, LANES), jnp.float32)
 
     def lane_gate(g, carry):
-        q = qubits_ref[0, g]
+        q = qubits_ref[0, 0, g]
         shift = jnp.left_shift(jnp.int32(1), q)
 
         def partner(plane):
@@ -200,12 +200,12 @@ def _run_compact_circuit(
         _apply_gate(
             state_re, state_im, partner, (lane_ids >> q) & 1,
             angles_ref[0, g, 0], angles_ref[0, g, 1], angles_ref[0, g, 2],
-            controls_ref[0, g], row_ids, lane_ids,
+            controls_ref[0, 0, g], row_ids, lane_ids,
         )
         return carry
 
     def row_gate(g, carry):
-        q = qubits_ref[0, g]
+        q = qubits_ref[0, 0, g]
         r = q - LANE_BITS
         stride = jnp.left_shift(jnp.int32(1), r)
 
@@ -217,13 +217,13 @@ def _run_compact_circuit(
         _apply_gate(
             state_re, state_im, partner, (row_ids >> r) & 1,
             angles_ref[0, g, 0], angles_ref[0, g, 1], angles_ref[0, g, 2],
-            controls_ref[0, g], row_ids, lane_ids,
+            controls_ref[0, 0, g], row_ids, lane_ids,
         )
         return carry
 
     for l in range(n_layers):
-        jax.lax.fori_loop(bounds_ref[0, 2 * l], bounds_ref[0, 2 * l + 1], lane_gate, 0)
-        jax.lax.fori_loop(bounds_ref[0, 2 * l + 1], bounds_ref[0, 2 * l + 2], row_gate, 0)
+        jax.lax.fori_loop(bounds_ref[0, 0, 2 * l], bounds_ref[0, 0, 2 * l + 1], lane_gate, 0)
+        jax.lax.fori_loop(bounds_ref[0, 0, 2 * l + 1], bounds_ref[0, 0, 2 * l + 2], row_gate, 0)
 
 
 def _compact_energies_kernel(
@@ -273,11 +273,11 @@ def _compact_energies_call(
         kernel,
         grid=(pop,),
         in_specs=[
-            pl.BlockSpec((1, g_max), lambda p: (p, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, g_max), lambda p: (p, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g_max), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g_max), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, g_max, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, boundaries.shape[1]), lambda p: (p, 0), memory_space=pltpu.SMEM
+                (1, 1, boundaries.shape[1]), lambda p: (p, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((rows, LANES), lambda p: (0, 0)),
         ],
@@ -289,7 +289,10 @@ def _compact_energies_call(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(qubits, controls, gate_angles, boundaries, table.reshape(rows, LANES))
+    )(
+        qubits[:, None, :], controls[:, None, :], gate_angles,
+        boundaries[:, None, :], table.reshape(rows, LANES),
+    )
     return jnp.sum(partials, axis=(-2, -1))
 
 
@@ -304,11 +307,11 @@ def _compact_probs_call(
         kernel,
         grid=(pop,),
         in_specs=[
-            pl.BlockSpec((1, g_max), lambda p: (p, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, g_max), lambda p: (p, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g_max), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g_max), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, g_max, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, boundaries.shape[1]), lambda p: (p, 0), memory_space=pltpu.SMEM
+                (1, 1, boundaries.shape[1]), lambda p: (p, 0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -320,7 +323,7 @@ def _compact_probs_call(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(qubits, controls, gate_angles, boundaries)
+    )(qubits[:, None, :], controls[:, None, :], gate_angles, boundaries[:, None, :])
     return out.reshape(pop, rows * LANES)
 
 

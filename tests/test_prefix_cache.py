@@ -208,3 +208,30 @@ def test_solver_e2e_with_prefix_cache():
     result = solver.compute_minimum_eigenvalue(operator)
     table = diagonal_energy_table(operator)
     assert float(result.eigenvalue) == pytest.approx(float(table.min()), abs=0.3)
+
+
+def test_spsa_prefix_cache():
+    """Cached SPSA: deterministic, untouched layers preserved, improves."""
+    from queasars_tpu.optim.spsa import BatchedSPSA, SPSAConfig
+
+    packed, coords, n_free, active, last_layer = _problem()
+    op = _diagonal_operator(packed.n_qubits)
+    evaluator = StatevectorExpectationEvaluator(op)
+    before = np.asarray(evaluator.evaluate_packed(packed))
+    cfg = SPSAConfig(maxiter=25, calibration_steps=5, cache_prefix=True)
+
+    def run():
+        return BatchedSPSA(cfg).minimize(
+            evaluator, packed, coords, n_free, active, last_layer=last_layer, seed=9
+        )
+
+    a1, e1, n1 = run()
+    a2, e2, n2 = run()
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(e1, e2)
+    assert n1 == n2 == 2 * 25 + 2 * 5
+    assert e1.sum() < before.sum()
+    for i in range(packed.n_individuals):
+        for l in range(packed.max_layers):
+            if l != last_layer[i]:
+                np.testing.assert_array_equal(a1[i, l], packed.angles[i, l])
