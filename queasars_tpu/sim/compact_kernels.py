@@ -26,6 +26,14 @@ differ in float rounding at the ulp level.
 Angles stay in the canonical [P, L, n, 3] tensor (the optimizers update
 it in place); the wrapper gathers the per-gate angle triples in-graph, so
 one host-side compaction serves a whole parameter sweep.
+
+**Measured outcome (v5e, n=20/pop=32, experiments/exp_compact.py): 392
+evals/s sustained vs 746 for the slot kernel — 0.53x, REJECTED for
+production.**  Dynamic-shift rolls plus dynamic-bound loops cost more on
+this toolchain than the predicated-off slot visits they remove (energies
+matched the slot kernel bit-for-bit).  Kept as a correct, tested
+alternative formulation: on toolchains where ``tpu.dynamic_rotate`` is
+native-speed the same compaction wins by the visit ratio (~1.8x here).
 """
 
 from __future__ import annotations
