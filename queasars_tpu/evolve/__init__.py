@@ -24,6 +24,12 @@ from queasars_tpu.evolve.multiobjective import (
     crowding_distance,
     pareto_front,
 )
+from queasars_tpu.evolve.qneat import (
+    QNEATAddGate,
+    QNEATAngleMutation,
+    QNEATParameterPolish,
+    QNEATSpeciationSelection,
+)
 from queasars_tpu.evolve.speciation import EVQESpeciation
 from queasars_tpu.evolve.selection import EVQESelection, EVQESelectionException
 
@@ -36,6 +42,10 @@ __all__ = [
     "EVQETopologicalSearch",
     "EVQELayerRemoval",
     "EVQESpeciation",
+    "QNEATSpeciationSelection",
+    "QNEATAngleMutation",
+    "QNEATAddGate",
+    "QNEATParameterPolish",
     "MultiObjectiveEVQESelection",
     "non_dominated_sort",
     "crowding_distance",

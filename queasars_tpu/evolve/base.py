@@ -19,7 +19,10 @@ from queasars_tpu.genome.individual import EVQEIndividual
 from queasars_tpu.genome.population import EVQEPopulation
 from queasars_tpu.sim.evaluators import BaseCircuitEvaluator
 
-POP = TypeVar("POP", bound=EVQEPopulation)
+# unbound: the pipeline is generic over population types (EVQE layer
+# genomes, QNEAT gene genomes, ...); evaluation results always carry a
+# lowered EVQEPopulation so the downstream stack stays uniform
+POP = TypeVar("POP")
 IND = TypeVar("IND", bound=EVQEIndividual)
 
 

@@ -37,6 +37,8 @@ from queasars_tpu.genome.parameter_order import (
     set_parameter_order,
 )
 
+from queasars_tpu.genome.qneat import QNEATGene, QNEATIndividual, QNEATPopulation
+
 __all__ = [
     "get_parameter_order",
     "parameter_order",
@@ -54,4 +56,7 @@ __all__ = [
     "EVQEIndividualException",
     "EVQEPopulation",
     "PackedPopulation",
+    "QNEATGene",
+    "QNEATIndividual",
+    "QNEATPopulation",
 ]

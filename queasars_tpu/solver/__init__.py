@@ -23,6 +23,10 @@ from queasars_tpu.solver.driver import (
 )
 from queasars_tpu.solver.evqe import EVQEMinimumEigensolver, EVQEMinimumEigensolverConfiguration
 from queasars_tpu.solver.mog_vqe import MoGVQEMinimumEigensolver, result_pareto_front
+from queasars_tpu.solver.qneat import (
+    QNEATMinimumEigensolver,
+    QNEATMinimumEigensolverConfiguration,
+)
 
 __all__ = [
     "EvolvingAnsatzMinimumEigensolverBaseTerminationCriterion",
@@ -39,6 +43,8 @@ __all__ = [
     "EVQEMinimumEigensolver",
     "EVQEMinimumEigensolverConfiguration",
     "MoGVQEMinimumEigensolver",
+    "QNEATMinimumEigensolver",
+    "QNEATMinimumEigensolverConfiguration",
     "result_pareto_front",
 ]
 
