@@ -255,7 +255,16 @@ class BatchedNFT:
         # applicable for this configuration
         device_nft = getattr(evaluator, "nft_minimize", None)
         if device_nft is not None:
-            device_result = device_nft(packed, coords, n_free, active, a, self.config, seed)
+            import inspect
+
+            kwargs = (
+                {"last_layer": last_layer}
+                if "last_layer" in inspect.signature(device_nft).parameters
+                else {}
+            )
+            device_result = device_nft(
+                packed, coords, n_free, active, a, self.config, seed, **kwargs
+            )
             if device_result is not None:
                 out_angles, energies = device_result
                 return out_angles, energies, self.config.n_circuit_evaluations()

@@ -44,6 +44,34 @@ from queasars_tpu.sim.sharded_statevector import (
 )
 
 
+def _nft_scan_body(objective, angles, coords, n_free, active, pop, pop_idx, maxiter, reset_interval):
+    """The 3-point NFT update scan shared by the full-circuit and
+    prefix-cached sharded sweeps (same math as optim/nft.py)."""
+
+    def step(carry, k):
+        angles_c, z0 = carry
+        z0 = jax.lax.cond((k % reset_interval) == 0, lambda: objective(angles_c), lambda: z0)
+        idx = jnp.where(n_free > 0, k % jnp.maximum(n_free, 1), 0)
+        coord = coords[pop_idx, idx]
+        l, q, a_i = coord[:, 0], coord[:, 1], coord[:, 2]
+        plus = angles_c.at[pop_idx, l, q, a_i].add(jnp.pi / 2)
+        minus = angles_c.at[pop_idx, l, q, a_i].add(-jnp.pi / 2)
+        z1 = objective(plus)
+        z3 = objective(minus)
+        mid = (z1 + z3) / 2
+        shift = jnp.arctan2((z1 - z3) / 2, z0 - mid)
+        minimum_value = mid - jnp.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
+        updated = angles_c.at[pop_idx, l, q, a_i].add(shift + jnp.pi)
+        apply = jnp.logical_and(active, n_free > 0)
+        angles_c = jnp.where(apply[:, None, None, None], updated, angles_c)
+        z0 = jnp.where(apply, minimum_value, z0)
+        return (angles_c, z0), None
+
+    init = (angles, jnp.zeros(pop, jnp.float32))
+    (angles_final, z0), _ = jax.lax.scan(step, init, jnp.arange(maxiter))
+    return angles_final, z0
+
+
 def amplitude_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     """A 1-D mesh over the amplitude axis."""
     if devices is None:
@@ -128,19 +156,78 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         base = jax.random.fold_in(self._key, self._counter)
         return jax.random.split(base, pop)
 
-    def _nft_fn(self, maxiter: int, reset_interval: int):
+    def _nft_fn(self, maxiter: int, reset_interval: int, prefix: bool = False):
         """Compiled amplitude-sharded NFT sweep (cached per hyperparams;
-        shapes are handled by jit retracing)."""
+        shapes are handled by jit retracing).
+
+        With ``prefix=True`` the sweep runs layer-prefix-cached: the
+        frozen prefix layers simulate ONCE (sharded, in the same compiled
+        program) and every probe re-enters the cached per-individual shard
+        states, applying only the optimized layer (gathered to the [P,1,n]
+        tensors by the caller)."""
         import jax
 
         from jax import shard_map
         from jax.sharding import PartitionSpec
 
-        key = ("nft", maxiter, reset_interval)
+        key = ("nft", maxiter, reset_interval, prefix)
         if key in self._fns:
             return self._fns[key]
 
         body = make_population_energies_body(self.amp_mesh, self.n_qubits)
+        if prefix:
+            from queasars_tpu.sim.sharded_statevector import _mesh_bits, _simulate_local
+
+            n_devices, local_bits = _mesh_bits(self.amp_mesh, self.n_qubits)
+
+            def nft(
+                gate_types, controls, prefix_mask, full_angles,
+                gate1, ctrl1, angles, coords, n_free, active, table_local,
+            ):
+                pop = gate_types.shape[0]
+                pop_idx = jnp.arange(pop)
+                device_id = jax.lax.axis_index(AMP_AXIS)
+                ones_mask = jnp.ones((1,), dtype=prefix_mask.dtype)
+
+                def simulate_prefix(args):
+                    gt, ctrl, ang, lm = args
+                    return _simulate_local(
+                        gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits
+                    )
+
+                prefix_local = jax.lax.map(
+                    simulate_prefix, (gate_types, controls, full_angles, prefix_mask)
+                )  # [P, 2, 2^local]
+
+                def objective(a):
+                    def one(args):
+                        start, gt, ctrl, ang = args
+                        state = _simulate_local(
+                            gt, ctrl, ang, ones_mask, device_id, local_bits,
+                            n_devices, self.n_qubits, initial_local=start,
+                        )
+                        probs = state[0] ** 2 + state[1] ** 2
+                        return jnp.dot(probs, table_local, preferred_element_type=jnp.float32)
+
+                    partials = jax.lax.map(one, (prefix_local, gate1, ctrl1, a))
+                    return jax.lax.psum(partials, AMP_AXIS)
+
+                return _nft_scan_body(
+                    objective, angles, coords, n_free, active, pop, pop_idx,
+                    maxiter, reset_interval,
+                )
+
+            mapped = jax.jit(
+                shard_map(
+                    nft,
+                    mesh=self.amp_mesh,
+                    in_specs=(PartitionSpec(),) * 10 + (PartitionSpec(AMP_AXIS),),
+                    out_specs=(PartitionSpec(), PartitionSpec()),
+                    check_vma=False,
+                )
+            )
+            self._fns[key] = mapped
+            return mapped
 
         def nft(gate_types, controls, layer_mask, angles, coords, n_free, active, table_local):
             pop = gate_types.shape[0]
@@ -149,30 +236,10 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             def objective(a):
                 return body(gate_types, controls, a, layer_mask, table_local)
 
-            def step(carry, k):
-                angles_c, z0 = carry
-                z0 = jax.lax.cond(
-                    (k % reset_interval) == 0, lambda: objective(angles_c), lambda: z0
-                )
-                idx = jnp.where(n_free > 0, k % jnp.maximum(n_free, 1), 0)
-                coord = coords[pop_idx, idx]
-                l, q, a_i = coord[:, 0], coord[:, 1], coord[:, 2]
-                plus = angles_c.at[pop_idx, l, q, a_i].add(jnp.pi / 2)
-                minus = angles_c.at[pop_idx, l, q, a_i].add(-jnp.pi / 2)
-                z1 = objective(plus)
-                z3 = objective(minus)
-                mid = (z1 + z3) / 2
-                shift = jnp.arctan2((z1 - z3) / 2, z0 - mid)
-                minimum_value = mid - jnp.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
-                updated = angles_c.at[pop_idx, l, q, a_i].add(shift + jnp.pi)
-                apply = jnp.logical_and(active, n_free > 0)
-                angles_c = jnp.where(apply[:, None, None, None], updated, angles_c)
-                z0 = jnp.where(apply, minimum_value, z0)
-                return (angles_c, z0), None
-
-            init = (angles, jnp.zeros(pop, jnp.float32))
-            (angles_final, z0), _ = jax.lax.scan(step, init, jnp.arange(maxiter))
-            return angles_final, z0
+            return _nft_scan_body(
+                objective, angles, coords, n_free, active, pop, pop_idx,
+                maxiter, reset_interval,
+            )
 
         mapped = jax.jit(
             shard_map(
@@ -186,17 +253,46 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         self._fns[key] = mapped
         return mapped
 
-    def nft_minimize(self, packed, coords, n_free, active, angles, config, seed):
+    def nft_minimize(self, packed, coords, n_free, active, angles, config, seed, last_layer=None):
         """Device-side NFT sweep for BatchedNFT's evaluator hook: the whole
         maxiter scan (simulation, psum reductions, parameter updates) runs
         as ONE compiled SPMD program over the amplitude mesh — instead of
         one host dispatch per probe.  Returns None when this evaluator
         configuration needs the host-stepped path (CVaR tails, finite
-        shots, precision noise, five-point NFT)."""
+        shots, precision noise, five-point NFT).
+
+        ``last_layer`` (see NFTConfig.cache_prefix) enables the
+        layer-prefix-cached sweep: the frozen prefix simulates once
+        (sharded, inside the same compiled program) and every probe
+        applies only the optimized layer from the cached shard states —
+        default-on for this evaluator (the >20-qubit production path),
+        opt out with ``NFTConfig(cache_prefix=False)``."""
         if self.alpha < 1.0 or self.shots is not None or self.precision > 0.0:
             return None
         if getattr(config, "five_point", False):
             return None
+        cache_flag = getattr(config, "cache_prefix", None)
+        use_prefix = last_layer is not None and (cache_flag is None or cache_flag)
+        a_full = np.asarray(angles)
+        if use_prefix:
+            ll = np.asarray(last_layer, np.int32)
+            prefix_mask = np.logical_and(
+                packed.layer_mask, np.arange(packed.max_layers)[None, :] < ll[:, None]
+            )
+            gt1 = np.take_along_axis(packed.gate_types, ll[:, None, None], axis=1)
+            ctrl1 = np.take_along_axis(packed.controls, ll[:, None, None], axis=1)
+            a1 = np.take_along_axis(a_full, ll[:, None, None, None], axis=1)
+            coords1 = np.asarray(coords).copy()
+            coords1[:, :, 0] = 0
+            fn = self._nft_fn(config.maxiter, config.reset_interval, prefix=True)
+            out_a1, energies = fn(
+                packed.gate_types, packed.controls, prefix_mask, jnp.asarray(a_full),
+                gt1, ctrl1, jnp.asarray(a1), jnp.asarray(coords1),
+                jnp.asarray(n_free), jnp.asarray(active), self._table,
+            )
+            merged = a_full.copy()
+            merged[np.arange(packed.n_individuals), ll] = np.asarray(out_a1)[:, 0]
+            return merged, np.asarray(energies)
         fn = self._nft_fn(config.maxiter, config.reset_interval)
         out_angles, energies = fn(
             packed.gate_types, packed.controls, packed.layer_mask,

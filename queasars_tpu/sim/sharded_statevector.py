@@ -132,16 +132,23 @@ def _apply_global_slot(state, target, gate_type, control, angles, local_bits, de
 
 
 def _simulate_local(
-    gate_types, controls, angles, layer_mask, device_id, local_bits, n_devices, n_qubits
+    gate_types, controls, angles, layer_mask, device_id, local_bits, n_devices, n_qubits,
+    initial_local=None,
 ):
     """Run one genome's circuit on this device's amplitude shard
-    ([2, 2^local_bits]); global-qubit gates exchange shards via ppermute."""
-    local = jnp.zeros((2, 1 << local_bits), jnp.float32)
-    amp0 = jnp.logical_and(
-        device_id == 0,
-        jax.lax.broadcasted_iota(jnp.int32, (1, 1 << local_bits), 1)[0] == 0,
-    )
-    local = local.at[0].set(jnp.where(amp0, 1.0, 0.0))
+    ([2, 2^local_bits]); global-qubit gates exchange shards via ppermute.
+
+    ``initial_local`` optionally provides this shard's start state (the
+    optimizers' layer-prefix cache re-enters cached states here)."""
+    if initial_local is not None:
+        local = initial_local
+    else:
+        local = jnp.zeros((2, 1 << local_bits), jnp.float32)
+        amp0 = jnp.logical_and(
+            device_id == 0,
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1 << local_bits), 1)[0] == 0,
+        )
+        local = local.at[0].set(jnp.where(amp0, 1.0, 0.0))
 
     def layer_step(carry, layer):
         types_l, controls_l, angles_l, mask_l = layer

@@ -235,3 +235,56 @@ def test_spsa_prefix_cache():
         for l in range(packed.max_layers):
             if l != last_layer[i]:
                 np.testing.assert_array_equal(a1[i, l], packed.angles[i, l])
+
+
+def test_amplitude_sharded_prefix_cache_matches_full_sweep():
+    """The prefix-cached sharded device NFT sweep must match the
+    full-circuit sharded sweep (same outcomes, tolerance for atan2
+    branch flips on flat coordinates)."""
+    from queasars_tpu.paulis import pauli_z_string
+    from queasars_tpu.sim.sharded_evaluator import (
+        AmplitudeShardedExpectationEvaluator,
+        amplitude_mesh,
+    )
+
+    n_qubits = 8
+    population = EVQEPopulation.random_population(n_qubits, 3, 4, True, random_seed=31)
+    packed = PackedPopulation.pack(list(population.individuals))
+    real_layers = packed.layer_mask.sum(axis=1).astype(np.int32)
+    last_layer = real_layers - 1
+    coords_list = [packed.layer_param_coordinates(i, -1) for i in range(packed.n_individuals)]
+    k_max = max(c.shape[0] for c in coords_list)
+    coords = np.zeros((packed.n_individuals, k_max, 3), np.int32)
+    n_free = np.zeros(packed.n_individuals, np.int32)
+    for i, c in enumerate(coords_list):
+        coords[i, : c.shape[0]] = c
+        n_free[i] = c.shape[0]
+    active = n_free > 0
+    operator = PauliSum.sum([pauli_z_string(q, n_qubits) for q in range(n_qubits)])
+
+    def run(cache):
+        evaluator = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(8))
+        optimizer = BatchedNFT(NFTConfig(maxiter=10, cache_prefix=cache))
+        return optimizer.minimize(
+            evaluator, packed, coords, n_free, active, seed=2, last_layer=last_layer
+        )
+
+    a_full, e_full, n_full = run(False)
+    a_cached, e_cached, n_cached = run(True)
+    assert n_full == n_cached
+    np.testing.assert_allclose(e_cached, e_full, atol=2e-4)
+    # untouched layers preserved
+    for i in range(packed.n_individuals):
+        for l in range(packed.max_layers):
+            if l != last_layer[i]:
+                np.testing.assert_array_equal(a_cached[i, l], packed.angles[i, l])
+    # outcomes agree through an independent evaluator
+    single = StatevectorExpectationEvaluator(operator)
+    np.testing.assert_allclose(
+        np.asarray(single.evaluate_packed(packed, angles=a_cached)),
+        np.asarray(single.evaluate_packed(packed, angles=a_full)),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.evaluate_packed(packed, angles=a_cached)), e_cached, atol=2e-4
+    )
