@@ -38,6 +38,10 @@ def _build_parser() -> argparse.ArgumentParser:
     solve.add_argument("--nft-maxiter", type=int, default=40)
     solve.add_argument("--alpha-tail", type=float, default=1.0, help="CVaR alpha (sampler path)")
     solve.add_argument("--sampler", action="store_true", help="shot-based evaluation path")
+    solve.add_argument(
+        "--algorithm", choices=("evqe", "qneat"), default="evqe",
+        help="evolutionary algorithm (default evqe; qneat = speciated gate-genome evolution)",
+    )
     solve.add_argument("--use-pallas", action="store_true", help="fused TPU kernel (production)")
     solve.add_argument("--pack-min-layers", type=int, default=None)
     solve.add_argument("--n-devices", type=int, default=None, help="population-mesh width")
@@ -104,6 +108,33 @@ def _solve(args) -> int:
     )
 
     hamiltonian, describe = _load_hamiltonian(args)
+    if args.algorithm == "qneat":
+        from queasars_tpu.solver import (
+            QNEATMinimumEigensolver,
+            QNEATMinimumEigensolverConfiguration,
+        )
+
+        if args.resume and not args.checkpoint:
+            raise SystemExit("--resume requires --checkpoint")
+        if args.shard_amplitudes or args.n_devices:
+            raise SystemExit("mesh options are EVQE-only in the CLI for now")
+        qneat_configuration = QNEATMinimumEigensolverConfiguration(
+            configured_estimator=None if args.sampler else ConfiguredEstimator(),
+            configured_sampler=ConfiguredSampler(shots=args.shots, seed=args.seed),
+            max_generations=args.generations,
+            max_circuit_evaluations=None,
+            termination_criterion=None,
+            random_seed=args.seed,
+            population_size=args.population,
+            optimizer=BatchedNFT(NFTConfig(maxiter=args.nft_maxiter)),
+            distribution_alpha_tail=args.alpha_tail,
+            use_pallas=args.use_pallas or None,
+            pack_min_layers=args.pack_min_layers,
+            checkpoint_path=args.checkpoint,
+            resume_from_checkpoint=args.checkpoint if args.resume else None,
+        )
+        solver = QNEATMinimumEigensolver(qneat_configuration)
+        return _report(solver.compute_minimum_eigenvalue(hamiltonian), describe, args)
     configuration = EVQEMinimumEigensolverConfiguration(
         configured_estimator=None if args.sampler else ConfiguredEstimator(),
         configured_sampler=ConfiguredSampler(shots=args.shots, seed=args.seed),
@@ -134,7 +165,10 @@ def _solve(args) -> int:
         raise SystemExit("--resume requires --checkpoint")
 
     result = EVQEMinimumEigensolver(configuration).compute_minimum_eigenvalue(hamiltonian)
+    return _report(result, describe, args)
 
+
+def _report(result, describe, args) -> int:
     likeliest = max(result.eigenstate.items(), key=lambda kv: kv[1])[0]
     summary = {
         "eigenvalue": result.eigenvalue,

@@ -218,3 +218,78 @@ class EVQEPopulationJSONDecoder(JSONDecoder):
                 species_membership=membership,
             )
         return self._layer_decoder_hook(object_dict)
+
+
+# ---------------------------------------------------------------------------
+# QNEAT genomes (no reference counterpart — QNEAT is future work there;
+# the key scheme mirrors the EVQE sentinel-key convention)
+# ---------------------------------------------------------------------------
+
+
+class QNEATPopulationJSONEncoder(JSONEncoder):
+    """Serializes QNEAT genes, individuals and populations."""
+
+    def default(self, o: Any):
+        from queasars_tpu.genome.qneat import QNEATGene, QNEATIndividual, QNEATPopulation
+
+        if isinstance(o, QNEATGene):
+            return {
+                "qneat_gene_innovation": o.innovation,
+                "qneat_gene_target": o.target,
+                "qneat_gene_control": o.control,
+            }
+        if isinstance(o, QNEATIndividual):
+            return {
+                "qneat_individual_n_qubits": o.n_qubits,
+                "qneat_individual_genes": [self.default(g) for g in o.genes],
+                "qneat_individual_angles": list(o.angles),
+            }
+        if isinstance(o, QNEATPopulation):
+            return {
+                "qneat_population_individuals": [self.default(i) for i in o.individuals],
+                "qneat_population_next_innovation": o.next_innovation,
+                "qneat_population_species_representatives": (
+                    None
+                    if o.species_representatives is None
+                    else [self.default(i) for i in o.species_representatives]
+                ),
+                "qneat_population_elite_flags": (
+                    None if o.elite_flags is None else list(o.elite_flags)
+                ),
+            }
+        return super().default(o)
+
+
+class QNEATPopulationJSONDecoder(JSONDecoder):
+    """Round-trip decoder for the QNEAT codec above."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(object_hook=self.object_hook, *args, **kwargs)
+
+    def object_hook(self, object_dict):
+        from queasars_tpu.genome.qneat import QNEATGene, QNEATIndividual, QNEATPopulation
+
+        if "qneat_gene_innovation" in object_dict:
+            return QNEATGene(
+                innovation=object_dict["qneat_gene_innovation"],
+                target=object_dict["qneat_gene_target"],
+                control=object_dict["qneat_gene_control"],
+            )
+        if "qneat_individual_n_qubits" in object_dict:
+            return QNEATIndividual(
+                n_qubits=object_dict["qneat_individual_n_qubits"],
+                genes=tuple(object_dict["qneat_individual_genes"]),
+                angles=tuple(object_dict["qneat_individual_angles"]),
+            )
+        if "qneat_population_individuals" in object_dict:
+            representatives = object_dict["qneat_population_species_representatives"]
+            elite_flags = object_dict["qneat_population_elite_flags"]
+            return QNEATPopulation(
+                individuals=tuple(object_dict["qneat_population_individuals"]),
+                next_innovation=object_dict["qneat_population_next_innovation"],
+                species_representatives=(
+                    None if representatives is None else tuple(representatives)
+                ),
+                elite_flags=None if elite_flags is None else tuple(elite_flags),
+            )
+        return object_dict

@@ -16,9 +16,12 @@ Distribution notes:
 - CVaR / shot paths operate on the amplitude-sharded probability array
   with global ops (the energy-order gather crosses shards; XLA inserts
   the collectives) — correct everywhere, cheapest below ~24 qubits;
-- single-controller meshes only for now: population sharding
-  (parallel/mesh.py) is multi-controller aware, amplitude sharding is
-  not yet (its table placement uses direct device_put).
+- multi-controller meshes are supported for the exact (alpha=1, no
+  shots) energies path and the device-side NFT sweep: the table
+  globalizes via ``make_array_from_callback`` (each process materializes
+  its local shards) and the replicated genome tensors via the same
+  mechanism; the CVaR / finite-shot paths materialize the full sharded
+  probability array on the controller and stay single-controller.
 """
 
 from __future__ import annotations
@@ -127,9 +130,15 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         self._noise_rng = np.random.default_rng(seed)
         table = diagonal_energy_table(operator, dtype=np.float32)
         self._table_host = jnp.asarray(table)  # transferred once
-        self._table = jax.device_put(
-            table, NamedSharding(self.amp_mesh, P(AMP_AXIS))
-        )
+        table_sharding = NamedSharding(self.amp_mesh, P(AMP_AXIS))
+        if jax.process_count() > 1:
+            # multi-controller: every process materializes only the table
+            # shards its local devices hold
+            self._table = jax.make_array_from_callback(
+                table.shape, table_sharding, lambda idx: table[idx]
+            )
+        else:
+            self._table = jax.device_put(table, table_sharding)
         if self.alpha < 1.0:
             order = np.argsort(table, kind="stable").astype(np.int32)
             self._order = jnp.asarray(order)
@@ -141,6 +150,19 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
     def set_mesh(self, mesh) -> None:
         """Population-axis sharding does not apply here (the mesh already
         holds the amplitude axis); ignore attach requests."""
+
+    def _globalize(self, *arrays):
+        """Host arrays -> global replicated arrays when the mesh spans
+        multiple controller processes (single-process: pass through)."""
+        if jax.process_count() <= 1:
+            return arrays
+        sharding = NamedSharding(self.amp_mesh, P())
+
+        def build(value):
+            arr = np.asarray(value)
+            return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+        return tuple(build(a) for a in arrays)
 
     def _shape_fns(self, packed):
         shape = (packed.n_individuals, packed.max_layers)
@@ -285,20 +307,20 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             coords1 = np.asarray(coords).copy()
             coords1[:, :, 0] = 0
             fn = self._nft_fn(config.maxiter, config.reset_interval, prefix=True)
-            out_a1, energies = fn(
-                packed.gate_types, packed.controls, prefix_mask, jnp.asarray(a_full),
-                gt1, ctrl1, jnp.asarray(a1), jnp.asarray(coords1),
-                jnp.asarray(n_free), jnp.asarray(active), self._table,
+            args = self._globalize(
+                packed.gate_types, packed.controls, prefix_mask, a_full,
+                gt1, ctrl1, a1, coords1, n_free, active,
             )
+            out_a1, energies = fn(*args, self._table)
             merged = a_full.copy()
             merged[np.arange(packed.n_individuals), ll] = np.asarray(out_a1)[:, 0]
             return merged, np.asarray(energies)
         fn = self._nft_fn(config.maxiter, config.reset_interval)
-        out_angles, energies = fn(
+        args = self._globalize(
             packed.gate_types, packed.controls, packed.layer_mask,
-            jnp.asarray(angles), jnp.asarray(coords), jnp.asarray(n_free),
-            jnp.asarray(active), self._table,
+            np.asarray(angles), np.asarray(coords), np.asarray(n_free), np.asarray(active),
         )
+        out_angles, energies = fn(*args, self._table)
         return np.asarray(out_angles), np.asarray(energies)
 
     def _apply_precision_noise(self, energies: np.ndarray) -> np.ndarray:
@@ -312,10 +334,15 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         a = packed.angles if angles is None else angles
         energies_fn, probs_fn = self._shape_fns(packed)
         if self.alpha >= 1.0 and self.shots is None:
-            out = energies_fn(
-                packed.gate_types, packed.controls, a, packed.layer_mask, self._table
-            )
+            args = self._globalize(packed.gate_types, packed.controls, a, packed.layer_mask)
+            out = energies_fn(*args, self._table)
             return self._apply_precision_noise(np.asarray(out))
+        if jax.process_count() > 1:
+            raise CircuitEvaluatorException(
+                "the CVaR / finite-shot amplitude-sharded paths materialize the "
+                "full probability array on the controller and are single-process "
+                "only; use alpha=1 exact energies on multi-controller meshes"
+            )
         probs = probs_fn(packed.gate_types, packed.controls, a, packed.layer_mask)
         if self.shots is not None:
             keys = self._next_keys(packed.n_individuals)

@@ -42,6 +42,27 @@ FORMAT_TAG = "queasars_tpu_solver_state"
 FORMAT_VERSION = 1
 
 
+def _encode_population(obj):
+    """Encode a population/individual of either genome family (EVQE layer
+    genomes or QNEAT gene genomes — the current population may be QNEAT,
+    evaluation results always carry lowered EVQE populations)."""
+    from queasars_tpu.genome.qneat import QNEATIndividual, QNEATPopulation
+    from queasars_tpu.genome.serialization import QNEATPopulationJSONEncoder
+
+    if isinstance(obj, (QNEATPopulation, QNEATIndividual)):
+        return QNEATPopulationJSONEncoder().default(obj)
+    return EVQEPopulationJSONEncoder().default(obj)
+
+
+def _decode_population(obj):
+    from queasars_tpu.genome.serialization import QNEATPopulationJSONDecoder
+
+    text = json.dumps(obj)
+    if isinstance(obj, dict) and "qneat_population_individuals" in obj:
+        return QNEATPopulationJSONDecoder().decode(text)
+    return EVQEPopulationJSONDecoder().decode(text)
+
+
 def random_state_to_json(rng: Random) -> list:
     """``Random.getstate()`` as JSON-safe nested lists."""
     version, internal, gauss_next = rng.getstate()
@@ -154,7 +175,7 @@ def write_checkpoint(
     payload = {
         "format": FORMAT_TAG,
         "version": FORMAT_VERSION,
-        "population": encoder.default(population),
+        "population": _encode_population(population),
         "n_generations": n_generations,
         "n_circuit_evaluations": list(n_circuit_evaluations),
         "population_evaluations": [
@@ -212,7 +233,7 @@ def load_checkpoint(path: str) -> SolverCheckpoint:
     ]
     best = payload["best_individual"]
     return SolverCheckpoint(
-        population=decode_tree(payload["population"]),
+        population=_decode_population(payload["population"]),
         n_generations=payload["n_generations"],
         n_circuit_evaluations=list(payload["n_circuit_evaluations"]),
         population_evaluations=evaluations,

@@ -16,9 +16,10 @@ generation tick, like the reference's EVQE selection):
   (evaluate + speciate + share + reproduce) -> QNEATAngleMutation ->
   QNEATAddGate
 
-Checkpointing is not yet exposed for QNEAT (the checkpoint codec is
-EVQE-genome-specific), so the configuration carries no
-``checkpoint_path``/``resume_from_checkpoint`` knobs.
+``checkpoint_path``/``resume_from_checkpoint`` persist and restore the
+full solver state (QNEAT population incl. innovation counter and species
+representatives, operator RNG states, ledger, trajectory, best-so-far,
+evaluator randomness) exactly like the EVQE facade.
 """
 
 from __future__ import annotations
@@ -95,6 +96,8 @@ class QNEATMinimumEigensolverConfiguration:
     rotation_gate_probability: float = 0.5
     optimizer: Optional[object] = None
     randomize_initial_parameters: bool = True
+    checkpoint_path: Optional[str] = None
+    resume_from_checkpoint: Optional[str] = None
     distribution_alpha_tail: float = 1.0
     use_pallas: Optional[bool] = None
     pack_min_layers: Optional[int] = None
@@ -174,6 +177,8 @@ class QNEATMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             pack_min_layers=configuration.pack_min_layers,
             mesh=configuration.mesh,
             n_devices=configuration.n_devices,
+            checkpoint_path=configuration.checkpoint_path,
+            resume_from_checkpoint=configuration.resume_from_checkpoint,
         )
         super().__init__(configuration=config)
 

@@ -60,3 +60,15 @@ def test_cli_jssp_solve_checkpoint_resume(tmp_path):
     with open(output) as fh:
         result = json.load(fh, cls=EvolvingAnsatzMinimumEigensolverResultJSONDecoder)
     assert result.generations == 2
+
+
+def test_cli_qneat_solve(tmp_path):
+    qubo = os.path.join(tmp_path, "qubo.json")
+    with open(qubo, "w") as fh:
+        json.dump({"quadratic": [[1.0, 0.0], [0.0, -1.0]]}, fh)
+    summary = _run([
+        "solve", "--qubo", qubo, "--algorithm", "qneat",
+        "--generations", "4", "--population", "8", "--nft-maxiter", "6",
+    ])
+    assert summary["generations"] == 4
+    assert summary["decoded"]["bits"] == [0, 1]

@@ -173,3 +173,111 @@ def test_two_process_evqe_solve_matches_single_process():
     assert payloads[0]["trajectory"] == [
         list(g.expectation_values) for g in local.population_evaluation_results
     ]
+
+
+AMP_WORKER = """
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from queasars_tpu.parallel import initialize_multihost
+
+coordinator, rank = sys.argv[1], int(sys.argv[2])
+initialize_multihost(coordinator_address=coordinator, num_processes=2, process_id=rank)
+assert len(jax.devices()) == 2
+
+import numpy as np
+from queasars_tpu.genome import EVQEPopulation
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.optim.nft import BatchedNFT, NFTConfig
+from queasars_tpu.paulis import PauliSum, pauli_z_string
+from queasars_tpu.sim.sharded_evaluator import (
+    AmplitudeShardedExpectationEvaluator, amplitude_mesh)
+
+n_qubits = 5
+population = EVQEPopulation.random_population(n_qubits, 2, 3, True, random_seed=9)
+packed = PackedPopulation.pack(list(population.individuals))
+operator = PauliSum.sum([pauli_z_string(q, n_qubits) * float(q + 1) for q in range(n_qubits)])
+evaluator = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(2))
+
+energies = evaluator.evaluate_packed(packed)
+
+coords = np.stack([
+    np.pad(packed.param_coordinates(i),
+           ((0, int(packed.n_params.max()) - packed.n_params[i]), (0, 0)))
+    for i in range(packed.n_individuals)
+])
+active = np.ones(packed.n_individuals, bool)
+optimizer = BatchedNFT(NFTConfig(maxiter=4))
+opt_angles, opt_energies, _ = optimizer.minimize(
+    evaluator, packed, coords, packed.n_params, active, seed=0)
+
+print("RESULT" + json.dumps({
+    "rank": rank,
+    "energies": [float(v) for v in energies],
+    "opt_energies": [float(v) for v in opt_energies],
+}), flush=True)
+"""
+
+
+def test_two_process_amplitude_sharded_evaluation():
+    """Amplitude sharding across two controller processes: one statevector
+    split over both hosts' devices — exact energies and the device-side
+    NFT sweep match the single-process 2-device mesh bit-identically."""
+    import json
+
+    import numpy as np
+
+    coordinator = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", AMP_WORKER, coordinator, str(rank)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for rank in range(2)
+    ]
+    payloads = {}
+    for rank, proc in enumerate(procs):
+        out, err = proc.communicate(timeout=280)
+        assert proc.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                payloads[rank] = json.loads(line[len("RESULT"):])
+    assert set(payloads) == {0, 1}
+    assert payloads[0] == {**payloads[1], "rank": 0}
+
+    # single-process reference over a 2-device mesh
+    from queasars_tpu.genome import EVQEPopulation
+    from queasars_tpu.genome.packing import PackedPopulation
+    from queasars_tpu.optim.nft import BatchedNFT, NFTConfig
+    from queasars_tpu.paulis import PauliSum, pauli_z_string
+    from queasars_tpu.sim.sharded_evaluator import (
+        AmplitudeShardedExpectationEvaluator,
+        amplitude_mesh,
+    )
+
+    n_qubits = 5
+    population = EVQEPopulation.random_population(n_qubits, 2, 3, True, random_seed=9)
+    packed = PackedPopulation.pack(list(population.individuals))
+    operator = PauliSum.sum(
+        [pauli_z_string(q, n_qubits) * float(q + 1) for q in range(n_qubits)]
+    )
+    evaluator = AmplitudeShardedExpectationEvaluator(operator, mesh=amplitude_mesh(2))
+    energies = evaluator.evaluate_packed(packed)
+    np.testing.assert_array_equal(np.asarray(payloads[0]["energies"], np.float32), energies)
+
+    coords = np.stack([
+        np.pad(packed.param_coordinates(i),
+               ((0, int(packed.n_params.max()) - packed.n_params[i]), (0, 0)))
+        for i in range(packed.n_individuals)
+    ])
+    active = np.ones(packed.n_individuals, bool)
+    _, opt_energies, _ = BatchedNFT(NFTConfig(maxiter=4)).minimize(
+        evaluator, packed, coords, packed.n_params, active, seed=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(payloads[0]["opt_energies"], np.float32), opt_energies
+    )

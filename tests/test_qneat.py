@@ -363,3 +363,76 @@ def test_qneat_with_optimizer_polish():
     assert float(result.eigenvalue) == pytest.approx(float(table.min()), abs=0.3)
     # ledger counts polish evals (13 per individual) + selection evals
     assert sum(result.circuit_evaluations) > 3 * 6
+
+
+def test_qneat_population_json_round_trip():
+    import json
+
+    from queasars_tpu.evolve.qneat import QNEATAddGate
+    from queasars_tpu.genome.serialization import (
+        QNEATPopulationJSONDecoder,
+        QNEATPopulationJSONEncoder,
+    )
+
+    op = _operator()
+    ctx, _, _ = _context(op)
+    pop = QNEATPopulation.initial(4, 5, True, random_seed=13)
+    pop = QNEATAddGate(mutation_probability=1.0, random_seed=14).apply_operator(pop, ctx)
+    pop = QNEATPopulation(
+        individuals=pop.individuals,
+        next_innovation=pop.next_innovation,
+        species_representatives=pop.individuals[:2],
+        elite_flags=(True,) + (False,) * 4,
+    )
+    text = json.dumps(pop, cls=QNEATPopulationJSONEncoder)
+    restored = json.loads(text, cls=QNEATPopulationJSONDecoder)
+    assert restored.individuals == pop.individuals
+    assert restored.next_innovation == pop.next_innovation
+    assert restored.species_representatives == pop.species_representatives
+    assert restored.elite_flags == pop.elite_flags
+
+
+def test_qneat_checkpoint_resume_exact_trajectory(tmp_path):
+    """QNEAT solves checkpoint/resume like EVQE: the resumed run
+    reproduces the uninterrupted run's remaining generations exactly."""
+    import os
+
+    from queasars_tpu.problems.qubo import qubo_hamiltonian
+    from queasars_tpu.solver import (
+        ConfiguredEstimator,
+        ConfiguredSampler,
+        QNEATMinimumEigensolver,
+        QNEATMinimumEigensolverConfiguration,
+    )
+
+    operator, _ = qubo_hamiltonian(np.array([[1.0, -2.0], [0.0, 1.0]]))
+    path = os.path.join(tmp_path, "qneat_state.json")
+
+    def config(max_generations, checkpoint=None, resume=None):
+        return QNEATMinimumEigensolverConfiguration(
+            configured_estimator=ConfiguredEstimator(),
+            configured_sampler=ConfiguredSampler(shots=512, seed=0),
+            max_generations=max_generations,
+            max_circuit_evaluations=None,
+            termination_criterion=None,
+            random_seed=5,
+            population_size=8,
+            checkpoint_path=checkpoint,
+            resume_from_checkpoint=resume,
+        )
+
+    def trajectory(result):
+        return [
+            (gen.expectation_values, gen.best_expectation_value)
+            for gen in result.population_evaluation_results
+        ]
+
+    full = QNEATMinimumEigensolver(config(6)).compute_minimum_eigenvalue(operator)
+    QNEATMinimumEigensolver(config(3, checkpoint=path)).compute_minimum_eigenvalue(operator)
+    resumed = QNEATMinimumEigensolver(
+        config(6, checkpoint=path, resume=path)
+    ).compute_minimum_eigenvalue(operator)
+
+    assert trajectory(resumed) == trajectory(full)
+    assert float(resumed.eigenvalue) == float(full.eigenvalue)
+    assert resumed.best_individual == full.best_individual
