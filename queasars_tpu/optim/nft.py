@@ -51,7 +51,7 @@ import jax.numpy as jnp
 
 from queasars_tpu.genome.packing import PackedPopulation
 from queasars_tpu.optim.objective import objective_operands, population_energies
-from queasars_tpu.optim.prefix import build_prefix_transform, prefix_enabled
+from queasars_tpu.optim.prefix import prefix_enabled
 
 
 @dataclass(frozen=True)
@@ -106,7 +106,7 @@ _FIVE_POINT_INVERSE = jnp.asarray(_five_point_inverse())
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots", "use_pallas", "use_general", "five_point"),
+    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots", "use_pallas", "use_general", "five_point", "prefix_mode"),
 )
 def _nft_scan(
     gate_types,
@@ -123,6 +123,7 @@ def _nft_scan(
     pop_keys,
     initial_state,
     precision=None,
+    prefix_args=None,
     *,
     n_qubits: int,
     maxiter: int,
@@ -133,9 +134,29 @@ def _nft_scan(
     use_pallas: bool = False,
     use_general: bool = False,
     five_point: bool = False,
+    prefix_mode: str = "off",
 ):
     pop = gate_types.shape[0]
     pop_idx = jnp.arange(pop)
+
+    if prefix_mode != "off":
+        # layer-prefix cache, fused into the sweep's compiled program:
+        # simulate the frozen prefix once, then every probe re-enters the
+        # cached per-individual states (initial_state here may carry a
+        # SHARED start state, which folds into the prefix)
+        full_gt, full_ctrl, prefix_mask, full_angles = prefix_args
+        if prefix_mode == "pallas":
+            from queasars_tpu.sim.pallas_kernels import pallas_population_states
+
+            initial_state = pallas_population_states(
+                full_gt, full_ctrl, full_angles, prefix_mask, n_qubits
+            )
+        else:
+            from queasars_tpu.sim.statevector import simulate_circuits
+
+            initial_state = simulate_circuits(
+                full_gt, full_ctrl, full_angles, prefix_mask, n_qubits, initial_state
+            )
 
     def objective(a, k):
         return population_energies(
@@ -282,16 +303,25 @@ class BatchedNFT:
         a_in = np.asarray(a)
         coords_in = np.asarray(coords)
         initial = operands["initial_state"]
+        prefix_args = None
+        prefix_mode = "off"
         if use_prefix:
-            # simulate the frozen prefix (everything before each
-            # individual's optimized last layer) ONCE; every probe in the
-            # sweep then applies just that single layer from the cached
-            # per-individual state
-            transform = build_prefix_transform(packed, a_in, coords_in, operands, last_layer)
-            gt, ctrl, lm = transform.gate_types, transform.controls, transform.layer_mask
-            a_in = transform.angles
-            coords_in = transform.coords
-            initial = transform.initial_state
+            # layer-prefix cache: the frozen prefix simulates ONCE inside
+            # the sweep's compiled program (_nft_scan), and every probe
+            # applies just the optimized layer from the cached state
+            ll = np.asarray(last_layer, np.int32)
+            prefix_mask = np.logical_and(
+                lm, np.arange(packed.max_layers)[None, :] < ll[:, None]
+            )
+            prefix_args = (gt, ctrl, prefix_mask, a_in)
+            prefix_mode = "pallas" if operands.get("use_pallas", False) else "jnp"
+            full_angles = a_in
+            gt = np.take_along_axis(gt, ll[:, None, None], axis=1)
+            ctrl = np.take_along_axis(ctrl, ll[:, None, None], axis=1)
+            a_in = np.take_along_axis(a_in, ll[:, None, None, None], axis=1)
+            lm = np.ones((packed.n_individuals, 1), dtype=bool)
+            coords_in = coords_in.copy()
+            coords_in[:, :, 0] = 0
 
         pop_keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), packed.n_individuals))
         static_kwargs = dict(
@@ -304,6 +334,7 @@ class BatchedNFT:
             use_pallas=operands.get("use_pallas", False),
             use_general=operands.get("use_general", False),
             five_point=self.config.five_point,
+            prefix_mode=prefix_mode,
         )
         pop_args = (
             gt, ctrl, lm, a_in,
@@ -319,13 +350,15 @@ class BatchedNFT:
             tab, se, eo, alpha_v, init, prec = ra
             return _nft_scan(
                 gt, ctrl, lm, ang, crd, nf, act, tab, se, eo, alpha_v, keys, init, prec,
-                **static_kwargs,
+                prefix_args, **static_kwargs,
             )
 
         if mesh is None:
             out_angles, energies = fn(pop_args, rep_args)
             if use_prefix:
-                out_angles = transform.merge(np.asarray(out_angles))
+                merged = full_angles.copy()
+                merged[np.arange(packed.n_individuals), ll] = np.asarray(out_angles)[:, 0]
+                out_angles = merged
         else:
             from queasars_tpu.parallel.mesh import (
                 pad_population_axis,

@@ -116,18 +116,18 @@ def _run_circuit_in_vmem(
                 partner_re = jnp.where(bit0, fwd_re, bwd_re)
                 partner_im = jnp.where(bit0, fwd_im, bwd_im)
             else:
+                # partner exchange via two sublane rolls + bit select —
+                # measured 2.2x faster than the reshape-based block swap
+                # (experiments/exp_slot_costs.py lane_vs_row: the reshape
+                # forces a relayout; sublane rotates are native)
                 stride = 1 << (q - LANE_BITS)
-                blocks = rows // (2 * stride)
-
-                def pair_swap(plane):
-                    v = plane.reshape(blocks, 2, stride, LANES)
-                    # swap the pair axis with static slices + concat
-                    # (jnp.flip/rev has no Mosaic lowering)
-                    return jnp.concatenate([v[:, 1:2], v[:, 0:1]], axis=1).reshape(rows, LANES)
-
-                partner_re = pair_swap(re)
-                partner_im = pair_swap(im)
+                fwd_re = pltpu.roll(re, rows - stride, 0)
+                fwd_im = pltpu.roll(im, rows - stride, 0)
+                bwd_re = pltpu.roll(re, stride, 0)
+                bwd_im = pltpu.roll(im, stride, 0)
                 bit0 = ((row_ids >> (q - LANE_BITS)) & 1) == 0
+                partner_re = jnp.where(bit0, fwd_re, bwd_re)
+                partner_im = jnp.where(bit0, fwd_im, bwd_im)
 
             # positions with bit=0 take row 0 of U against (self, partner);
             # positions with bit=1 take row 1 against (partner, self)
