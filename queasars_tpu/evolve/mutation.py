@@ -211,6 +211,78 @@ class EVQEParameterSearch(BaseEVQEMutationOperator):
         angles = packed.angles
         total_evals = 0
         max_slots = max((len(o) for o in orders), default=0)
+
+        fused = self._apply_fused_slots(
+            individuals, selected, orders, slot_seeds, packed, angles,
+            operator_context, max_slots,
+        )
+        if fused is not None:
+            angles, total_evals = fused
+        else:
+            angles, total_evals = self._apply_slot_loop(
+                individuals, selected, orders, slot_seeds, packed, angles,
+                operator_context, max_slots,
+            )
+
+        packed.angles = angles
+        for i in range(len(individuals)):
+            if selected[i]:
+                individuals[i] = unpack_individual(packed, i, individuals[i])
+
+        operator_context.circuit_evaluation_count_callback(total_evals)
+        return self._cleared_population(population, individuals)
+
+    def _apply_fused_slots(
+        self, individuals, selected, orders, slot_seeds, packed, angles,
+        operator_context, max_slots,
+    ):
+        """One fused device program for all layer slots (optimizer
+        permitting) — see BatchedNFT.minimize_slots.  Returns None to fall
+        back to the sequential per-slot loop."""
+        fused = getattr(self.optimizer, "minimize_slots", None)
+        if fused is None or max_slots == 0:
+            return None
+        pop = len(individuals)
+        k_max = 1
+        for i in range(pop):
+            for layer in orders[i]:
+                k_max = max(k_max, packed.layer_param_coordinates(i, layer).shape[0])
+        coords = np.zeros((pop, max_slots, k_max, 3), np.int32)
+        n_free = np.zeros((pop, max_slots), np.int32)
+        active = np.zeros((pop, max_slots), bool)
+        # sitting a slot out = optimizing past the last layer: empty
+        # suffix, so the fused scan's probes skip those individuals' work
+        slot_layers = np.full((pop, max_slots), packed.max_layers, np.int32)
+        seeds = np.zeros(max_slots, np.int64)
+        for s in range(max_slots):
+            seed_set = False
+            for i in range(pop):
+                if not (selected[i] and s < len(orders[i])):
+                    continue
+                c = packed.layer_param_coordinates(i, orders[i][s])
+                coords[i, s, : c.shape[0]] = c
+                n_free[i, s] = c.shape[0]
+                active[i, s] = c.shape[0] > 0
+                slot_layers[i, s] = orders[i][s]
+                if not seed_set:
+                    seeds[s] = slot_seeds[i][s]
+                    seed_set = True
+        result = fused(
+            operator_context.circuit_evaluator, packed, coords, n_free, active,
+            slot_layers, angles=angles, seeds=seeds,
+        )
+        if result is None:
+            return None
+        new_angles, _, nfev_each = result
+        total = int(active.sum()) * int(nfev_each)
+        return new_angles, total
+
+    def _apply_slot_loop(
+        self, individuals, selected, orders, slot_seeds, packed, angles,
+        operator_context, max_slots,
+    ):
+        """Sequential per-slot optimization (one device call per slot)."""
+        total_evals = 0
         for s in range(max_slots):
             layer_choice: list[Optional[int]] = [
                 orders[i][s] if selected[i] and s < len(orders[i]) else None
@@ -225,14 +297,7 @@ class EVQEParameterSearch(BaseEVQEMutationOperator):
                 self.optimizer, operator_context.circuit_evaluator, angles, packed, seed_mix,
             )
             total_evals += n_evals
-
-        packed.angles = angles
-        for i in range(len(individuals)):
-            if selected[i]:
-                individuals[i] = unpack_individual(packed, i, individuals[i])
-
-        operator_context.circuit_evaluation_count_callback(total_evals)
-        return self._cleared_population(population, individuals)
+        return angles, total_evals
 
     def get_n_expected_circuit_evaluations(self, population, operator_context):
         if self.optimizer_n_circuit_evaluations is not None:

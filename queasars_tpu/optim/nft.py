@@ -166,6 +166,20 @@ def _nft_scan(
             use_general=use_general, precision=precision,
         )
 
+    step = _make_nft_step(
+        objective, coords, n_free, active, pop_keys, reset_interval, five_point
+    )
+    init = (angles, jnp.zeros(pop, dtype=jnp.float32))
+    (angles, z0), _ = jax.lax.scan(step, init, jnp.arange(maxiter))
+    return angles, z0
+
+
+def _make_nft_step(objective, coords, n_free, active, pop_keys, reset_interval, five_point):
+    """Build one NFT update step (the lax.scan body) over a fixed
+    objective and per-individual coordinate tables."""
+    pop = coords.shape[0]
+    pop_idx = jnp.arange(pop)
+
     def step(carry, k):
         angles_c, z0 = carry
 
@@ -227,9 +241,99 @@ def _nft_scan(
         z0 = jnp.where(apply, minimum_value, z0)
         return (angles_c, z0), None
 
-    init = (angles, jnp.zeros(pop, dtype=jnp.float32))
-    (angles, z0), _ = jax.lax.scan(step, init, jnp.arange(maxiter))
-    return angles, z0
+    return step
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots", "use_pallas", "use_general", "five_point"),
+)
+def _nft_slots_scan(
+    gate_types,
+    controls,
+    layer_mask,
+    angles,
+    coords_ps,
+    n_free_ps,
+    active_ps,
+    slot_layer_ps,
+    table,
+    sorted_energies,
+    energy_order,
+    alpha,
+    pop_keys_ps,
+    initial_state,
+    precision=None,
+    *,
+    n_qubits: int,
+    maxiter: int,
+    reset_interval: int,
+    shots: int,
+    use_cvar: bool,
+    use_shots: bool,
+    use_pallas: bool = False,
+    use_general: bool = False,
+    five_point: bool = False,
+):
+    """Fused multi-slot parameter search: scan over layer slots, each slot
+    an inner NFT scan over its per-individual layer, re-entering every
+    probe from that slot's cached layer-prefix state.
+
+    Slot arrays carry the population on axis 0 ([P, S, ...]) so the whole
+    call shards over a population mesh like the single-sweep scan; they
+    are transposed to scan order ([S, P, ...]) here.  ``slot_layer_ps``
+    gives each individual's optimized layer per slot (= the number of
+    frozen prefix layers); individuals sitting a slot out carry
+    ``max_layers`` so their probes see an empty suffix.
+
+    Replaces the reference's per-layer sequential optimizer loop
+    (mutation.py:92-132): one compiled device program for the whole
+    operator instead of one dispatch per layer slot, with probe work
+    proportional to the suffix instead of the full circuit.
+    """
+    pop = gate_types.shape[0]
+    max_layers = gate_types.shape[1]
+    layer_idx = jnp.arange(max_layers)
+
+    def slot_body(angles_c, xs):
+        coords, n_free, active, keys, slot_layer = xs
+        prefix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] < slot_layer[:, None])
+        suffix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] >= slot_layer[:, None])
+        if use_pallas:
+            from queasars_tpu.sim.pallas_kernels import pallas_population_states
+
+            prefix_state = pallas_population_states(
+                gate_types, controls, angles_c, prefix_mask, n_qubits
+            )
+        else:
+            from queasars_tpu.sim.statevector import simulate_circuits
+
+            prefix_state = simulate_circuits(
+                gate_types, controls, angles_c, prefix_mask, n_qubits, initial_state
+            )
+
+        def objective(a, k):
+            return population_energies(
+                gate_types, controls, a, suffix_mask, table, sorted_energies,
+                energy_order, alpha, k, n_qubits=n_qubits, shots=shots,
+                use_cvar=use_cvar, use_shots=use_shots, initial_state=prefix_state,
+                use_pallas=use_pallas, use_general=use_general, precision=precision,
+            )
+
+        step = _make_nft_step(objective, coords, n_free, active, keys, reset_interval, five_point)
+        init = (angles_c, jnp.zeros(pop, dtype=jnp.float32))
+        (angles_c, z0), _ = jax.lax.scan(step, init, jnp.arange(maxiter))
+        return angles_c, z0
+
+    xs = (
+        jnp.swapaxes(coords_ps, 0, 1),
+        jnp.swapaxes(n_free_ps, 0, 1),
+        jnp.swapaxes(active_ps, 0, 1),
+        jnp.swapaxes(pop_keys_ps, 0, 1),
+        jnp.swapaxes(slot_layer_ps, 0, 1),
+    )
+    angles_out, z0_slots = jax.lax.scan(slot_body, angles, xs)
+    return angles_out, z0_slots[-1]
 
 
 class BatchedNFT:
@@ -372,6 +476,111 @@ class BatchedNFT:
             out_angles = out_angles[: packed.n_individuals]
             energies = energies[: packed.n_individuals]
         return np.asarray(out_angles), np.asarray(energies), self.config.n_circuit_evaluations()
+
+    def minimize_slots(
+        self,
+        evaluator,
+        packed: PackedPopulation,
+        coords: np.ndarray,
+        n_free: np.ndarray,
+        active: np.ndarray,
+        slot_layers: np.ndarray,
+        angles: Optional[np.ndarray] = None,
+        seeds: Optional[np.ndarray] = None,
+    ) -> Optional[tuple[np.ndarray, np.ndarray, int]]:
+        """Run a whole multi-slot parameter search (EVQEParameterSearch:
+        one layer per individual per slot, sequential slots) as ONE fused
+        device program, with each slot's probes re-entering from that
+        slot's cached layer-prefix state.
+
+        Slot arrays are [P, S, ...]: ``coords`` [P, S, K, 3],
+        ``n_free``/``active``/``slot_layers`` [P, S], ``seeds`` [S].
+        ``slot_layers`` is each individual's optimized layer for the slot;
+        pass ``packed.max_layers`` where an individual sits the slot out.
+
+        Returns None when the fused path does not apply (host-side
+        objectives, evaluators owning their own distribution, the cache
+        knob resolving off, or a shared initial state on the Pallas
+        engine) — callers fall back to the per-slot loop.  Identical NFT
+        math to that loop; float rounding may differ at the ulp level.
+
+        :return: (optimized angles, last-slot energies, evaluations used
+            per active individual per slot)
+        """
+        if getattr(evaluator, "nft_minimize", None) is not None:
+            return None
+        try:
+            operands = objective_operands(evaluator)
+        except TypeError:
+            return None
+        flag = self.config.cache_prefix
+        enabled = operands.get("use_pallas", False) if flag is None else bool(flag)
+        if not enabled:
+            return None
+        initial = operands["initial_state"]
+        if operands.get("use_pallas", False) and initial is not None:
+            return None
+
+        a_in = np.asarray(packed.angles if angles is None else angles)
+        pop, n_slots = n_free.shape
+        seeds = np.zeros(n_slots, np.int64) if seeds is None else np.asarray(seeds)
+        keys = np.stack(
+            [
+                np.asarray(jax.random.split(jax.random.PRNGKey(int(s)), pop))
+                for s in seeds
+            ],
+            axis=1,
+        )  # [P, S, 2]
+
+        static_kwargs = dict(
+            n_qubits=packed.n_qubits,
+            maxiter=self.config.maxiter,
+            reset_interval=self.config.reset_interval,
+            shots=operands["shots"],
+            use_cvar=operands["use_cvar"],
+            use_shots=operands["use_shots"],
+            use_pallas=operands.get("use_pallas", False),
+            use_general=operands.get("use_general", False),
+            five_point=self.config.five_point,
+        )
+        pop_args = (
+            packed.gate_types, packed.controls, packed.layer_mask, a_in,
+            np.asarray(coords), np.asarray(n_free), np.asarray(active),
+            np.asarray(slot_layers, np.int32), keys,
+        )
+        rep_args = (
+            operands["table"], operands["sorted_energies"], operands["energy_order"],
+            operands["alpha"], initial, operands.get("precision"),
+        )
+
+        def fn(pa, ra):
+            gt, ctrl, lm, ang, crd, nf, act, sl, ks = pa
+            tab, se, eo, alpha_v, init, prec = ra
+            return _nft_slots_scan(
+                gt, ctrl, lm, ang, crd, nf, act, sl, tab, se, eo, alpha_v, ks, init,
+                prec, **static_kwargs,
+            )
+
+        mesh = getattr(evaluator, "mesh", None)
+        if mesh is None:
+            out_angles, energies = fn(pop_args, rep_args)
+        else:
+            from queasars_tpu.parallel.mesh import (
+                pad_population_axis,
+                population_pad_multiple,
+                run_population_sharded,
+            )
+
+            multiple = population_pad_multiple(mesh)
+            padded = tuple(pad_population_axis(arr, multiple) for arr in pop_args)
+            out_angles, energies = run_population_sharded(mesh, fn, padded, rep_args)
+            out_angles = out_angles[: packed.n_individuals]
+            energies = energies[: packed.n_individuals]
+        return (
+            np.asarray(out_angles),
+            np.asarray(energies),
+            self.config.n_circuit_evaluations(),
+        )
 
     def _minimize_host(self, evaluator, packed, coords, n_free, active, angles):
         """Host-stepped NFT for evaluators whose objective cannot be traced
