@@ -169,6 +169,126 @@ def _spsa_scan(
     return angles, final
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_qubits", "maxiter", "calibration_steps", "shots", "use_cvar", "use_shots", "use_pallas", "use_general", "calibrate"),
+)
+def _spsa_slots_scan(
+    gate_types, controls, layer_mask, angles,
+    coords_ps, coord_mask_ps, active_ps, slot_layer_ps, pop_keys_ps,
+    table, sorted_energies, energy_order, alpha, initial_state,
+    c, gamma_power, alpha_power, stability_constant, target_magnitude, fixed_lr,
+    precision=None,
+    *, n_qubits, maxiter, calibration_steps, shots, use_cvar, use_shots,
+    use_pallas=False, use_general=False, calibrate=True,
+):
+    """Fused multi-slot SPSA (the EVQEParameterSearch shape): scan over
+    layer slots; each slot calibrates (optionally) and runs its gradient
+    steps from that slot's cached layer-prefix state, with probes
+    applying only the suffix layers.  Slot arrays are [P, S, ...] (pop on
+    axis 0 for population-mesh sharding) — see
+    :func:`~queasars_tpu.optim.nft._nft_slots_scan`.
+    """
+    pop = gate_types.shape[0]
+    pop_idx = jnp.arange(pop)[:, None]
+    max_layers = gate_types.shape[1]
+    layer_idx = jnp.arange(max_layers)
+    n_coords = coords_ps.shape[2]
+
+    def slot_body(angles_s, xs):
+        coords, coord_mask, active, keys, slot_layer = xs
+        prefix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] < slot_layer[:, None])
+        suffix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] >= slot_layer[:, None])
+        if use_pallas:
+            from queasars_tpu.sim.pallas_kernels import pallas_population_states
+
+            prefix_state = pallas_population_states(
+                gate_types, controls, angles_s, prefix_mask, n_qubits
+            )
+        else:
+            from queasars_tpu.sim.statevector import simulate_circuits
+
+            prefix_state = simulate_circuits(
+                gate_types, controls, angles_s, prefix_mask, n_qubits, initial_state
+            )
+
+        def objective(a, k):
+            return population_energies(
+                gate_types, controls, a, suffix_mask, table, sorted_energies,
+                energy_order, alpha, k, n_qubits=n_qubits, shots=shots,
+                use_cvar=use_cvar, use_shots=use_shots, initial_state=prefix_state,
+                use_pallas=use_pallas, use_general=use_general, precision=precision,
+            )
+
+        l, q, a_i = coords[..., 0], coords[..., 1], coords[..., 2]
+
+        def probe_keys(k, probe_id, offset=0):
+            fold = lambda pk: jax.random.fold_in(jax.random.fold_in(pk, k + offset), probe_id)
+            return jax.vmap(fold)(keys)
+
+        def direction(k, offset):
+            return (
+                jax.vmap(
+                    lambda pk: jax.random.rademacher(pk, (n_coords,), dtype=jnp.float32)
+                )(probe_keys(k, 0, offset))
+                * coord_mask
+            )
+
+        if calibrate:
+            def cal_step(acc, k):
+                delta = direction(k, 1000)
+                plus = angles_s.at[pop_idx, l, q, a_i].add(c * delta)
+                minus = angles_s.at[pop_idx, l, q, a_i].add(-c * delta)
+                diff = jnp.abs(
+                    objective(plus, probe_keys(k, 1, 1000))
+                    - objective(minus, probe_keys(k, 2, 1000))
+                )
+                return acc + diff, None
+
+            total, _ = jax.lax.scan(
+                cal_step, jnp.zeros(pop, jnp.float32), jnp.arange(calibration_steps)
+            )
+            magnitude = total / calibration_steps
+            learning_rates = target_magnitude / jnp.maximum(magnitude, 1e-6)
+        else:
+            learning_rates = jnp.full(pop, fixed_lr, jnp.float32)
+
+        def step(carry, k):
+            angles_c = carry
+            it = k.astype(jnp.float32)
+            c_k = c / (it + 1.0) ** gamma_power
+            a_k = learning_rates / (it + 1.0 + stability_constant) ** alpha_power
+            delta = direction(k, 0)
+            plus = angles_c.at[pop_idx, l, q, a_i].add(c_k * delta)
+            minus = angles_c.at[pop_idx, l, q, a_i].add(-c_k * delta)
+            gradient = (
+                (objective(plus, probe_keys(k, 1)) - objective(minus, probe_keys(k, 2)))
+                / (2.0 * c_k)
+            )[:, None] * delta
+            updated = angles_c.at[pop_idx, l, q, a_i].add(-a_k[:, None] * gradient)
+            return jnp.where(active[:, None, None, None], updated, angles_c), None
+
+        angles_s, _ = jax.lax.scan(step, angles_s, jnp.arange(maxiter))
+        return angles_s, None
+
+    xs = (
+        jnp.swapaxes(coords_ps, 0, 1),
+        jnp.swapaxes(coord_mask_ps, 0, 1),
+        jnp.swapaxes(active_ps, 0, 1),
+        jnp.swapaxes(pop_keys_ps, 0, 1),
+        jnp.swapaxes(slot_layer_ps, 0, 1),
+    )
+    angles, _ = jax.lax.scan(slot_body, angles, xs)
+    final_keys = jax.vmap(lambda pk: jax.random.fold_in(pk, 0x7FFFFFFF))(pop_keys_ps[:, -1])
+    final = population_energies(
+        gate_types, controls, angles, layer_mask, table, sorted_energies, energy_order,
+        alpha, final_keys, n_qubits=n_qubits, shots=shots, use_cvar=use_cvar,
+        use_shots=use_shots, initial_state=initial_state, use_pallas=use_pallas,
+        use_general=use_general, precision=precision,
+    )
+    return angles, final
+
+
 class BatchedSPSA:
     """Population-lock-step SPSA against a diagonal-operator evaluator."""
 
@@ -335,3 +455,98 @@ class BatchedSPSA:
                     live[i] = False
         final = np.asarray(evaluator.evaluate_packed(packed, angles=current))
         return current, final, nfev
+
+    def minimize_slots(
+        self,
+        evaluator,
+        packed: PackedPopulation,
+        coords: np.ndarray,
+        n_free: np.ndarray,
+        active: np.ndarray,
+        slot_layers: np.ndarray,
+        angles: Optional[np.ndarray] = None,
+        seeds: Optional[np.ndarray] = None,
+    ) -> Optional[tuple[np.ndarray, np.ndarray, int]]:
+        """Fused multi-slot parameter search — same contract as
+        :meth:`BatchedNFT.minimize_slots` (one compiled scan over all
+        layer slots, per-slot prefix caching, suffix-only probes; [P, S]
+        slot arrays; returns None when the fused path does not apply)."""
+        if getattr(evaluator, "nft_minimize", None) is not None:
+            return None
+        try:
+            operands = objective_operands(evaluator)
+        except TypeError:
+            return None
+        flag = self.config.cache_prefix
+        enabled = operands.get("use_pallas", False) if flag is None else bool(flag)
+        if not enabled:
+            return None
+        initial = operands["initial_state"]
+        if operands.get("use_pallas", False) and initial is not None:
+            return None
+
+        cfg = self.config
+        a_in = np.asarray(packed.angles if angles is None else angles)
+        pop, n_slots = n_free.shape
+        seeds = np.zeros(n_slots, np.int64) if seeds is None else np.asarray(seeds)
+        keys = np.stack(
+            [np.asarray(jax.random.split(jax.random.PRNGKey(int(s)), pop)) for s in seeds],
+            axis=1,
+        )  # [P, S, 2]
+        coord_mask = (
+            np.arange(coords.shape[2])[None, None, :] < np.asarray(n_free)[:, :, None]
+        ).astype(np.float32)
+
+        static_kwargs = dict(
+            n_qubits=packed.n_qubits,
+            maxiter=cfg.maxiter,
+            calibration_steps=cfg.calibration_steps,
+            shots=operands["shots"],
+            use_cvar=operands["use_cvar"],
+            use_shots=operands["use_shots"],
+            use_pallas=operands.get("use_pallas", False),
+            use_general=operands.get("use_general", False),
+            calibrate=cfg.learning_rate is None,
+        )
+        schedule_args = (
+            jnp.float32(cfg.perturbation),
+            jnp.float32(cfg.gamma_power),
+            jnp.float32(cfg.alpha_power),
+            jnp.float32(cfg.stability_constant),
+            jnp.float32(cfg.target_magnitude),
+            jnp.float32(cfg.learning_rate if cfg.learning_rate is not None else 0.0),
+        )
+        pop_args = (
+            packed.gate_types, packed.controls, packed.layer_mask, a_in,
+            np.asarray(coords), coord_mask, np.asarray(active),
+            np.asarray(slot_layers, np.int32), keys,
+        )
+        rep_args = (
+            operands["table"], operands["sorted_energies"], operands["energy_order"],
+            operands["alpha"], initial, operands.get("precision"),
+        )
+
+        def fn(pa, ra):
+            gt, ctrl, lm, ang, crd, cm, act, sl, ks = pa
+            tab, se, eo, alpha_v, init, prec = ra
+            return _spsa_slots_scan(
+                gt, ctrl, lm, ang, crd, cm, act, sl, ks, tab, se, eo, alpha_v, init,
+                *schedule_args, prec, **static_kwargs,
+            )
+
+        mesh = getattr(evaluator, "mesh", None)
+        if mesh is None:
+            out_angles, energies = fn(pop_args, rep_args)
+        else:
+            from queasars_tpu.parallel.mesh import (
+                pad_population_axis,
+                population_pad_multiple,
+                run_population_sharded,
+            )
+
+            multiple = population_pad_multiple(mesh)
+            padded = tuple(pad_population_axis(arr, multiple) for arr in pop_args)
+            out_angles, energies = run_population_sharded(mesh, fn, padded, rep_args)
+            out_angles = out_angles[: packed.n_individuals]
+            energies = energies[: packed.n_individuals]
+        return np.asarray(out_angles), np.asarray(energies), cfg.n_circuit_evaluations()

@@ -227,6 +227,106 @@ def test_parameter_search_operator_uses_fusion():
     )
 
 
+def test_spsa_fused_matches_sequential():
+    from queasars_tpu.optim.spsa import BatchedSPSA, SPSAConfig
+
+    packed, coords, n_free, active, slot_layers, seeds = _slot_problem()
+    op = _diagonal_operator(packed.n_qubits)
+
+    def sequential():
+        angles = packed.angles
+        for s in range(n_free.shape[1]):
+            angles, energies, _ = BatchedSPSA(
+                SPSAConfig(maxiter=10, calibration_steps=4, cache_prefix=False)
+            ).minimize(
+                StatevectorExpectationEvaluator(op), packed, coords[:, s],
+                n_free[:, s], active[:, s], angles=angles, seed=int(seeds[s]),
+            )
+        return np.asarray(angles)
+
+    a_seq = sequential()
+    cfg = SPSAConfig(maxiter=10, calibration_steps=4, cache_prefix=True)
+    result = BatchedSPSA(cfg).minimize_slots(
+        StatevectorExpectationEvaluator(op), packed, coords, n_free, active,
+        slot_layers, seeds=seeds,
+    )
+    assert result is not None
+    a_fused, e_fused, nfev = result
+    assert nfev == cfg.n_circuit_evaluations()
+    evaluator = StatevectorExpectationEvaluator(op)
+    np.testing.assert_allclose(
+        np.asarray(evaluator.evaluate_packed(packed, angles=a_fused)),
+        np.asarray(evaluator.evaluate_packed(packed, angles=a_seq)),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(evaluator.evaluate_packed(packed, angles=a_fused)), e_fused,
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_spsa_fused_deterministic_and_declines_when_off():
+    from queasars_tpu.optim.spsa import BatchedSPSA, SPSAConfig
+
+    packed, coords, n_free, active, slot_layers, seeds = _slot_problem()
+    op = _diagonal_operator(packed.n_qubits)
+
+    def run():
+        return BatchedSPSA(
+            SPSAConfig(maxiter=6, calibration_steps=3, cache_prefix=True)
+        ).minimize_slots(
+            StatevectorExpectationEvaluator(op), packed, coords, n_free, active,
+            slot_layers, seeds=seeds,
+        )
+
+    r1, r2 = run(), run()
+    assert r1 is not None
+    np.testing.assert_array_equal(r1[0], r2[0])
+    assert (
+        BatchedSPSA(SPSAConfig(cache_prefix=False)).minimize_slots(
+            StatevectorExpectationEvaluator(op), packed, coords, n_free, active,
+            slot_layers, seeds=seeds,
+        )
+        is None
+    )
+
+
+def test_spsa_parameter_search_operator_uses_fusion():
+    """EVQEParameterSearch with BatchedSPSA: fused and loop paths agree."""
+    from queasars_tpu.evolve.base import OperatorContext
+    from queasars_tpu.evolve.mutation import EVQEParameterSearch
+    from queasars_tpu.optim.spsa import BatchedSPSA, SPSAConfig
+
+    op = _diagonal_operator(5)
+    outs = []
+    for cache in (False, True):
+        population = EVQEPopulation.random_population(5, 3, 5, True, random_seed=23)
+        operator = EVQEParameterSearch(
+            mutation_probability=1.0,
+            optimizer=BatchedSPSA(
+                SPSAConfig(maxiter=8, calibration_steps=3, cache_prefix=cache)
+            ),
+            optimizer_n_circuit_evaluations=None,
+            random_seed=17,
+        )
+        counts: list[int] = []
+        context = OperatorContext(
+            circuit_evaluator=StatevectorExpectationEvaluator(op),
+            result_callback=lambda r: None,
+            circuit_evaluation_count_callback=counts.append,
+        )
+        result = operator.apply_operator(population, context)
+        outs.append((result, counts))
+    (pop_loop, counts_loop), (pop_fused, counts_fused) = outs
+    assert counts_loop == counts_fused
+    evaluator = StatevectorExpectationEvaluator(op)
+    np.testing.assert_allclose(
+        evaluator.evaluate_individuals(list(pop_fused.individuals)),
+        evaluator.evaluate_individuals(list(pop_loop.individuals)),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
 def test_solver_e2e_with_fused_slots():
     """Full EVQE solve with the fused optimizer still finds the optimum."""
     from queasars_tpu.paulis import diagonal_energy_table
