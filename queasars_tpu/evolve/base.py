@@ -44,6 +44,41 @@ class BasePopulationEvaluationResult(Generic[IND]):
 
 
 @dataclass
+class PopulationEnergyCache:
+    """Exact population energies published by an optimizing operator for
+    reuse by the next selection step.
+
+    On the exact diagonal estimator path, the NFT sweep's final recycled
+    value IS the energy of each individual at its final angles (the
+    sinusoid model is exact there — optim/nft.py module docstring), so
+    the selection that immediately follows (only speciation, which never
+    touches genomes, runs in between — reference pipeline order
+    evqe.py:198-230) need not re-dispatch an evaluation.  The cache is
+    keyed on the population's genome hashes: any structural or parameter
+    change misses and selection evaluates as usual.  The evaluation
+    ledger is unaffected either way (it counts reference-equivalent
+    evaluations, not physical dispatches).
+    """
+
+    key: Optional[tuple] = None
+    energies: Optional[tuple] = None
+
+    def publish(self, individuals, energies) -> None:
+        self.key = tuple(hash(ind) for ind in individuals)
+        self.energies = tuple(float(v) for v in energies)
+
+    def consume(self, individuals) -> Optional[list[float]]:
+        """Return the cached energies if they match ``individuals``
+        exactly; always clears the cache."""
+        key, energies = self.key, self.energies
+        self.key = None
+        self.energies = None
+        if energies is None or key != tuple(hash(ind) for ind in individuals):
+            return None
+        return list(energies)
+
+
+@dataclass
 class OperatorContext:
     """Dependency-injection record handed to every operator
     (reference: evolutionary_algorithm.py:98-118, minus the executor).
@@ -57,12 +92,16 @@ class OperatorContext:
         dimension — pinning it keeps the jit/Pallas shapes constant across
         generations (one compile per solve; padded layers are skipped by
         layer predication)
+    :param energy_cache: when set, optimizing operators may publish exact
+        final energies for the selection step to reuse (saves one device
+        dispatch + one batched evaluation per generation)
     """
 
     circuit_evaluator: BaseCircuitEvaluator
     result_callback: Callable[[BasePopulationEvaluationResult], None]
     circuit_evaluation_count_callback: Callable[[int], None]
     pack_min_layers: Optional[int] = None
+    energy_cache: Optional[PopulationEnergyCache] = None
 
 
 class BaseEvolutionaryOperator(ABC, Generic[POP]):

@@ -46,7 +46,8 @@ def _batched_layer_optimization(
 
     :param layer_choice: per individual, which layer to optimize (may be
         negative; None for unselected individuals)
-    :return: (updated angle tensor, reference-equivalent evaluation count)
+    :return: (updated angle tensor, final energies [P] as reported by the
+        optimizer, reference-equivalent evaluation count)
     """
     pop = len(individuals)
     coords_list: list[np.ndarray] = []
@@ -76,10 +77,10 @@ def _batched_layer_optimization(
         ):
             kwargs["last_layer"] = real_layers - 1
 
-    new_angles, _, nfev_each = optimizer.minimize(
+    new_angles, energies, nfev_each = optimizer.minimize(
         evaluator, packed, coords, n_free, active, angles=angles, seed=seed, **kwargs
     )
-    return new_angles, int(active.sum()) * int(nfev_each)
+    return new_angles, energies, int(active.sum()) * int(nfev_each)
 
 
 class BaseEVQEMutationOperator(BaseEvolutionaryOperator[EVQEPopulation]):
@@ -147,7 +148,7 @@ class EVQELastLayerParameterSearch(BaseEVQEMutationOperator):
 
         packed = PackedPopulation.pack(individuals, min_layers=operator_context.pack_min_layers)
         seed_mix = next((s for s in seeds if s is not None), 0)
-        new_angles, n_evals = _batched_layer_optimization(
+        new_angles, energies, n_evals = _batched_layer_optimization(
             individuals, selected, [-1 if s else None for s in selected],
             self.optimizer, operator_context.circuit_evaluator, None, packed, seed_mix,
         )
@@ -155,6 +156,19 @@ class EVQELastLayerParameterSearch(BaseEVQEMutationOperator):
         for i in range(len(individuals)):
             if selected[i]:
                 individuals[i] = unpack_individual(packed, i, individuals[i])
+
+        # on the exact estimator path the sweep's final values ARE the
+        # population energies at the final angles — publish them so the
+        # selection step that follows (after genome-preserving speciation)
+        # can skip its evaluation dispatch
+        cache = operator_context.energy_cache
+        publishes = getattr(self.optimizer, "publishes_exact_energies", None)
+        if (
+            cache is not None
+            and publishes is not None
+            and publishes(operator_context.circuit_evaluator)
+        ):
+            cache.publish(individuals, energies)
 
         operator_context.circuit_evaluation_count_callback(n_evals)
         return self._cleared_population(population, individuals)
@@ -292,7 +306,7 @@ class EVQEParameterSearch(BaseEVQEMutationOperator):
             seed_mix = next(
                 (slot_seeds[i][s] for i in range(len(individuals)) if slot_selected[i]), 0
             )
-            angles, n_evals = _batched_layer_optimization(
+            angles, _, n_evals = _batched_layer_optimization(
                 individuals, slot_selected, layer_choice,
                 self.optimizer, operator_context.circuit_evaluator, angles, packed, seed_mix,
             )

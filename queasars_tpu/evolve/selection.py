@@ -68,13 +68,22 @@ class EVQESelection(BaseEvolutionaryOperator[EVQEPopulation]):
 
     def apply_operator(self, population: EVQEPopulation, operator_context: OperatorContext) -> EVQEPopulation:
         # one batched evaluation of the whole population (replaces the
-        # reference's future fan-out, selection.py:75-84)
-        packed = PackedPopulation.pack(
-            list(population.individuals), min_layers=operator_context.pack_min_layers
-        )
-        evaluation_results = [
-            float(v) for v in operator_context.circuit_evaluator.evaluate_packed(packed)
-        ]
+        # reference's future fan-out, selection.py:75-84) — or the exact
+        # energies the preceding parameter search already computed at
+        # these genomes (PopulationEnergyCache; the ledger still counts
+        # the reference-equivalent evaluations either way)
+        evaluation_results = None
+        if operator_context.energy_cache is not None:
+            evaluation_results = operator_context.energy_cache.consume(
+                list(population.individuals)
+            )
+        if evaluation_results is None:
+            packed = PackedPopulation.pack(
+                list(population.individuals), min_layers=operator_context.pack_min_layers
+            )
+            evaluation_results = [
+                float(v) for v in operator_context.circuit_evaluator.evaluate_packed(packed)
+            ]
         operator_context.circuit_evaluation_count_callback(len(population.individuals))
 
         if (

@@ -342,6 +342,26 @@ class BatchedNFT:
     def __init__(self, config: NFTConfig = NFTConfig()):
         self.config = config
 
+    def publishes_exact_energies(self, evaluator) -> bool:
+        """True when this optimizer's returned energies are the exact
+        evaluator energies at the final angles — the 3-point sinusoid
+        model is exact for the plain diagonal estimator objective (no
+        shots, no CVaR tail, no general Pauli terms, no precision noise),
+        so selection may reuse them (PopulationEnergyCache)."""
+        if self.config.five_point:
+            # grid-argmin fit: approximate minimum values
+            return False
+        try:
+            operands = objective_operands(evaluator)
+        except TypeError:
+            return False
+        return (
+            not operands["use_shots"]
+            and not operands["use_cvar"]
+            and not operands.get("use_general", False)
+            and operands.get("precision") is None
+        )
+
     def minimize(
         self,
         evaluator,

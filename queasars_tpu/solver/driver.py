@@ -27,6 +27,7 @@ from queasars_tpu.evolve.base import (
     BaseEvolutionaryOperator,
     BasePopulationEvaluationResult,
     OperatorContext,
+    PopulationEnergyCache,
 )
 from queasars_tpu.genome.individual import EVQEIndividual
 from queasars_tpu.genome.packing import PackedPopulation
@@ -106,6 +107,13 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     #: (alphabetical parameter-name order, matching the reference's
     #: implicit binding order — see genome/parameter_order.py)
     parameter_order: str = "canonical"
+    #: let selection reuse the exact final energies the preceding
+    #: parameter search already computed for these genomes (saves one
+    #: device dispatch + one batched evaluation per generation; values
+    #: may differ from a fresh evaluation at the float-rounding level).
+    #: None = on exactly when the fused Pallas path is active (production
+    #: TPU runs); True/False forces it for any engine.
+    reuse_selection_energies: Optional[bool] = None
     #: amplitude sharding: split each statevector across the mesh instead
     #: of sharding the population axis (SURVEY.md §2.3 P4 — the scale
     #: axis the reference lacks).  None = automatic (on when a mesh is
@@ -371,11 +379,17 @@ class EvolvingAnsatzMinimumEigensolver:
             else:
                 n_circuit_evaluations[n_generations] += evaluations
 
+        reuse_energies = self.configuration.reuse_selection_energies
+        if reuse_energies is None:
+            from queasars_tpu.sim.evaluators import _pallas_requested
+
+            reuse_energies = _pallas_requested(self.configuration.use_pallas)
         operator_context = OperatorContext(
             circuit_evaluator=circuit_evaluator,
             result_callback=result_callback,
             circuit_evaluation_count_callback=circuit_evaluation_callback,
             pack_min_layers=self.configuration.pack_min_layers,
+            energy_cache=PopulationEnergyCache() if reuse_energies else None,
         )
 
         if resume_state is not None:

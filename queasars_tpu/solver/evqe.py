@@ -102,6 +102,9 @@ class EVQEMinimumEigensolverConfiguration:
     n_devices: Optional[int] = None
     parameter_order: str = "canonical"
     shard_amplitudes: Optional[bool] = None
+    #: selection reuses the parameter search's exact final energies
+    #: (None = auto with the fused Pallas path; see the driver config)
+    reuse_selection_energies: Optional[bool] = None
 
     def __post_init__(self):
         if (
@@ -219,6 +222,7 @@ class EVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             n_devices=configuration.n_devices,
             parameter_order=configuration.parameter_order,
             shard_amplitudes=configuration.shard_amplitudes,
+            reuse_selection_energies=configuration.reuse_selection_energies,
         )
         super().__init__(configuration=config)
 
