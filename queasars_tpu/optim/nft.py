@@ -351,6 +351,14 @@ class BatchedNFT:
         if self.config.five_point:
             # grid-argmin fit: approximate minimum values
             return False
+        if getattr(evaluator, "nft_minimize", None) is not None:
+            # amplitude-sharded evaluator: its device sweep is the same
+            # 3-point math — exact when it is on the plain energies path
+            return (
+                getattr(evaluator, "alpha", 0.0) >= 1.0
+                and getattr(evaluator, "shots", -1) is None
+                and getattr(evaluator, "precision", 1.0) == 0.0
+            )
         try:
             operands = objective_operands(evaluator)
         except TypeError:
@@ -527,6 +535,19 @@ class BatchedNFT:
         :return: (optimized angles, last-slot energies, evaluations used
             per active individual per slot)
         """
+        device_slots = getattr(evaluator, "nft_minimize_slots", None)
+        if device_slots is not None:
+            # evaluators owning their distribution (amplitude sharding)
+            # provide the fused slot sweep themselves
+            a_dev = np.asarray(packed.angles if angles is None else angles)
+            seed0 = int(seeds[0]) if seeds is not None and len(seeds) else 0
+            result = device_slots(
+                packed, coords, n_free, active, slot_layers, a_dev, self.config, seed0
+            )
+            if result is None:
+                return None
+            out_angles, energies = result
+            return out_angles, energies, self.config.n_circuit_evaluations()
         if getattr(evaluator, "nft_minimize", None) is not None:
             return None
         try:

@@ -275,6 +275,120 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         self._fns[key] = mapped
         return mapped
 
+    def _nft_slots_fn(self, maxiter: int, reset_interval: int):
+        """Compiled amplitude-sharded fused multi-slot sweep: scan over
+        layer slots, each slot simulating its frozen layer prefix once
+        (sharded) and probing with only the suffix layers — the >20-qubit
+        analog of optim/nft.py's ``_nft_slots_scan``."""
+        import jax
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        key = ("nft_slots", maxiter, reset_interval)
+        if key in self._fns:
+            return self._fns[key]
+
+        from queasars_tpu.sim.sharded_statevector import _mesh_bits, _simulate_local
+
+        n_devices, local_bits = _mesh_bits(self.amp_mesh, self.n_qubits)
+
+        def nft(gate_types, controls, layer_mask, angles, coords_ps, n_free_ps, active_ps, slot_layer_ps, table_local):
+            pop = gate_types.shape[0]
+            pop_idx = jnp.arange(pop)
+            max_layers = gate_types.shape[1]
+            layer_idx = jnp.arange(max_layers)
+            device_id = jax.lax.axis_index(AMP_AXIS)
+
+            def slot_body(angles_c, xs):
+                coords, n_free, active, slot_layer = xs
+                prefix_mask = jnp.logical_and(
+                    layer_mask, layer_idx[None, :] < slot_layer[:, None]
+                )
+                suffix_mask = jnp.logical_and(
+                    layer_mask, layer_idx[None, :] >= slot_layer[:, None]
+                )
+
+                def simulate_prefix(args):
+                    gt, ctrl, ang, lm = args
+                    return _simulate_local(
+                        gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits
+                    )
+
+                prefix_local = jax.lax.map(
+                    simulate_prefix, (gate_types, controls, angles_c, prefix_mask)
+                )  # [P, 2, 2^local]
+
+                def objective(a):
+                    def one(args):
+                        start, gt, ctrl, ang, sm = args
+                        state = _simulate_local(
+                            gt, ctrl, ang, sm, device_id, local_bits,
+                            n_devices, self.n_qubits, initial_local=start,
+                        )
+                        probs = state[0] ** 2 + state[1] ** 2
+                        return jnp.dot(probs, table_local, preferred_element_type=jnp.float32)
+
+                    partials = jax.lax.map(
+                        one, (prefix_local, gate_types, controls, a, suffix_mask)
+                    )
+                    return jax.lax.psum(partials, AMP_AXIS)
+
+                return _nft_scan_body(
+                    objective, angles_c, coords, n_free, active, pop, pop_idx,
+                    maxiter, reset_interval,
+                )
+
+            xs = (
+                jnp.swapaxes(coords_ps, 0, 1),
+                jnp.swapaxes(n_free_ps, 0, 1),
+                jnp.swapaxes(active_ps, 0, 1),
+                jnp.swapaxes(slot_layer_ps, 0, 1),
+            )
+
+            def scan_body(angles_c, x):
+                angles_out, z0 = slot_body(angles_c, x)
+                return angles_out, z0
+
+            angles_final, z0_slots = jax.lax.scan(scan_body, angles, xs)
+            return angles_final, z0_slots[-1]
+
+        mapped = jax.jit(
+            shard_map(
+                nft,
+                mesh=self.amp_mesh,
+                in_specs=(PartitionSpec(),) * 8 + (PartitionSpec(AMP_AXIS),),
+                out_specs=(PartitionSpec(), PartitionSpec()),
+                check_vma=False,
+            )
+        )
+        self._fns[key] = mapped
+        return mapped
+
+    def nft_minimize_slots(self, packed, coords, n_free, active, slot_layers, angles, config, seed):
+        """Fused multi-slot parameter search over the amplitude mesh —
+        same contract as ``BatchedNFT.minimize_slots`` device hooks: slot
+        arrays are [P, S, ...], ``slot_layers`` carries ``max_layers``
+        for sat-out slots (empty suffix), and the whole slot sequence
+        runs as ONE compiled SPMD scan.  Returns None when the
+        host-stepped path is required (CVaR, shots, precision noise,
+        five-point) or the cache knob is explicitly off."""
+        if self.alpha < 1.0 or self.shots is not None or self.precision > 0.0:
+            return None
+        if getattr(config, "five_point", False):
+            return None
+        cache_flag = getattr(config, "cache_prefix", None)
+        if cache_flag is not None and not cache_flag:
+            return None
+        fn = self._nft_slots_fn(config.maxiter, config.reset_interval)
+        args = self._globalize(
+            packed.gate_types, packed.controls, packed.layer_mask, np.asarray(angles),
+            np.asarray(coords), np.asarray(n_free), np.asarray(active),
+            np.asarray(slot_layers, np.int32),
+        )
+        out_angles, energies = fn(*args, self._table)
+        return np.asarray(out_angles), np.asarray(energies)
+
     def nft_minimize(self, packed, coords, n_free, active, angles, config, seed, last_layer=None):
         """Device-side NFT sweep for BatchedNFT's evaluator hook: the whole
         maxiter scan (simulation, psum reductions, parameter updates) runs

@@ -383,7 +383,12 @@ class EvolvingAnsatzMinimumEigensolver:
         if reuse_energies is None:
             from queasars_tpu.sim.evaluators import _pallas_requested
 
-            reuse_energies = _pallas_requested(self.configuration.use_pallas)
+            # default on for the production paths: the fused Pallas
+            # kernel, and amplitude-sharded evaluation (every dispatch
+            # there is a full mesh program)
+            reuse_energies = _pallas_requested(self.configuration.use_pallas) or (
+                getattr(circuit_evaluator, "nft_minimize", None) is not None
+            )
         operator_context = OperatorContext(
             circuit_evaluator=circuit_evaluator,
             result_callback=result_callback,
