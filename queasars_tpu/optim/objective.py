@@ -10,8 +10,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from queasars_tpu.sim.expectation import cvar_expectation_from_probs, expectation_from_probs
-from queasars_tpu.sim.sampling import sample_counts
+from queasars_tpu.sim.expectation import (
+    cvar_expectation_from_probs,
+    cvar_expectation_from_shot_energies,
+    expectation_from_probs,
+)
+from queasars_tpu.sim.sampling import sample_counts, sample_indices
 from queasars_tpu.sim.statevector import probabilities
 
 
@@ -34,6 +38,7 @@ def population_energies(
     use_pallas: bool = False,
     use_general: bool = False,
     precision=None,
+    fast_shots=None,
 ):
     """Energies [P] for the population at the given angle tensor.
 
@@ -95,6 +100,20 @@ def population_energies(
         )
     else:
         probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+    if use_shots and (pallas_ok if fast_shots is None else fast_shots):
+        # shot-multiset fast path: gather the sampled states' energies and
+        # reduce over [P, shots] instead of materializing counts and
+        # contracting over [P, 2^n].  Identical random stream (same
+        # inverse-CDF draws as sample_counts) and identical semantics up
+        # to float summation order; default-on alongside the fused kernel
+        # (production runs), opt in/out via ``fast_shots``.
+        idx = jax.vmap(lambda k, p: sample_indices(k, p, shots))(keys, probs)
+        shot_energies = table[idx]
+        if use_cvar:
+            energies = cvar_expectation_from_shot_energies(shot_energies, alpha)
+        else:
+            energies = jnp.mean(shot_energies, axis=-1)
+        return _with_precision_noise(energies, keys, precision)
     if use_shots:
         counts = jax.vmap(lambda k, p: sample_counts(k, p, shots))(keys, probs)
         probs = counts.astype(jnp.float32) / shots

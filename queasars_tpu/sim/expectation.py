@@ -48,6 +48,29 @@ def cvar_expectation_from_probs(
 
 
 @jax.jit
+def cvar_expectation_from_shot_energies(energies: jax.Array, alpha: jax.Array) -> jax.Array:
+    """CVaR lower-alpha tail of an empirical shot multiset.
+
+    :param energies: [..., shots] the sampled states' energies
+    :param alpha: tail mass in (0, 1]
+
+    Mathematically identical to :func:`cvar_expectation_from_probs` over
+    the counts distribution of the same samples (states with equal
+    energy merge; the boundary sample contributes only the remaining
+    mass) — but O(shots log shots) instead of O(2^n): sort the sampled
+    energies, weight each sample's 1/shots mass against the alpha
+    cutoff.  Float summation order differs from the counts path at the
+    rounding level.
+    """
+    shots = energies.shape[-1]
+    sorted_e = jnp.sort(energies, axis=-1)
+    mass = jnp.float32(1.0 / shots)
+    cum_prev = jnp.arange(shots, dtype=jnp.float32) * mass
+    weights = jnp.clip(alpha - cum_prev, 0.0, mass)
+    return jnp.sum(weights * sorted_e, axis=-1) / alpha
+
+
+@jax.jit
 def general_pauli_expectation_real(
     state: jax.Array,
     coeffs_re: jax.Array,

@@ -16,9 +16,8 @@ import numpy as np
 
 
 @partial(jax.jit, static_argnames=("shots",))
-def sample_counts(key: jax.Array, probs: jax.Array, shots: int) -> jax.Array:
-    """Draw ``shots`` basis states from ``probs`` [2^n]; return integer
-    counts [2^n] (an empirical multinomial, like a sampler's counts dict).
+def sample_indices(key: jax.Array, probs: jax.Array, shots: int) -> jax.Array:
+    """Draw ``shots`` basis-state indices from ``probs`` [2^n].
 
     Inverse-CDF sampling: O(shots * log 2^n) memory/time.  (The obvious
     ``jax.random.categorical`` draws Gumbel noise of shape [shots, 2^n] —
@@ -27,7 +26,15 @@ def sample_counts(key: jax.Array, probs: jax.Array, shots: int) -> jax.Array:
     cdf = jnp.cumsum(probs)
     u = jax.random.uniform(key, (shots,), dtype=jnp.float32, maxval=cdf[-1])
     samples = jnp.searchsorted(cdf, u, side="right")
-    samples = jnp.clip(samples, 0, probs.shape[-1] - 1)
+    return jnp.clip(samples, 0, probs.shape[-1] - 1)
+
+
+@partial(jax.jit, static_argnames=("shots",))
+def sample_counts(key: jax.Array, probs: jax.Array, shots: int) -> jax.Array:
+    """Draw ``shots`` basis states from ``probs`` [2^n]; return integer
+    counts [2^n] (an empirical multinomial, like a sampler's counts dict).
+    Same random stream as :func:`sample_indices`."""
+    samples = sample_indices(key, probs, shots)
     return jnp.zeros(probs.shape[-1], dtype=jnp.int32).at[samples].add(1)
 
 
