@@ -37,10 +37,11 @@ from queasars_tpu.paulis import PauliSum
 from queasars_tpu.paulis.diagonal import diagonal_energy_table
 from queasars_tpu.sim.expectation import (
     cvar_expectation_from_probs,
+    cvar_expectation_from_shot_energies,
     expectation_from_probs,
     general_pauli_expectation_real,
 )
-from queasars_tpu.sim.sampling import sample_counts
+from queasars_tpu.sim.sampling import sample_counts, sample_indices
 from queasars_tpu.sim.statevector import probabilities, simulate_circuits
 from queasars_tpu.utils.bitstring_evaluation import BitstringEvaluator
 
@@ -142,12 +143,15 @@ def _sampled_probs(gate_types, controls, angles, layer_mask, keys, n_qubits, sho
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "shots"))
-def _sampled_probs_pallas(gate_types, controls, angles, layer_mask, keys, n_qubits, shots):
+def _sampled_energies_pallas(gate_types, controls, angles, layer_mask, keys, table, n_qubits, shots):
+    """Sampled states' energies [P, shots] via the fused probs kernel —
+    the shot-multiset fast path (same inverse-CDF stream as
+    ``sample_counts``; reduce over shots instead of 2^n)."""
     from queasars_tpu.sim.pallas_kernels import pallas_population_probs
 
     probs = pallas_population_probs(gate_types, controls, angles, layer_mask, n_qubits)
-    counts = jax.vmap(lambda k, p: sample_counts(k, p, shots))(keys, probs)
-    return counts.astype(jnp.float32) / shots
+    idx = jax.vmap(lambda k, p: sample_indices(k, p, shots))(keys, probs)
+    return table[idx]
 
 
 class BaseCircuitEvaluator(ABC):
@@ -431,14 +435,21 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
 
         def sample_and_reduce(pa, ra):
             if use_pallas:
-                emp = _sampled_probs_pallas(pa[0], pa[1], pa[2], pa[3], pa[4], n, shots)
-            else:
-                emp = _sampled_probs(pa[0], pa[1], pa[2], pa[3], pa[4], n, shots, ra[-1])
+                # shot-multiset fast path (same stream as sample_counts):
+                # reduce over [P, shots] sampled energies instead of a
+                # counts array over [P, 2^n] — see optim/objective.py
+                emp = _sampled_energies_pallas(pa[0], pa[1], pa[2], pa[3], pa[4], ra[0], n, shots)
+                if self.alpha >= 1.0:
+                    return jnp.mean(emp, axis=-1)
+                return cvar_expectation_from_shot_energies(emp, ra[1])
+            emp = _sampled_probs(pa[0], pa[1], pa[2], pa[3], pa[4], n, shots, ra[-1])
             if self.alpha >= 1.0:
                 return expectation_from_probs(emp, ra[0])
             return cvar_expectation_from_probs(emp, ra[0], ra[1], ra[2])
 
-        if self.alpha >= 1.0:
+        if use_pallas:
+            rep_args = (self._table, jnp.float32(self.alpha), self._initial)
+        elif self.alpha >= 1.0:
             rep_args = (self._table, self._initial)
         else:
             rep_args = (self._sorted, self._order, jnp.float32(self.alpha), self._initial)
