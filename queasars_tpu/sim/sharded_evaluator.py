@@ -13,15 +13,22 @@ optimization hot path runs as one compiled SPMD scan over the mesh.
 Distribution notes:
 - exact alpha=1 energies are fully distributed: local diagonal dot +
   one ``psum`` — only P scalars leave the mesh;
-- CVaR / shot paths operate on the amplitude-sharded probability array
-  with global ops (the energy-order gather crosses shards; XLA inserts
-  the collectives) — correct everywhere, cheapest below ~24 qubits;
+- the exact shot-free CVaR path operates on the amplitude-sharded
+  probability array with global ops (the energy-order gather crosses
+  shards; XLA inserts the collectives) — correct, cheapest below ~24
+  qubits;
+- finite-shot paths (any alpha) are fully distributed: hierarchical
+  inverse-CDF sampling over the shards (each shard owns its CDF mass
+  interval; one psum assembles the per-shot energies) followed by the
+  shot-multiset expectation/CVaR reduction — no 2^n array ever leaves
+  the mesh;
 - multi-controller meshes are supported for the exact (alpha=1, no
-  shots) energies path and the device-side NFT sweep: the table
-  globalizes via ``make_array_from_callback`` (each process materializes
-  its local shards) and the replicated genome tensors via the same
-  mechanism; the CVaR / finite-shot paths materialize the full sharded
-  probability array on the controller and stay single-controller.
+  shots) energies path, the finite-shot paths and the device-side NFT
+  sweeps: tables globalize via ``make_array_from_callback`` (each
+  process materializes its local shards) and replicated genome tensors
+  via the same mechanism; only the exact shot-free CVaR path (an
+  energy-order gather of the full distribution) stays
+  single-controller.
 """
 
 from __future__ import annotations
@@ -37,8 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from queasars_tpu.paulis import PauliSum
 from queasars_tpu.paulis.diagonal import diagonal_energy_table
 from queasars_tpu.sim.evaluators import BaseCircuitEvaluator, CircuitEvaluatorException
-from queasars_tpu.sim.expectation import cvar_expectation_from_probs, expectation_from_probs
-from queasars_tpu.sim.sampling import sample_counts
+from queasars_tpu.sim.expectation import cvar_expectation_from_probs
 from queasars_tpu.sim.sharded_statevector import (
     AMP_AXIS,
     make_population_energies_body,
@@ -437,6 +443,70 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         out_angles, energies = fn(*args, self._table)
         return np.asarray(out_angles), np.asarray(energies)
 
+    def _sampled_energies_fn(self, shots: int, use_cvar: bool):
+        """Compiled fully-distributed shot sampling: hierarchical
+        inverse-CDF over the amplitude shards (each shard owns the CDF
+        interval [offset_d, offset_{d+1}) given by the running sum of
+        shard masses; the shard containing a draw resolves it locally and
+        a psum assembles the per-shot energies), then the shot-multiset
+        expectation/CVaR reduction over [P, shots].  No full 2^n array
+        ever leaves the mesh — multi-controller safe."""
+        import jax
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        key = ("sampled", shots, use_cvar)
+        if key in self._fns:
+            return self._fns[key]
+
+        from queasars_tpu.sim.expectation import cvar_expectation_from_shot_energies
+        from queasars_tpu.sim.sharded_statevector import _mesh_bits, _simulate_local
+
+        n_devices, local_bits = _mesh_bits(self.amp_mesh, self.n_qubits)
+
+        def sampled(gate_types, controls, angles, layer_mask, keys, alpha, table_local):
+            device_id = jax.lax.axis_index(AMP_AXIS)
+
+            def one(args):
+                gt, ctrl, ang, lm, k = args
+                state = _simulate_local(
+                    gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits
+                )
+                local_probs = state[0] ** 2 + state[1] ** 2
+                local_cdf = jnp.cumsum(local_probs)
+                # every shard computes the same offsets vector from the
+                # gathered masses, so the intervals exactly tile [0, total)
+                masses = jax.lax.all_gather(local_cdf[-1], AMP_AXIS)  # [D]
+                offsets = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(masses)])
+                lo = offsets[device_id]
+                hi = offsets[device_id + 1]
+                u = jax.random.uniform(k, (shots,), jnp.float32, maxval=offsets[-1])
+                in_shard = jnp.logical_and(u >= lo, u < hi)
+                pos = jnp.searchsorted(local_cdf, u - lo, side="right")
+                pos = jnp.clip(pos, 0, local_probs.shape[0] - 1)
+                contrib = jnp.where(in_shard, table_local[pos], 0.0)
+                return jax.lax.psum(contrib, AMP_AXIS)  # [shots]
+
+            shot_energies = jax.lax.map(
+                one, (gate_types, controls, angles, layer_mask, keys)
+            )  # [P, shots]
+            if use_cvar:
+                return cvar_expectation_from_shot_energies(shot_energies, alpha)
+            return jnp.mean(shot_energies, axis=-1)
+
+        mapped = jax.jit(
+            shard_map(
+                sampled,
+                mesh=self.amp_mesh,
+                in_specs=(PartitionSpec(),) * 6 + (PartitionSpec(AMP_AXIS),),
+                out_specs=PartitionSpec(),
+                check_vma=False,
+            )
+        )
+        self._fns[key] = mapped
+        return mapped
+
     def _apply_precision_noise(self, energies: np.ndarray) -> np.ndarray:
         if self.precision == 0.0:
             return energies
@@ -451,21 +521,26 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             args = self._globalize(packed.gate_types, packed.controls, a, packed.layer_mask)
             out = energies_fn(*args, self._table)
             return self._apply_precision_noise(np.asarray(out))
+        if self.shots is not None:
+            # fully distributed shot sampling (hierarchical inverse-CDF
+            # over shards) + shot-multiset expectation/CVaR — no 2^n
+            # array leaves the mesh, multi-controller safe
+            fn = self._sampled_energies_fn(self.shots, self.alpha < 1.0)
+            keys = np.asarray(self._next_keys(packed.n_individuals))
+            args = self._globalize(
+                packed.gate_types, packed.controls, a, packed.layer_mask, keys
+            )
+            out = fn(*args, jnp.float32(self.alpha), self._table)
+            return self._apply_precision_noise(np.asarray(out))
         if jax.process_count() > 1:
             raise CircuitEvaluatorException(
-                "the CVaR / finite-shot amplitude-sharded paths materialize the "
-                "full probability array on the controller and are single-process "
-                "only; use alpha=1 exact energies on multi-controller meshes"
+                "the exact (shot-free) CVaR amplitude-sharded path gathers the "
+                "full probability array by energy order and is single-process "
+                "only; use alpha=1 exact energies or finite shots on "
+                "multi-controller meshes"
             )
         probs = probs_fn(packed.gate_types, packed.controls, a, packed.layer_mask)
-        if self.shots is not None:
-            keys = self._next_keys(packed.n_individuals)
-            counts = jax.vmap(lambda k, p: sample_counts(k, p, self.shots))(keys, probs)
-            probs = counts.astype(jnp.float32) / self.shots
-        if self.alpha >= 1.0:
-            out = expectation_from_probs(probs, self._table_host)
-        else:
-            out = cvar_expectation_from_probs(
-                probs, self._sorted, self._order, jnp.float32(self.alpha)
-            )
+        out = cvar_expectation_from_probs(
+            probs, self._sorted, self._order, jnp.float32(self.alpha)
+        )
         return self._apply_precision_noise(np.asarray(out))

@@ -144,6 +144,25 @@ def test_amplitude_sharded_evaluator_shots_deterministic():
     assert np.all(np.abs(noisy - exact) < 5.0)  # plausible shot noise at 256 shots
 
 
+def test_amplitude_sharded_shots_match_single_chip_stream():
+    """The distributed hierarchical inverse-CDF sampler draws the same
+    shot stream as the single-chip sampler evaluator (same key
+    derivation; shard-local CDF rounding may flip rare boundary
+    samples, hence the tolerance)."""
+    from queasars_tpu.sim.evaluators import SamplerExpectationEvaluator
+
+    packed = _population(pop=3)
+    operator = _chain(packed.n_qubits)
+    for alpha in (1.0, 0.5):
+        sharded = AmplitudeShardedExpectationEvaluator(
+            operator, mesh=amplitude_mesh(8), shots=512, seed=11, alpha=alpha
+        )
+        single = SamplerExpectationEvaluator(operator, shots=512, seed=11, alpha=alpha)
+        np.testing.assert_allclose(
+            sharded.evaluate_packed(packed), single.evaluate_packed(packed), atol=0.25
+        )
+
+
 def test_amplitude_sharded_angles_override():
     packed = _population(pop=2)
     operator = _chain(packed.n_qubits)
