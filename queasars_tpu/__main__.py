@@ -49,6 +49,11 @@ def _build_parser() -> argparse.ArgumentParser:
     solve.add_argument("--checkpoint", default=None, help="solver-state checkpoint path")
     solve.add_argument("--resume", action="store_true", help="resume from --checkpoint")
     solve.add_argument("--output", default=None, help="result JSON path (default: stdout summary)")
+    solve.add_argument(
+        "--platform", default=None,
+        help="jax platform override, e.g. 'cpu' (use when the environment "
+        "pins a TPU plugin that ignores JAX_PLATFORMS)",
+    )
     return parser
 
 
@@ -194,6 +199,12 @@ def _report(result, describe, args) -> int:
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        # must land before the first backend use; some environments
+        # preload a platform plugin that overrides the JAX_PLATFORMS env
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.command == "solve":
         return _solve(args)
     return 2

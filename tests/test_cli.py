@@ -8,11 +8,14 @@ import sys
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=420):
+def _run(args, timeout=600):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # the env var alone is NOT enough on this platform (sitecustomize
+    # preloads the TPU plugin and overrides it): --platform cpu applies
+    # the jax.config override inside the subprocess
     proc = subprocess.run(
-        [sys.executable, "-m", "queasars_tpu", *args],
+        [sys.executable, "-m", "queasars_tpu", *args, "--platform", "cpu"],
         capture_output=True, text=True, env=env, cwd=REPO_ROOT, timeout=timeout,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
