@@ -36,9 +36,9 @@ def main() -> None:
     def wrap(cls):
         inner = cls.apply_operator
 
-        def timed(self, population, context):
+        def timed(self, population, *args, **kwargs):
             start = time.perf_counter()
-            out = inner(self, population, context)
+            out = inner(self, population, *args, **kwargs)
             timings[cls.__name__] += time.perf_counter() - start
             counts[cls.__name__] += 1
             return out
