@@ -126,6 +126,135 @@ def maxcut_hamiltonian(
     return PauliSum.sum(terms), offset
 
 
+def tsp_hamiltonian(
+    distances: np.ndarray,
+    penalty: Optional[float] = None,
+) -> tuple[PauliSum, float]:
+    """Ising form of the (possibly asymmetric) travelling-salesman
+    problem in the standard one-hot position encoding: qubit
+    ``city * n + position`` carries x_{city, position}.
+
+    Energy = sum_p sum_{i != j} d_ij x_{i,p} x_{j,(p+1) mod n}
+           + penalty * sum_i (1 - sum_p x_{i,p})^2
+           + penalty * sum_p (1 - sum_i x_{i,p})^2
+
+    so valid tours (every city exactly once, every position filled)
+    carry exactly their cyclic tour length, and every constraint
+    violation costs at least ``penalty`` above any valid tour
+    (default: n * max(d) + 1 > the longest possible tour).
+
+    :param distances: [n, n] matrix, d[i, j] = cost of travelling i -> j
+    :return: (H, offset) with tour_length(state) = <state|H|state> + offset
+    """
+    d = np.asarray(distances, dtype=float)
+    if d.ndim != 2 or d.shape[0] != d.shape[1]:
+        raise ValueError("distances must be a square matrix")
+    n = d.shape[0]
+    if n < 2:
+        raise ValueError("need at least two cities")
+    if penalty is None:
+        penalty = float(n * d.max() + 1.0)
+    n_vars = n * n
+    var = lambda city, pos: city * n + pos
+    quadratic = np.zeros((n_vars, n_vars))
+    linear = np.zeros(n_vars)
+    constant = 0.0
+    # tour-length objective
+    for p in range(n):
+        p_next = (p + 1) % n
+        for i in range(n):
+            for j in range(n):
+                if i != j and d[i, j] != 0.0:
+                    quadratic[var(i, p), var(j, p_next)] += d[i, j]
+    # one-hot penalties: (1 - sum_k x_k)^2 = 1 - 2 sum x_k + sum x_k
+    # + 2 sum_{k<l} x_k x_l   (x^2 = x for binaries)
+    groups = [[var(i, p) for p in range(n)] for i in range(n)]  # each city once
+    groups += [[var(i, p) for i in range(n)] for p in range(n)]  # each position filled
+    for group in groups:
+        constant += penalty
+        for a_i, k in enumerate(group):
+            linear[k] -= penalty
+            for l in group[a_i + 1:]:
+                quadratic[k, l] += 2.0 * penalty
+    return qubo_hamiltonian(quadratic, linear, constant)
+
+
+def decode_tsp_tour(state: int, n_cities: int) -> Optional[list[int]]:
+    """Basis state -> tour (city visited at each position), or None when
+    the one-hot constraints are violated."""
+    bits = decode_qubo_bits(state, n_cities * n_cities)
+    tour: list[Optional[int]] = [None] * n_cities
+    for city in range(n_cities):
+        positions = [p for p in range(n_cities) if bits[city * n_cities + p]]
+        if len(positions) != 1:
+            return None
+        if tour[positions[0]] is not None:
+            return None
+        tour[positions[0]] = city
+    return tour  # type: ignore[return-value]
+
+
+def tour_length(tour: Sequence[int], distances: np.ndarray) -> float:
+    """Cyclic tour length under the (possibly asymmetric) distances."""
+    d = np.asarray(distances, dtype=float)
+    return float(
+        sum(d[tour[p], tour[(p + 1) % len(tour)]] for p in range(len(tour)))
+    )
+
+
+def graph_coloring_hamiltonian(
+    n_nodes: int,
+    edges: Sequence[tuple[int, int]],
+    n_colors: int,
+    penalty: float = 1.0,
+    conflict_weight: float = 1.0,
+) -> tuple[PauliSum, float]:
+    """Ising form of graph coloring in the one-hot encoding: qubit
+    ``node * n_colors + color`` carries x_{node, color}.
+
+    Energy = penalty * sum_v (1 - sum_c x_{v,c})^2
+           + conflict_weight * sum_{(u,v) in E} sum_c x_{u,c} x_{v,c}
+
+    A proper ``n_colors``-coloring has energy exactly 0; every
+    monochromatic edge costs ``conflict_weight``; every broken one-hot
+    costs at least ``penalty``.
+
+    :return: (H, offset) with energy(state) = <state|H|state> + offset
+    """
+    if n_nodes < 1 or n_colors < 1:
+        raise ValueError("need at least one node and one color")
+    n_vars = n_nodes * n_colors
+    var = lambda node, color: node * n_colors + color
+    quadratic = np.zeros((n_vars, n_vars))
+    linear = np.zeros(n_vars)
+    constant = 0.0
+    for v in range(n_nodes):
+        constant += penalty
+        for c in range(n_colors):
+            linear[var(v, c)] -= penalty
+            for c2 in range(c + 1, n_colors):
+                quadratic[var(v, c), var(v, c2)] += 2.0 * penalty
+    for (u, v) in edges:
+        if not (0 <= u < n_nodes and 0 <= v < n_nodes) or u == v:
+            raise ValueError(f"invalid edge ({u}, {v})")
+        for c in range(n_colors):
+            quadratic[var(u, c), var(v, c)] += conflict_weight
+    return qubo_hamiltonian(quadratic, linear, constant)
+
+
+def decode_coloring(state: int, n_nodes: int, n_colors: int) -> Optional[list[int]]:
+    """Basis state -> color per node, or None when a one-hot constraint
+    is violated."""
+    bits = decode_qubo_bits(state, n_nodes * n_colors)
+    colors = []
+    for v in range(n_nodes):
+        chosen = [c for c in range(n_colors) if bits[v * n_colors + c]]
+        if len(chosen) != 1:
+            return None
+        colors.append(chosen[0])
+    return colors
+
+
 @dataclass(frozen=True)
 class BoundedIntegerVariable:
     """A bounded integer variable in the binary coding qiskit-optimization's
