@@ -100,3 +100,37 @@ def test_fast_path_deterministic():
     a = np.asarray(population_energies(*args, **kwargs, fast_shots=True))
     b = np.asarray(population_energies(*args, **kwargs, fast_shots=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fast_path_mesh_bit_identical():
+    """The shot-multiset fast path must be invariant to population
+    sharding (per-individual keys; no cross-individual reductions)."""
+    from queasars_tpu.parallel.mesh import (
+        pad_population_axis,
+        population_mesh,
+        population_pad_multiple,
+        run_population_sharded,
+    )
+
+    args, kwargs = _objective_args(0.5)
+    gt, ctrl, ang, lm, table, sorted_e, order, alpha, keys = args
+
+    def fn(pop_args, rep_args):
+        gt, ctrl, ang, lm, keys = pop_args
+        table, sorted_e, order, alpha = rep_args
+        return population_energies(
+            gt, ctrl, ang, lm, table, sorted_e, order, alpha, keys,
+            **kwargs, fast_shots=True,
+        )
+
+    single = np.asarray(fn((gt, ctrl, ang, lm, keys), (table, sorted_e, order, alpha)))
+    mesh = population_mesh(8)
+    multiple = population_pad_multiple(mesh)
+    pop = gt.shape[0]
+    padded = tuple(
+        pad_population_axis(np.asarray(a), multiple) for a in (gt, ctrl, ang, lm, keys)
+    )
+    sharded = np.asarray(
+        run_population_sharded(mesh, fn, padded, (table, sorted_e, order, alpha))
+    )[:pop]
+    np.testing.assert_array_equal(single, sharded)
