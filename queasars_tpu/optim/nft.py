@@ -77,6 +77,14 @@ class NFTConfig:
     reset_interval: int = 32
     five_point: bool = False
     cache_prefix: Optional[bool] = None
+    #: run the whole last-layer sweep INSIDE one fused kernel launch
+    #: (prefix state resident in VMEM across all probes, 3-point updates
+    #: on the scalar core) instead of one kernel launch per probe.
+    #: Exact diagonal Pallas objectives only; atan2 is a ~2e-6 polynomial
+    #: (Mosaic has no atan lowering), so angles may differ from the
+    #: scan path at that level.  None (default) = on whenever the prefix
+    #: cache is on the Pallas path; True/False forces it.
+    in_kernel_sweep: Optional[bool] = None
 
     def n_circuit_evaluations(self) -> int:
         """Evaluations used per optimized individual (ledger input for the
@@ -435,6 +443,10 @@ class BatchedNFT:
         a_in = np.asarray(a)
         coords_in = np.asarray(coords)
         initial = operands["initial_state"]
+        if use_prefix and self._in_kernel_sweep_applies(operands):
+            return self._minimize_in_kernel(
+                packed, coords_in, n_free, active, a_in, last_layer, operands
+            )
         prefix_args = None
         prefix_mode = "off"
         if use_prefix:
@@ -622,6 +634,46 @@ class BatchedNFT:
             np.asarray(energies),
             self.config.n_circuit_evaluations(),
         )
+
+    def _in_kernel_sweep_applies(self, operands) -> bool:
+        """The fully-in-kernel last-layer sweep covers the exact diagonal
+        Pallas objective (no shots / CVaR / general terms / precision
+        noise / five-point / shared initial state)."""
+        flag = self.config.in_kernel_sweep
+        if flag is False:
+            return False
+        if not operands.get("use_pallas", False) and flag is not True:
+            return False
+        return (
+            not operands["use_shots"]
+            and not operands["use_cvar"]
+            and not operands.get("use_general", False)
+            and operands.get("precision") is None
+            and operands["initial_state"] is None
+            and not self.config.five_point
+        )
+
+    def _minimize_in_kernel(
+        self, packed, coords, n_free, active, a_in, last_layer, operands
+    ):
+        """One kernel launch for the whole last-layer sweep: prefix
+        simulation + pallas_nft_layer_sweep inside a single jit (one host
+        dispatch), merged back into the full angle tensor."""
+        from queasars_tpu.optim.sweep_kernel_launch import nft_layer_sweep_launch
+
+        ll = np.asarray(last_layer, np.int32)
+        pop = packed.n_individuals
+        out_layer_angles, energies = nft_layer_sweep_launch(
+            packed.gate_types, packed.controls, a_in, packed.layer_mask,
+            ll, coords[:, :, 1:3], np.asarray(n_free), np.asarray(active),
+            operands["table"],
+            n_qubits=packed.n_qubits,
+            maxiter=self.config.maxiter,
+            reset_interval=self.config.reset_interval,
+        )
+        merged = a_in.copy()
+        merged[np.arange(pop), ll] = np.asarray(out_layer_angles)
+        return merged, np.asarray(energies), self.config.n_circuit_evaluations()
 
     def _minimize_host(self, evaluator, packed, coords, n_free, active, angles):
         """Host-stepped NFT for evaluators whose objective cannot be traced

@@ -52,6 +52,69 @@ def _u3_entries(theta, phi, lam):
     return u00, u01, u10, u11
 
 
+def _apply_u3_slot(
+    state_re, state_im, row_ids, lane_ids, rows, q,
+    gate_type, control, theta, phi, lam,
+):
+    """Apply one (predicated) U3/CU3 slot on qubit ``q`` to the resident
+    state planes.  ``q`` is static (unrolled slot loop); gate type,
+    control and angles are dynamic SMEM scalars."""
+    has_gate = jnp.logical_or(gate_type == 1, gate_type == 3)
+
+    @pl.when(has_gate)
+    def _():
+        (u00r, u00i), (u01r, u01i), (u10r, u10i), (u11r, u11i) = _u3_entries(theta, phi, lam)
+
+        re = state_re[:]
+        im = state_im[:]
+
+        # partner amplitudes: flat index XOR 2^q, as two circular rolls +
+        # bit select on the lane axis (q < 7) or the sublane/row axis
+        # (q >= 7) — rolls are native, reshapes force relayouts
+        # (experiments/exp_slot_costs.py lane_vs_row)
+        if q < LANE_BITS:
+            shift = 1 << q
+            # pltpu.roll requires non-negative shifts; rolling by
+            # size-s is the circular equivalent of rolling by -s
+            fwd_re = pltpu.roll(re, LANES - shift, 1)  # brings idx+2^q to idx
+            fwd_im = pltpu.roll(im, LANES - shift, 1)
+            bwd_re = pltpu.roll(re, shift, 1)          # brings idx-2^q to idx
+            bwd_im = pltpu.roll(im, shift, 1)
+            bit0 = ((lane_ids >> q) & 1) == 0
+        else:
+            stride = 1 << (q - LANE_BITS)
+            fwd_re = pltpu.roll(re, rows - stride, 0)
+            fwd_im = pltpu.roll(im, rows - stride, 0)
+            bwd_re = pltpu.roll(re, stride, 0)
+            bwd_im = pltpu.roll(im, stride, 0)
+            bit0 = ((row_ids >> (q - LANE_BITS)) & 1) == 0
+        partner_re = jnp.where(bit0, fwd_re, bwd_re)
+        partner_im = jnp.where(bit0, fwd_im, bwd_im)
+
+        # positions with bit=0 take row 0 of U against (self, partner);
+        # positions with bit=1 take row 1 against (partner, self)
+        a_re = jnp.where(bit0, u00r, u11r)
+        a_im = jnp.where(bit0, u00i, u11i)
+        b_re = jnp.where(bit0, u01r, u10r)
+        b_im = jnp.where(bit0, u01i, u10i)
+
+        new_re = a_re * re - a_im * im + b_re * partner_re - b_im * partner_im
+        new_im = a_re * im + a_im * re + b_re * partner_im + b_im * partner_re
+
+        is_crot = gate_type == 3
+        # control bit from the narrow index vectors (control is dynamic:
+        # select lane- vs row-derived bit by the scalar comparison)
+        c_lane = jnp.clip(control, 0, LANE_BITS - 1)
+        c_row = jnp.clip(control - LANE_BITS, 0, 31)
+        lane_bit = (lane_ids >> c_lane) & 1
+        row_bit = (row_ids >> c_row) & 1
+        ctrl_bit = jnp.where(control < LANE_BITS, lane_bit, row_bit)
+        active = jnp.logical_or(jnp.logical_not(is_crot), ctrl_bit == 1)
+
+        state_re[:] = jnp.where(active, new_re, re)
+        state_im[:] = jnp.where(active, new_im, im)
+
+
 def _run_circuit_in_vmem(
     gate_types_ref,
     controls_ref,
@@ -86,72 +149,11 @@ def _run_circuit_in_vmem(
         state_im[:] = jnp.zeros((rows, LANES), jnp.float32)
 
     def apply_slot(l, q):
-        gate_type = gate_types_ref[0, l, q]
-        has_gate = jnp.logical_or(gate_type == 1, gate_type == 3)
-
-        @pl.when(has_gate)
-        def _():
-            theta = angles_ref[0, l, q, 0]
-            phi = angles_ref[0, l, q, 1]
-            lam = angles_ref[0, l, q, 2]
-            (u00r, u00i), (u01r, u01i), (u10r, u10i), (u11r, u11i) = _u3_entries(theta, phi, lam)
-
-            re = state_re[:]
-            im = state_im[:]
-
-            # partner amplitudes: flat index XOR 2^q.
-            # Row-axis qubits (q >= 7): one sublane block-swap per plane —
-            # view rows as [blocks, 2, stride] and flip the pair axis.
-            # Lane-axis qubits (q < 7): two lane rolls + bit select (lane
-            # reshapes are register shuffles; rolls are native).
-            if q < LANE_BITS:
-                shift = 1 << q
-                # pltpu.roll requires non-negative shifts; rolling by
-                # size-s is the circular equivalent of rolling by -s
-                fwd_re = pltpu.roll(re, LANES - shift, 1)  # brings idx+2^q to idx
-                fwd_im = pltpu.roll(im, LANES - shift, 1)
-                bwd_re = pltpu.roll(re, shift, 1)          # brings idx-2^q to idx
-                bwd_im = pltpu.roll(im, shift, 1)
-                bit0 = ((lane_ids >> q) & 1) == 0
-                partner_re = jnp.where(bit0, fwd_re, bwd_re)
-                partner_im = jnp.where(bit0, fwd_im, bwd_im)
-            else:
-                # partner exchange via two sublane rolls + bit select —
-                # measured 2.2x faster than the reshape-based block swap
-                # (experiments/exp_slot_costs.py lane_vs_row: the reshape
-                # forces a relayout; sublane rotates are native)
-                stride = 1 << (q - LANE_BITS)
-                fwd_re = pltpu.roll(re, rows - stride, 0)
-                fwd_im = pltpu.roll(im, rows - stride, 0)
-                bwd_re = pltpu.roll(re, stride, 0)
-                bwd_im = pltpu.roll(im, stride, 0)
-                bit0 = ((row_ids >> (q - LANE_BITS)) & 1) == 0
-                partner_re = jnp.where(bit0, fwd_re, bwd_re)
-                partner_im = jnp.where(bit0, fwd_im, bwd_im)
-
-            # positions with bit=0 take row 0 of U against (self, partner);
-            # positions with bit=1 take row 1 against (partner, self)
-            a_re = jnp.where(bit0, u00r, u11r)
-            a_im = jnp.where(bit0, u00i, u11i)
-            b_re = jnp.where(bit0, u01r, u10r)
-            b_im = jnp.where(bit0, u01i, u10i)
-
-            new_re = a_re * re - a_im * im + b_re * partner_re - b_im * partner_im
-            new_im = a_re * im + a_im * re + b_re * partner_im + b_im * partner_re
-
-            control = controls_ref[0, l, q]
-            is_crot = gate_type == 3
-            # control bit from the narrow index vectors (control is dynamic:
-            # select lane- vs row-derived bit by the scalar comparison)
-            c_lane = jnp.clip(control, 0, LANE_BITS - 1)
-            c_row = jnp.clip(control - LANE_BITS, 0, 31)
-            lane_bit = (lane_ids >> c_lane) & 1
-            row_bit = (row_ids >> c_row) & 1
-            ctrl_bit = jnp.where(control < LANE_BITS, lane_bit, row_bit)
-            active = jnp.logical_or(jnp.logical_not(is_crot), ctrl_bit == 1)
-
-            state_re[:] = jnp.where(active, new_re, re)
-            state_im[:] = jnp.where(active, new_im, im)
+        _apply_u3_slot(
+            state_re, state_im, row_ids, lane_ids, rows, q,
+            gate_types_ref[0, l, q], controls_ref[0, l, q],
+            angles_ref[0, l, q, 0], angles_ref[0, l, q, 1], angles_ref[0, l, q, 2],
+        )
 
     def layer_body(l, carry):
         @pl.when(layer_mask_ref[0, l, 0] != 0)
@@ -427,6 +429,195 @@ def pallas_energies_exact(
         interpret=interpret,
     )(*operands)
     return jnp.sum(partials, axis=(-2, -1))
+
+
+def _kernel_atan2(y, x):
+    """Polynomial atan2 (Mosaic has no atan/atan2 lowering): odd minimax
+    polynomial on [0, 1] + octant/quadrant reduction; max error ~2e-6 vs
+    np.arctan2 (validated on hardware)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    big = jnp.maximum(ax, ay)
+    small = jnp.minimum(ax, ay)
+    t = small / jnp.maximum(big, jnp.float32(1e-30))
+    t2 = t * t
+    p = jnp.float32(-0.0117212)
+    for c in (0.05265332, -0.11643287, 0.19354346, -0.33262348, 0.99997726):
+        p = p * t2 + jnp.float32(c)
+    r = p * t
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _nft_layer_sweep_kernel(
+    gate_types_ref,  # SMEM [1, 1, n] int32 (the optimized layer's slots)
+    controls_ref,    # SMEM [1, 1, n] int32
+    angles_ref,      # SMEM [1, n, 3] f32 (the layer's starting angles)
+    coords_ref,      # SMEM [1, K, 2] int32 (qubit, angle) per free coord
+    meta_ref,        # SMEM [1, 1, 2] int32 (n_free, active)
+    prefix_ref,      # ANY [P, 2, R, 128] cached prefix states
+    table_ref,       # VMEM [R, 128] diagonal energy table (shared block)
+    out_angles_ref,  # SMEM out [1, n, 3]
+    out_z_ref,       # SMEM out [1, 1]
+    angles_s,        # SMEM scratch (n, 3) current angles
+    z_s,             # SMEM scratch (1,) recycled z0
+    prefix_re, prefix_im,  # VMEM scratch planes (resident prefix)
+    work_re, work_im,      # VMEM scratch planes (probe state)
+    sem_re, sem_im,
+    *,
+    n_qubits: int,
+    maxiter: int,
+    reset_interval: int,
+):
+    """The ENTIRE last-layer NFT sweep for one individual in one kernel
+    program: the cached prefix state is DMA'd into VMEM once and stays
+    resident; every probe copies it into the working planes, applies the
+    optimized layer from the mutable SMEM angle scratch, and contracts
+    against the resident table; the 3-point sinusoid update (polynomial
+    atan2) runs on the scalar core.  Replaces 2*maxiter+1 kernel
+    launches — each re-reading the prefix from HBM — with one.
+    """
+    rows = 1 << (n_qubits - LANE_BITS)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    p = pl.program_id(0)
+
+    copy_re = pltpu.make_async_copy(prefix_ref.at[p, 0], prefix_re, sem_re)
+    copy_im = pltpu.make_async_copy(prefix_ref.at[p, 1], prefix_im, sem_im)
+    copy_re.start()
+    copy_im.start()
+    for q in range(n_qubits):
+        for a_i in range(3):
+            angles_s[q, a_i] = angles_ref[0, q, a_i]
+    copy_re.wait()
+    copy_im.wait()
+
+    def eval_energy():
+        work_re[:] = prefix_re[:]
+        work_im[:] = prefix_im[:]
+        for q in range(n_qubits):
+            _apply_u3_slot(
+                work_re, work_im, row_ids, lane_ids, rows, q,
+                gate_types_ref[0, 0, q], controls_ref[0, 0, q],
+                angles_s[q, 0], angles_s[q, 1], angles_s[q, 2],
+            )
+        prod = (work_re[:] * work_re[:] + work_im[:] * work_im[:]) * table_ref[:]
+        return jnp.sum(prod)
+
+    z_s[0] = eval_energy()
+
+    n_free = meta_ref[0, 0, 0]
+    apply_updates = jnp.logical_and(meta_ref[0, 0, 1] != 0, n_free > 0)
+
+    def step(k, carry):
+        @pl.when(jnp.logical_and(k % reset_interval == 0, k > 0))
+        def _():
+            z_s[0] = eval_energy()
+
+        idx = k % jnp.maximum(n_free, 1)
+        q = coords_ref[0, idx, 0]
+        a_i = coords_ref[0, idx, 1]
+        theta = angles_s[q, a_i]
+
+        angles_s[q, a_i] = theta + jnp.float32(np.pi / 2)
+        z1 = eval_energy()
+        angles_s[q, a_i] = theta - jnp.float32(np.pi / 2)
+        z3 = eval_energy()
+
+        z0 = z_s[0]
+        mid = (z1 + z3) * jnp.float32(0.5)
+        half_diff = (z1 - z3) * jnp.float32(0.5)
+        shift = _kernel_atan2(half_diff, z0 - mid)
+        minimum_value = mid - jnp.sqrt((z0 - mid) * (z0 - mid) + half_diff * half_diff)
+
+        new_theta = theta + shift + jnp.float32(np.pi)
+        angles_s[q, a_i] = jnp.where(apply_updates, new_theta, theta)
+        z_s[0] = jnp.where(apply_updates, minimum_value, z_s[0])
+        return carry
+
+    jax.lax.fori_loop(0, maxiter, step, 0)
+
+    for q in range(n_qubits):
+        for a_i in range(3):
+            out_angles_ref[0, q, a_i] = angles_s[q, a_i]
+    out_z_ref[0, 0, 0] = z_s[0]
+
+
+@partial(jax.jit, static_argnames=("n_qubits", "maxiter", "reset_interval", "interpret"))
+def pallas_nft_layer_sweep(
+    gate_types: jax.Array,   # [P, n] the optimized layer's slots
+    controls: jax.Array,     # [P, n]
+    angles: jax.Array,       # [P, n, 3]
+    coords: jax.Array,       # [P, K, 2] (qubit, angle) free coordinates
+    n_free: jax.Array,       # [P]
+    active: jax.Array,       # [P]
+    prefix: jax.Array,       # [P, 2, 2^n] cached prefix states
+    table: jax.Array,        # [2^n] diagonal energy table
+    n_qubits: int,
+    maxiter: int,
+    reset_interval: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Whole-population last-layer NFT sweep fully inside the fused
+    kernel (one launch): returns (updated layer angles [P, n, 3], final
+    recycled energies [P]).  Exact diagonal objectives only; identical
+    update math to ``optim/nft._nft_scan`` (atan2 via a ~2e-6 polynomial).
+    """
+    if n_qubits < LANE_BITS:
+        raise ValueError("the fused kernel requires n_qubits >= 7")
+    pop = gate_types.shape[0]
+    k_max = coords.shape[1]
+    rows = 1 << (n_qubits - LANE_BITS)
+
+    kernel = partial(
+        _nft_layer_sweep_kernel,
+        n_qubits=n_qubits, maxiter=maxiter, reset_interval=reset_interval,
+    )
+    meta = jnp.stack(
+        [jnp.asarray(n_free, jnp.int32), jnp.asarray(active, jnp.int32)], axis=1
+    )[:, None, :]
+    out_angles, out_z = pl.pallas_call(
+        kernel,
+        grid=(pop,),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_qubits), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_qubits, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k_max, 2), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows, LANES), lambda p: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_qubits, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda p: (p, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pop, n_qubits, 3), jnp.float32),
+            jax.ShapeDtypeStruct((pop, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((n_qubits, 3), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        jnp.asarray(gate_types, jnp.int32)[:, None, :],
+        jnp.asarray(controls, jnp.int32)[:, None, :],
+        jnp.asarray(angles, jnp.float32),
+        jnp.asarray(coords, jnp.int32),
+        meta,
+        jnp.asarray(prefix, jnp.float32).reshape(pop, 2, rows, LANES),
+        jnp.asarray(table, jnp.float32).reshape(rows, LANES),
+    )
+    return out_angles, out_z[:, 0, 0]
 
 
 def pallas_supported(n_qubits: int, platform: str) -> bool:
