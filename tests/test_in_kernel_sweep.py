@@ -98,6 +98,45 @@ def test_in_kernel_sweep_deterministic_and_inactive_preserved():
     )
 
 
+def test_in_kernel_sweep_crot_layers_and_edge_masks():
+    """CROT-heavy genomes and the n_free=0-but-active edge: the kernel's
+    control handling and update guards must match the scan path."""
+    from queasars_tpu.genome.individual import EVQEIndividual
+
+    rng_seeds = [5, 9, 13, 21]
+    individuals = [
+        EVQEIndividual.random_individual(7, 2, True, s) for s in rng_seeds
+    ]
+    packed = PackedPopulation.pack(individuals)
+    real_layers = packed.layer_mask.sum(axis=1).astype(np.int32)
+    last_layer = real_layers - 1
+    coords_list = [packed.layer_param_coordinates(i, -1) for i in range(packed.n_individuals)]
+    k_max = max(max(c.shape[0] for c in coords_list), 1)
+    coords = np.zeros((packed.n_individuals, k_max, 3), np.int32)
+    n_free = np.zeros(packed.n_individuals, np.int32)
+    for i, c in enumerate(coords_list):
+        coords[i, : c.shape[0]] = c
+        n_free[i] = c.shape[0]
+    # force one individual into the "no free parameters but active" edge
+    n_free[1] = 0
+    active = np.ones(packed.n_individuals, bool)
+
+    op = _diagonal_operator(7, seed=3)
+    evaluator = StatevectorExpectationEvaluator(op)
+    a_scan, e_scan, _ = BatchedNFT(
+        NFTConfig(maxiter=7, cache_prefix=False)
+    ).minimize(evaluator, packed, coords, n_free, active, last_layer=last_layer)
+    a_k, e_k, _ = BatchedNFT(
+        NFTConfig(maxiter=7, cache_prefix=True, in_kernel_sweep=True)
+    ).minimize(evaluator, packed, coords, n_free, active, last_layer=last_layer)
+    np.testing.assert_allclose(
+        np.asarray(evaluator.evaluate_packed(packed, angles=a_k)),
+        np.asarray(evaluator.evaluate_packed(packed, angles=a_scan)),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_array_equal(a_k[1], packed.angles[1])  # frozen individual
+
+
 def test_in_kernel_sweep_gating():
     nft = BatchedNFT(NFTConfig(in_kernel_sweep=True))
     op = _diagonal_operator(6)
