@@ -62,11 +62,11 @@ class EVQECircuitLayer:
         already rotated it.
         """
         if n_qubits < 1:
-            raise EVQECircuitLayerException("A circuit layer may not have fewer than one qubit!")
+            raise EVQECircuitLayerException("a circuit layer needs at least one qubit")
         if previous_layer is not None and previous_layer.n_qubits != n_qubits:
             raise EVQECircuitLayerException(
-                f"The previous_layer has {previous_layer.n_qubits} qubits which differs from the "
-                + f"{n_qubits} for the layer which shall be randomly generated!"
+                f"previous_layer spans {previous_layer.n_qubits} qubits but this layer spans "
+                + f"{n_qubits}"
             )
 
         chosen: list[EVQEGate] = [IdentityGate(qubit_index=q) for q in range(n_qubits)]
@@ -120,7 +120,7 @@ class EVQECircuitLayer:
             sum(1 for gate in self.gates if isinstance(gate, ControlledGate)),
         )
         if not self.is_valid():
-            raise EVQECircuitLayerException("The created layer is invalid!")
+            raise EVQECircuitLayerException("layer construction produced an inconsistent layer")
 
     @property
     def n_parameters(self) -> int:

@@ -81,7 +81,9 @@ class EVQEIndividual:
         """New individual with the same structure but new parameters
         (reference: individual.py:67-86)."""
         if len(parameter_values) != sum(layer.n_parameters for layer in individual.layers):
-            raise EVQEIndividualException("The number of parameter values given does not match the individual!")
+            raise EVQEIndividualException(
+                "parameter_values length disagrees with the individual's parameter count"
+            )
         return EVQEIndividual(
             n_qubits=individual.n_qubits,
             layers=individual.layers,
@@ -98,7 +100,7 @@ class EVQEIndividual:
         indices = individual.layer_parameter_indices[layer_id]
         if len(parameter_values) != len(indices):
             raise EVQEIndividualException(
-                "The amount of given parameter_values does not match the amount needed by the circuit layer!"
+                "parameter_values length disagrees with the layer's parameter count"
             )
         new_values = list(individual.parameter_values)
         for offset, index in enumerate(indices):
@@ -120,7 +122,7 @@ class EVQEIndividual:
         their parameters start random or at 0 (reference: individual.py:
         132-183 — same child-seed-per-layer, then parameter draws)."""
         if n_layers < 1:
-            raise EVQEIndividualException("n_layers must be at least 1!")
+            raise EVQEIndividualException("n_layers must be >= 1")
         rng = Random(random_seed)
         new_layers: list[EVQECircuitLayer] = []
         previous = individual.layers[-1]
@@ -148,10 +150,10 @@ class EVQEIndividual:
         """Drop the last ``n_layers`` layers; at least one must remain
         (reference: individual.py:185-215)."""
         if not 0 < n_layers:
-            raise EVQEIndividualException("n_layers must be at least 1!")
+            raise EVQEIndividualException("n_layers must be >= 1")
         if not n_layers < len(individual.layers):
             raise EVQEIndividualException(
-                "Removed too many layers (one layer must remain)! Choose a smaller n_layer value"
+                "cannot remove that many layers: an individual keeps at least one layer"
             )
         keep = len(individual.layers) - n_layers
         cut = individual.layer_parameter_indices[keep][0] if individual.layers[keep].n_parameters else None
@@ -184,7 +186,7 @@ class EVQEIndividual:
 
     def __post_init__(self) -> None:
         if not self.is_valid():
-            raise EVQEIndividualException("The created individual is not valid!")
+            raise EVQEIndividualException("genome construction produced an inconsistent individual")
         layer_parameter_indices: dict[int, tuple[int, ...]] = {}
         offset = 0
         for i, layer in enumerate(self.layers):

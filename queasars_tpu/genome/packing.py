@@ -15,7 +15,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from queasars_tpu.genome.gates import EVQEGateType, ControlledRotationGate
+from queasars_tpu.genome.gates import ControlledRotationGate
 from queasars_tpu.genome.individual import EVQEIndividual
 from queasars_tpu.genome.parameter_order import get_parameter_order, layer_slot_order
 

@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.optim.nft_math import nft_three_point_update
 from queasars_tpu.optim.objective import objective_operands, population_energies
 from queasars_tpu.optim.prefix import prefix_enabled
 
@@ -114,7 +115,10 @@ _FIVE_POINT_INVERSE = jnp.asarray(_five_point_inverse())
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots", "use_pallas", "use_general", "five_point", "prefix_mode"),
+    static_argnames=(
+        "n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots",
+        "use_pallas", "use_general", "five_point", "prefix_mode",
+    ),
 )
 def _nft_scan(
     gate_types,
@@ -238,10 +242,7 @@ def _make_nft_step(objective, coords, n_free, active, pop_keys, reset_interval, 
             z1 = objective(plus, probe_keys(1))
             z3 = objective(minus, probe_keys(2))
 
-            mid = (z1 + z3) / 2
-            shift = jnp.arctan2((z1 - z3) / 2, z0 - mid)
-            amplitude = jnp.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
-            minimum_value = mid - amplitude
+            shift, minimum_value = nft_three_point_update(z0, z1, z3)
 
             updated = angles_c.at[pop_idx, l, q, a_i].add(shift + jnp.pi)
         apply = jnp.logical_and(active, n_free > 0)
@@ -254,7 +255,10 @@ def _make_nft_step(objective, coords, n_free, active, pop_keys, reset_interval, 
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots", "use_pallas", "use_general", "five_point"),
+    static_argnames=(
+        "n_qubits", "maxiter", "reset_interval", "shots", "use_cvar", "use_shots",
+        "use_pallas", "use_general", "five_point",
+    ),
 )
 def _nft_slots_scan(
     gate_types,
@@ -362,10 +366,14 @@ class BatchedNFT:
         if getattr(evaluator, "nft_minimize", None) is not None:
             # amplitude-sharded evaluator: its device sweep is the same
             # 3-point math — exact when it is on the plain energies path
+            # against a DIAGONAL operator (for general Pauli sums the
+            # sinusoid fit is approximate for CU3 theta, see module
+            # docstring)
             return (
                 getattr(evaluator, "alpha", 0.0) >= 1.0
                 and getattr(evaluator, "shots", -1) is None
                 and getattr(evaluator, "precision", 1.0) == 0.0
+                and getattr(getattr(evaluator, "operator", None), "is_diagonal", False)
             )
         try:
             operands = objective_operands(evaluator)
@@ -696,9 +704,7 @@ class BatchedNFT:
             minus[pop_idx, l, q, a_i] -= np.pi / 2
             z1 = np.asarray(evaluator.evaluate_packed(packed, angles=plus), dtype=np.float64)
             z3 = np.asarray(evaluator.evaluate_packed(packed, angles=minus), dtype=np.float64)
-            mid = (z1 + z3) / 2
-            shift = np.arctan2((z1 - z3) / 2, z0 - mid)
-            minimum_value = mid - np.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
+            shift, minimum_value = nft_three_point_update(z0, z1, z3, xp=np)
             updated = current.copy()
             updated[pop_idx, l, q, a_i] += shift + np.pi
             current = np.where(apply[:, None, None, None], updated, current)

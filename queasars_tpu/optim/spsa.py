@@ -60,7 +60,10 @@ class SPSAConfig:
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "shots", "use_cvar", "use_shots", "calibration_steps", "use_pallas", "use_general"),
+    static_argnames=(
+        "n_qubits", "shots", "use_cvar", "use_shots", "calibration_steps",
+        "use_pallas", "use_general",
+    ),
 )
 def _spsa_calibrate(
     gate_types, controls, layer_mask, angles, coords, coord_mask,
@@ -171,7 +174,10 @@ def _spsa_scan(
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "calibration_steps", "shots", "use_cvar", "use_shots", "use_pallas", "use_general", "calibrate"),
+    static_argnames=(
+        "n_qubits", "maxiter", "calibration_steps", "shots", "use_cvar", "use_shots",
+        "use_pallas", "use_general", "calibrate",
+    ),
 )
 def _spsa_slots_scan(
     gate_types, controls, layer_mask, angles,

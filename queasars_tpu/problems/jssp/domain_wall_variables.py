@@ -71,7 +71,11 @@ class DomainWallVariable(Generic[T]):
             return pauli_identity_string(quantum_circuit_n_qubits) * 0.0
         identity = pauli_identity_string(quantum_circuit_n_qubits)
         local_terms = [
-            (identity - self._z_dash(i, quantum_circuit_n_qubits) @ self._z_dash(i + 1, quantum_circuit_n_qubits))
+            (
+                identity
+                - self._z_dash(i, quantum_circuit_n_qubits)
+                @ self._z_dash(i + 1, quantum_circuit_n_qubits)
+            )
             * 0.5
             for i in range(-1, self._n_qubits)
         ]

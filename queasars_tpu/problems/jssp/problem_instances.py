@@ -31,7 +31,7 @@ class Machine:
 
     def __post_init__(self):
         if self.name == "":
-            raise JobShopSchedulingProblemException("The name of a Machine cannot be an empty string!")
+            raise JobShopSchedulingProblemException("a Machine needs a non-empty name")
 
     def __repr__(self):
         return self.name
@@ -60,12 +60,12 @@ class Operation:
 
     def __post_init__(self):
         if self.name == "":
-            raise JobShopSchedulingProblemException("The name of an Operation cannot be an empty string!")
+            raise JobShopSchedulingProblemException("an Operation needs a non-empty name")
         if self.job_name == "":
-            raise JobShopSchedulingProblemException("The job_name of an Operation cannot be an empty string!")
+            raise JobShopSchedulingProblemException("an Operation needs a non-empty job_name")
         if self.processing_duration <= 0:
             raise JobShopSchedulingProblemException(
-                f"The processing_duration of an Operation must at least be one, but it was {self.processing_duration}"
+                f"processing_duration must be >= 1 (got {self.processing_duration})"
             )
 
     def __repr__(self):
@@ -90,23 +90,23 @@ class Job:
 
     def __post_init__(self):
         if self.name == "":
-            raise JobShopSchedulingProblemException("The name of a Job cannot be an empty string!")
+            raise JobShopSchedulingProblemException("a Job needs a non-empty name")
         if len(self.operations) == 0:
             raise JobShopSchedulingProblemException(
-                "This job contains no operations! A job must contain at least 1 operation!"
+                "a Job needs at least one Operation (got none)"
             )
         identifiers = {operation.identifier for operation in self.operations}
         if len(identifiers) != len(self.operations):
-            raise JobShopSchedulingProblemException("The identifiers of all operations within a job must be unique!")
+            raise JobShopSchedulingProblemException("duplicate operation identifiers within one Job")
         visited: set[Machine] = set()
         for operation in self.operations:
             if operation.job_name != self.name:
                 raise JobShopSchedulingProblemException(
-                    f"The job_name of an operation was mismatched! Expected {self.name}, Got: {operation.job_name}"
+                    f"operation carries job_name {operation.job_name!r} inside job {self.name!r}"
                 )
             if operation.machine in visited:
                 raise JobShopSchedulingProblemException(
-                    f"The machine {operation.machine} was visited by more than one operation!"
+                    f"machine {operation.machine} appears in several of this job's operations"
                 )
             visited.add(operation.machine)
 
@@ -130,21 +130,21 @@ class JobShopSchedulingProblemInstance:
     def __post_init__(self):
         if self.name == "":
             raise JobShopSchedulingProblemException(
-                "The name of a JobShopSchedulingProblemInstance may not be an empty string!"
+                "a JobShopSchedulingProblemInstance needs a non-empty name"
             )
         if len(set(self.machines)) != len(self.machines):
             raise JobShopSchedulingProblemException(
-                "The Machines in a JobShopSchedulingProblemInstance must be unique!"
+                "duplicate Machines in the problem instance"
             )
         if len({job.name for job in self.jobs}) != len(self.jobs):
             raise JobShopSchedulingProblemException(
-                "The names of the Jobs in a JobShopSchedulingProblemInstance must be unique!"
+                "duplicate Job names in the problem instance"
             )
         for job in self.jobs:
             if not job.is_consistent_with_machines(machines=self.machines):
                 raise JobShopSchedulingProblemException(
-                    "The Jobs in a JobShopSchedulingProblemInstance must not access "
-                    + "other Machines than specified in its machines attribute!"
+                    "a Job references a Machine the problem instance does not list "
+                    + "in its machines attribute"
                 )
 
     def __repr__(self):
@@ -228,13 +228,13 @@ class JobShopSchedulingResult:
     ):
         if set(problem_instance.jobs) != set(schedule.keys()):
             raise JobShopSchedulingProblemException(
-                "The JobShopSchedulingResult must contain the same Jobs "
-                + "as the problem instance which it is a solution to!"
+                "the result schedules a different Job set than the problem "
+                + "instance it claims to solve"
             )
         for job in problem_instance.jobs:
             if job.operations != tuple(entry.operation for entry in schedule[job]):
                 raise JobShopSchedulingProblemException(
-                    "The schedule for a Job must contain the same operations as the Job itself!"
+                    "a Job's schedule covers a different operation set than the Job defines"
                 )
         self._problem_instance = problem_instance
         self._schedule = schedule
@@ -255,7 +255,9 @@ class JobShopSchedulingResult:
         (reference: problem_instances.py:340-351)."""
         if self.is_valid:
             return cast("dict[Job, tuple[ScheduledOperation, ...]]", self._schedule)
-        raise JobShopSchedulingProblemException("Cannot access a valid schedule for an invalid result!")
+        raise JobShopSchedulingProblemException(
+            "this result is not a valid schedule; valid_schedule is unavailable"
+        )
 
     @property
     def is_valid(self) -> bool:
@@ -300,7 +302,7 @@ class JobShopSchedulingResult:
         return True
 
     def __repr__(self):
-        header = f"{self._problem_instance.name} solution with makespan {self.makespan}\n"
+        header = f"{self._problem_instance.name}: schedule, makespan {self.makespan}\n"
         text = ""
         for job in self._problem_instance.jobs:
             text += indent(f"{job.name}:\n", "  ")

@@ -25,7 +25,7 @@ def _get_random_value_from_distribution(distribution: dict[T, float], random_gen
     """Draw one key of ``distribution`` weighted by its probability value
     (reference: random_problem_instances.py:14-28)."""
     if not isclose(sum(distribution.values()), 1, abs_tol=0.001):
-        raise ValueError("The probabilities in the distribution should add up to 1!")
+        raise ValueError("distribution probabilities must sum to 1")
     return random_generator.choices(
         population=list(distribution.keys()), weights=list(distribution.values()), k=1
     )[0]

@@ -121,7 +121,8 @@ def _energies_dense(gate_types, controls, angles, layer_mask, h_re, h_im, n_qubi
 
 @partial(jax.jit, static_argnames=("n_qubits",))
 def _energies_general(
-    gate_types, controls, angles, layer_mask, coeffs_re, coeffs_im, z_masks, x_masks, n_qubits, initial_state=None
+    gate_types, controls, angles, layer_mask, coeffs_re, coeffs_im, z_masks, x_masks,
+    n_qubits, initial_state=None
 ):
     states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
     fn = lambda s: general_pauli_expectation_real(s, coeffs_re, coeffs_im, z_masks, x_masks)

@@ -1,39 +1,61 @@
 """Amplitude-sharded population evaluator: EVQE beyond one chip's memory.
 
-Capability the reference does not have (SURVEY.md §2.3 P4): one
-statevector is split across the mesh (``sim/sharded_statevector.py``) and
-the population loops per device — the factorization to use when 2^n
-amplitudes no longer fit a single chip (n >~ 30 at f32 pairs on 16 GB
-HBM; configurable lower for headroom).  Exposes the same
+Capability the reference does not have (SURVEY.md §2.3 P4): each
+statevector is split across the mesh's ``amp`` axis
+(``sim/sharded_statevector.py``) — the factorization to use when 2^n
+amplitudes no longer fit a single chip.  Exposes the same
 ``evaluate_packed`` contract as the single-chip evaluators, so the whole
-solver stack runs unchanged on top — and provides a device-side NFT sweep
-(:meth:`AmplitudeShardedExpectationEvaluator.nft_minimize`) so the exact
-optimization hot path runs as one compiled SPMD scan over the mesh.
+solver stack runs unchanged on top — and provides device-side NFT sweeps
+(:meth:`AmplitudeShardedExpectationEvaluator.nft_minimize`,
+:meth:`~AmplitudeShardedExpectationEvaluator.nft_minimize_slots`) so the
+exact optimization hot path runs as compiled SPMD scans over the mesh.
+
+**Population x amplitude composition (2-D mesh).** The mesh factors as
+``(pop, amp)``: the population axis shards individuals (the reference's
+one scaling axis, selection.py:75-84 — preserved at any qubit count),
+the amplitude axis shards each individual's 2^n state.  A v5e-8 at 22
+qubits runs as (4 pop groups) x (2 amp shards) instead of devoting all
+eight chips to one individual at a time.  Passing a 1-D mesh keeps the
+round-2 behavior (all devices on the amplitude axis); ``amp_devices=``
+picks the factorization explicitly.
+
+**Determinism.** Exact energies (and the device NFT sweeps built on
+them) reduce blockwise with a fixed block count
+(``sharded_statevector.AMP_BLOCKS``), so solve trajectories are
+bit-identical across every ``(pop, amp)`` factorization of the same
+device set (pinned by tests/test_pop_amp_mesh.py).  Finite-shot paths
+are deterministic per factorization (the hierarchical CDF offsets depend
+on the shard width at the float-rounding level).
 
 Distribution notes:
-- exact alpha=1 energies are fully distributed: local diagonal dot +
-  one ``psum`` — only P scalars leave the mesh;
-- the exact shot-free CVaR path operates on the amplitude-sharded
-  probability array with global ops (the energy-order gather crosses
-  shards; XLA inserts the collectives) — correct, cheapest below ~24
-  qubits;
+- the diagonal energy table is built SHARD-LOCALLY inside the mesh from
+  the O(K) term data (``build_device_table``) — no 2^n array is ever
+  materialized on the host or on any single device;
+- exact alpha=1 energies are fully distributed: blockwise local dots +
+  one fixed-order gather — only P scalars leave the mesh;
+- general (non-diagonal) Pauli sums are supported on the exact path:
+  cross-shard X flips ride one ``ppermute`` per distinct global X mask
+  (the same machinery the global-qubit gates use);
+- the exact shot-free CVaR path needs the GLOBAL energy order: it builds
+  the host table + argsort once and gathers the probability array by
+  energy order (documented ceiling ``CVAR_EXACT_MAX_QUBITS``; finite
+  shots lift it);
 - finite-shot paths (any alpha) are fully distributed: hierarchical
-  inverse-CDF sampling over the shards (each shard owns its CDF mass
-  interval; one psum assembles the per-shot energies) followed by the
-  shot-multiset expectation/CVaR reduction — no 2^n array ever leaves
-  the mesh;
-- multi-controller meshes are supported for the exact (alpha=1, no
-  shots) energies path, the finite-shot paths and the device-side NFT
-  sweeps: tables globalize via ``make_array_from_callback`` (each
-  process materializes its local shards) and replicated genome tensors
-  via the same mechanism; only the exact shot-free CVaR path (an
-  energy-order gather of the full distribution) stays
-  single-controller.
+  inverse-CDF sampling over the shards followed by the shot-multiset
+  expectation/CVaR reduction — no 2^n array ever leaves the mesh;
+- an initial state (array or :class:`EVQEIndividual`) is prepared ONCE
+  as an amp-sharded state and every simulation re-enters it
+  shard-locally (the reference prepends initial-state circuits on every
+  path, circuit_evaluation.py:148-149,201-202,272-273);
+- multi-controller meshes are supported everywhere except the exact
+  shot-free CVaR path (the energy-order gather of the full
+  distribution stays single-controller).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from math import lcm
+from typing import Optional, Union
 
 import numpy as np
 
@@ -41,21 +63,40 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from queasars_tpu.genome.individual import EVQEIndividual
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.optim.nft_math import nft_three_point_update
 from queasars_tpu.paulis import PauliSum
-from queasars_tpu.paulis.diagonal import diagonal_energy_table
+from queasars_tpu.paulis.diagonal import diagonal_energy_table, diagonal_terms
 from queasars_tpu.sim.evaluators import BaseCircuitEvaluator, CircuitEvaluatorException
 from queasars_tpu.sim.expectation import cvar_expectation_from_probs
 from queasars_tpu.sim.sharded_statevector import (
     AMP_AXIS,
+    POP_AXIS,
+    _mesh_bits,
+    group_general_terms,
+    build_device_table,
     make_population_energies_body,
+    make_sharded_general_energies_fn,
     make_sharded_population_energies_fn,
     make_sharded_population_probs_fn,
 )
 
+#: population padding quantum (mirrors parallel/mesh.py): population-axis
+#: arrays pad to lcm(pop_devices, this), so every factorization with up
+#: to 8 population devices compiles the same per-row shapes and solve
+#: trajectories stay bit-identical across factorizations
+POPULATION_PAD = 8
+
+#: the exact (shot-free) CVaR path sorts the FULL energy table on the
+#: host — a documented scaling ceiling (finite-shot CVaR has none)
+CVAR_EXACT_MAX_QUBITS = 26
+
 
 def _nft_scan_body(objective, angles, coords, n_free, active, pop, pop_idx, maxiter, reset_interval):
-    """The 3-point NFT update scan shared by the full-circuit and
-    prefix-cached sharded sweeps (same math as optim/nft.py)."""
+    """The 3-point NFT update scan shared by the sharded sweeps (update
+    math from :func:`queasars_tpu.optim.nft_math.nft_three_point_update`
+    — the same single source of truth as optim/nft.py)."""
 
     def step(carry, k):
         angles_c, z0 = carry
@@ -67,9 +108,7 @@ def _nft_scan_body(objective, angles, coords, n_free, active, pop, pop_idx, maxi
         minus = angles_c.at[pop_idx, l, q, a_i].add(-jnp.pi / 2)
         z1 = objective(plus)
         z3 = objective(minus)
-        mid = (z1 + z3) / 2
-        shift = jnp.arctan2((z1 - z3) / 2, z0 - mid)
-        minimum_value = mid - jnp.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
+        shift, minimum_value = nft_three_point_update(z0, z1, z3)
         updated = angles_c.at[pop_idx, l, q, a_i].add(shift + jnp.pi)
         apply = jnp.logical_and(active, n_free > 0)
         angles_c = jnp.where(apply[:, None, None, None], updated, angles_c)
@@ -88,6 +127,19 @@ def amplitude_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), (AMP_AXIS,))
 
 
+def pop_amp_mesh(n_pop: int, n_amp: int, devices=None) -> Mesh:
+    """A 2-D ``(pop, amp)`` mesh: ``n_pop`` population groups, each
+    holding one amplitude-sharded copy of the statevector over ``n_amp``
+    devices.  Adjacent devices land on the amp axis so the per-state
+    ppermute exchanges ride the closest ICI links."""
+    if devices is None:
+        devices = jax.devices()[: n_pop * n_amp]
+    arr = np.array(devices)
+    if arr.size != n_pop * n_amp:
+        raise ValueError(f"need {n_pop * n_amp} devices, got {arr.size}")
+    return Mesh(arr.reshape(n_pop, n_amp), (POP_AXIS, AMP_AXIS))
+
+
 def as_amplitude_mesh(mesh: Mesh) -> Mesh:
     """Rebuild any 1-D mesh with the amplitude axis name."""
     if AMP_AXIS in mesh.axis_names:
@@ -95,18 +147,58 @@ def as_amplitude_mesh(mesh: Mesh) -> Mesh:
     return Mesh(mesh.devices.reshape(-1), (AMP_AXIS,))
 
 
-class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
-    """Expectation evaluator with the statevector sharded across a mesh.
+def as_pop_amp_mesh(mesh: Mesh, amp_devices: Optional[int] = None) -> Mesh:
+    """Coerce any mesh to the 2-D ``(pop, amp)`` form.
 
-    :param operator: diagonal PauliSum (the EVQE/JSSP hot path; general
-        operators would need cross-shard X-flips — not supported here)
-    :param mesh: mesh whose devices hold the amplitude shards (any 1-D
-        mesh; the axis is renamed to ``amp``)
+    A mesh already carrying both axes passes through.  Otherwise its
+    devices are flattened and refactored: ``amp_devices=None`` puts ALL
+    devices on the amplitude axis (the round-2 behavior of handing a
+    population mesh to this evaluator), an explicit count splits
+    ``(total // amp_devices, amp_devices)``.
+    """
+    if POP_AXIS in mesh.axis_names and AMP_AXIS in mesh.axis_names:
+        if amp_devices is not None and mesh.shape[AMP_AXIS] != amp_devices:
+            raise ValueError(
+                f"mesh already factors the amp axis as {mesh.shape[AMP_AXIS]}, "
+                f"conflicting with amp_devices={amp_devices}"
+            )
+        return mesh
+    flat = mesh.devices.reshape(-1)
+    amp = flat.size if amp_devices is None else int(amp_devices)
+    if amp < 1 or flat.size % amp != 0:
+        raise ValueError(f"amp_devices={amp} must divide the device count {flat.size}")
+    return Mesh(flat.reshape(flat.size // amp, amp), (POP_AXIS, AMP_AXIS))
+
+
+class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
+    """Expectation evaluator with each statevector sharded across a mesh.
+
+    :param operator: any PauliSum.  Diagonal operators run every path;
+        general (X/Y-carrying) operators run the exact estimator path
+        (alpha=1, no shots) via cross-shard flips — CVaR tails and the
+        sampler path require a diagonal operator, exactly like the
+        single-chip evaluators (reference: the estimator is
+        operator-agnostic, circuit_evaluation.py:164-219; the sampler
+        path is diagonal-only, :94-161)
+    :param mesh: the devices to run on.  A 2-D ``(pop, amp)`` mesh is
+        used as-is; a 1-D mesh is factored per ``amp_devices``
     :param alpha: CVaR lower-tail mass in (0, 1]
     :param shots: finite measurement shots (None = exact distributions)
     :param seed: RNG seed for the shot sampling / precision noise
     :param precision: standard error of each reported energy (seeded
         Gaussian noise, matching StatevectorExpectationEvaluator)
+    :param initial_state: optional start state for every circuit — a
+        [2^n] complex / [2, 2^n] real-planes array or an
+        :class:`EVQEIndividual`; prepared once, amp-sharded, and
+        re-entered shard-locally by every simulation
+    :param amp_devices: devices per amplitude shard group when ``mesh``
+        is 1-D (None = all of them; the remaining factor shards the
+        population axis)
+    :param table_mode: ``"device"`` (default) builds the diagonal energy
+        table shard-locally inside the mesh (f32 term scan; no host 2^n
+        array); ``"host"`` builds it on the host with f64 accumulation
+        (for small n where the exponential JSSP weights need the extra
+        carry) and ships each device only its shard
     """
 
     def __init__(
@@ -117,72 +209,200 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         shots: Optional[int] = None,
         seed: int = 0,
         precision: float = 0.0,
+        initial_state: Union[np.ndarray, EVQEIndividual, None] = None,
+        amp_devices: Optional[int] = None,
+        table_mode: str = "device",
     ):
         super().__init__(operator.n_qubits)
-        if not operator.is_diagonal:
-            raise CircuitEvaluatorException(
-                "amplitude sharding supports diagonal operators only "
-                "(general Pauli terms need cross-shard amplitude flips)"
-            )
         if not 0 < alpha <= 1:
             raise ValueError("alpha must be in the range (0, 1]!")
         if precision < 0:
             raise ValueError("precision must be non-negative")
+        if table_mode not in ("device", "host"):
+            raise ValueError("table_mode must be 'device' or 'host'")
         self.operator = operator
-        self.amp_mesh = as_amplitude_mesh(mesh)
+        self.mesh = as_pop_amp_mesh(mesh, amp_devices)
+        self.n_pop_devices = self.mesh.shape[POP_AXIS]
+        self.n_amp_devices = self.mesh.shape[AMP_AXIS]
+        self._pad_multiple = lcm(self.n_pop_devices, POPULATION_PAD)
         self.alpha = float(alpha)
         self.shots = None if shots is None else int(shots)
         self.precision = float(precision)
         self._noise_rng = np.random.default_rng(seed)
-        table = diagonal_energy_table(operator, dtype=np.float32)
-        self._table_host = jnp.asarray(table)  # transferred once
-        table_sharding = NamedSharding(self.amp_mesh, P(AMP_AXIS))
-        if jax.process_count() > 1:
-            # multi-controller: every process materializes only the table
-            # shards its local devices hold
-            self._table = jax.make_array_from_callback(
-                table.shape, table_sharding, lambda idx: table[idx]
-            )
+
+        self._diagonal = operator.is_diagonal
+        if self._diagonal:
+            exact_cvar = self.alpha < 1.0 and self.shots is None
+            if exact_cvar and self.n_qubits > CVAR_EXACT_MAX_QUBITS:
+                # the exact CVaR tail needs the GLOBAL energy order — the
+                # one remaining host-table path, with a documented ceiling
+                # (finite-shot CVaR is fully distributed and has none)
+                raise CircuitEvaluatorException(
+                    f"the exact (shot-free) CVaR path sorts the full 2^n energy "
+                    f"table on the host and is limited to "
+                    f"{CVAR_EXACT_MAX_QUBITS} qubits; configure finite shots "
+                    f"for distributed CVaR at this size"
+                )
+            coeffs, z_masks = diagonal_terms(operator)
+            if table_mode == "host":
+                table = diagonal_energy_table(operator, dtype=np.float32)
+                self._table = self._place_table(table)
+            else:
+                self._table = build_device_table(self.mesh, coeffs, z_masks, self.n_qubits)
+            if exact_cvar:
+                table = diagonal_energy_table(operator, dtype=np.float32)
+                order = np.argsort(table, kind="stable").astype(np.int32)
+                self._order = jnp.asarray(order)
+                self._sorted = jnp.asarray(table[order])
         else:
-            self._table = jax.device_put(table, table_sharding)
-        if self.alpha < 1.0:
-            order = np.argsort(table, kind="stable").astype(np.int32)
-            self._order = jnp.asarray(order)
-            self._sorted = jnp.asarray(table[order])
+            if self.shots is not None:
+                raise CircuitEvaluatorException(
+                    "the sampler (finite-shot) path needs a diagonal operator "
+                    "(measured bitstrings only determine diagonal energies) — "
+                    "matching the single-chip sampler evaluator"
+                )
+            if self.alpha < 1.0:
+                raise CircuitEvaluatorException("CVaR (alpha<1) requires a diagonal operator")
+            _, local_bits = _mesh_bits(self.mesh, self.n_qubits)
+            self._xg_list, self._terms = group_general_terms(
+                operator.coeffs.real.astype(np.float32),
+                operator.coeffs.imag.astype(np.float32),
+                operator.z[:, 0],
+                operator.x[:, 0],
+                local_bits,
+            )
+            self._table = None
+
+        self._initial = self._prepare_initial_sharded(initial_state)
         self._key = jax.random.PRNGKey(seed)
         self._counter = 0
         self._fns: dict = {}
 
+    # ------------------------------------------------------------------
+    # placement helpers
+    # ------------------------------------------------------------------
+
     def set_mesh(self, mesh) -> None:
-        """Population-axis sharding does not apply here (the mesh already
-        holds the amplitude axis); ignore attach requests."""
+        """Population-axis attach requests do not apply here (the mesh
+        already factors both axes); ignore them."""
 
-    def _globalize(self, *arrays):
-        """Host arrays -> global replicated arrays when the mesh spans
-        multiple controller processes (single-process: pass through)."""
+    def _place_table(self, table: np.ndarray):
+        """Place a host-built table amp-sharded (multi-controller: each
+        process materializes only the shards its devices hold)."""
+        sharding = NamedSharding(self.mesh, P(AMP_AXIS))
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(table.shape, sharding, lambda idx: table[idx])
+        return jax.device_put(table, sharding)
+
+    def _prepare_initial_sharded(self, initial_state):
+        """Prepare the start state ONCE as an amp-sharded [2, 2^n] array
+        (replicated over the pop axis)."""
+        if initial_state is None:
+            return None
+        if isinstance(initial_state, EVQEIndividual):
+            if initial_state.n_qubits != self.n_qubits:
+                raise CircuitEvaluatorException(
+                    "the initial-state circuit acts on a different qubit count than the operator"
+                )
+            from queasars_tpu.sim.sharded_statevector import make_sharded_circuit_fn
+
+            packed = PackedPopulation.pack([initial_state])
+            fn = make_sharded_circuit_fn(self.mesh, self.n_qubits)
+            return fn(
+                packed.gate_types[0], packed.controls[0], packed.angles[0], packed.layer_mask[0]
+            )
+        from queasars_tpu.sim.evaluators import _prepare_initial_state
+
+        stacked = np.asarray(_prepare_initial_state(initial_state, self.n_qubits))
+        sharding = NamedSharding(self.mesh, P(None, AMP_AXIS))
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                stacked.shape, sharding, lambda idx: stacked[idx]
+            )
+        return jax.device_put(stacked, sharding)
+
+    def _pad_pop(self, array) -> np.ndarray:
+        """Zero-pad axis 0 to the factorization-independent multiple."""
+        arr = np.asarray(array)
+        pop = arr.shape[0]
+        padded = -(-pop // self._pad_multiple) * self._pad_multiple
+        if padded == pop:
+            return arr
+        return np.pad(arr, [(0, padded - pop)] + [(0, 0)] * (arr.ndim - 1))
+
+    def _globalize(self, arrays, specs):
+        """Host arrays -> global arrays when the mesh spans multiple
+        controller processes (single-process: pass through; shard_map
+        places host arrays itself)."""
         if jax.process_count() <= 1:
-            return arrays
-        sharding = NamedSharding(self.amp_mesh, P())
+            return tuple(arrays)
 
-        def build(value):
+        out = []
+        for value, spec in zip(arrays, specs):
+            sharding = NamedSharding(self.mesh, spec)
             arr = np.asarray(value)
-            return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+            out.append(
+                jax.make_array_from_callback(
+                    arr.shape, sharding, lambda idx, arr=arr: arr[idx]
+                )
+            )
+        return tuple(out)
 
-        return tuple(build(a) for a in arrays)
+    def _pop_args(self, packed, angles, extra=()):
+        """Pad + (multi-controller) globalize the population-sharded
+        operand tuple ``(gate_types, controls, angles, layer_mask,
+        *extra)``."""
+        arrays = [
+            self._pad_pop(packed.gate_types),
+            self._pad_pop(packed.controls),
+            self._pad_pop(np.asarray(angles)),
+            self._pad_pop(packed.layer_mask),
+        ] + [self._pad_pop(e) for e in extra]
+        return self._globalize(arrays, [P(POP_AXIS)] * len(arrays))
+
+    # ------------------------------------------------------------------
+    # compiled-function caches
+    # ------------------------------------------------------------------
 
     def _shape_fns(self, packed):
-        shape = (packed.n_individuals, packed.max_layers)
+        shape = (packed.max_layers, self._initial is not None)
         if shape not in self._fns:
             self._fns[shape] = (
-                make_sharded_population_energies_fn(self.amp_mesh, self.n_qubits),
-                make_sharded_population_probs_fn(self.amp_mesh, self.n_qubits),
+                make_sharded_population_energies_fn(
+                    self.mesh, self.n_qubits, with_initial=self._initial is not None
+                ),
+                make_sharded_population_probs_fn(
+                    self.mesh, self.n_qubits, with_initial=self._initial is not None
+                ),
             )
         return self._fns[shape]
 
-    def _next_keys(self, pop: int) -> jnp.ndarray:
+    def _general_fn(self):
+        key = ("general", self._initial is not None)
+        if key not in self._fns:
+            self._fns[key] = make_sharded_general_energies_fn(
+                self.mesh, self.n_qubits, self._xg_list,
+                with_initial=self._initial is not None,
+            )
+        return self._fns[key]
+
+    def _next_keys(self, pop: int) -> np.ndarray:
         self._counter += 1
         base = jax.random.fold_in(self._key, self._counter)
-        return jax.random.split(base, pop)
+        return np.asarray(jax.random.split(base, pop))
+
+    # ------------------------------------------------------------------
+    # device-side NFT sweeps (the exact optimization hot path)
+    # ------------------------------------------------------------------
+
+    def _nft_specs(self, n_pop_operands: int, prefix: bool):
+        """(in_specs, out_specs) for the sweep shard_maps: population
+        operands pop-sharded, the table amp-sharded, the optional initial
+        state amp-sharded on its second axis."""
+        pop_specs = (P(POP_AXIS),) * n_pop_operands
+        table_spec = (P(AMP_AXIS),)
+        initial_spec = (P(None, AMP_AXIS),) if self._initial is not None else ()
+        return pop_specs + table_spec + initial_spec, (P(POP_AXIS), P(POP_AXIS))
 
     def _nft_fn(self, maxiter: int, reset_interval: int, prefix: bool = False):
         """Compiled amplitude-sharded NFT sweep (cached per hyperparams;
@@ -193,24 +413,23 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         program) and every probe re-enters the cached per-individual shard
         states, applying only the optimized layer (gathered to the [P,1,n]
         tensors by the caller)."""
-        import jax
-
         from jax import shard_map
-        from jax.sharding import PartitionSpec
 
         key = ("nft", maxiter, reset_interval, prefix)
         if key in self._fns:
             return self._fns[key]
 
-        body = make_population_energies_body(self.amp_mesh, self.n_qubits)
-        if prefix:
-            from queasars_tpu.sim.sharded_statevector import _mesh_bits, _simulate_local
+        from queasars_tpu.sim.sharded_statevector import _simulate_local
 
-            n_devices, local_bits = _mesh_bits(self.amp_mesh, self.n_qubits)
+        n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
+        body = make_population_energies_body(self.mesh, self.n_qubits)
+
+        if prefix:
 
             def nft(
                 gate_types, controls, prefix_mask, full_angles,
                 gate1, ctrl1, angles, coords, n_free, active, table_local,
+                initial_local=None,
             ):
                 pop = gate_types.shape[0]
                 pop_idx = jnp.arange(pop)
@@ -220,12 +439,15 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 def simulate_prefix(args):
                     gt, ctrl, ang, lm = args
                     return _simulate_local(
-                        gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits
+                        gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits,
+                        initial_local=initial_local,
                     )
 
                 prefix_local = jax.lax.map(
                     simulate_prefix, (gate_types, controls, full_angles, prefix_mask)
                 )  # [P, 2, 2^local]
+
+                from queasars_tpu.sim.sharded_statevector import _blockwise_energy
 
                 def objective(a):
                     def one(args):
@@ -235,46 +457,38 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                             n_devices, self.n_qubits, initial_local=start,
                         )
                         probs = state[0] ** 2 + state[1] ** 2
-                        return jnp.dot(probs, table_local, preferred_element_type=jnp.float32)
+                        return _blockwise_energy(probs, table_local, n_devices, self.n_qubits)
 
-                    partials = jax.lax.map(one, (prefix_local, gate1, ctrl1, a))
-                    return jax.lax.psum(partials, AMP_AXIS)
+                    return jax.lax.map(one, (prefix_local, gate1, ctrl1, a))
 
                 return _nft_scan_body(
                     objective, angles, coords, n_free, active, pop, pop_idx,
                     maxiter, reset_interval,
                 )
 
-            mapped = jax.jit(
-                shard_map(
-                    nft,
-                    mesh=self.amp_mesh,
-                    in_specs=(PartitionSpec(),) * 10 + (PartitionSpec(AMP_AXIS),),
-                    out_specs=(PartitionSpec(), PartitionSpec()),
-                    check_vma=False,
+            in_specs, out_specs = self._nft_specs(10, prefix=True)
+        else:
+
+            def nft(
+                gate_types, controls, angles, layer_mask, coords, n_free, active,
+                table_local, initial_local=None,
+            ):
+                pop = gate_types.shape[0]
+                pop_idx = jnp.arange(pop)
+
+                def objective(a):
+                    return body(gate_types, controls, a, layer_mask, table_local, initial_local)
+
+                return _nft_scan_body(
+                    objective, angles, coords, n_free, active, pop, pop_idx,
+                    maxiter, reset_interval,
                 )
-            )
-            self._fns[key] = mapped
-            return mapped
 
-        def nft(gate_types, controls, layer_mask, angles, coords, n_free, active, table_local):
-            pop = gate_types.shape[0]
-            pop_idx = jnp.arange(pop)
-
-            def objective(a):
-                return body(gate_types, controls, a, layer_mask, table_local)
-
-            return _nft_scan_body(
-                objective, angles, coords, n_free, active, pop, pop_idx,
-                maxiter, reset_interval,
-            )
+            in_specs, out_specs = self._nft_specs(7, prefix=False)
 
         mapped = jax.jit(
             shard_map(
-                nft,
-                mesh=self.amp_mesh,
-                in_specs=(PartitionSpec(),) * 7 + (PartitionSpec(AMP_AXIS),),
-                out_specs=(PartitionSpec(), PartitionSpec()),
+                nft, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
                 check_vma=False,
             )
         )
@@ -286,20 +500,20 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         layer slots, each slot simulating its frozen layer prefix once
         (sharded) and probing with only the suffix layers — the >20-qubit
         analog of optim/nft.py's ``_nft_slots_scan``."""
-        import jax
-
         from jax import shard_map
-        from jax.sharding import PartitionSpec
 
         key = ("nft_slots", maxiter, reset_interval)
         if key in self._fns:
             return self._fns[key]
 
-        from queasars_tpu.sim.sharded_statevector import _mesh_bits, _simulate_local
+        from queasars_tpu.sim.sharded_statevector import _blockwise_energy, _simulate_local
 
-        n_devices, local_bits = _mesh_bits(self.amp_mesh, self.n_qubits)
+        n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
 
-        def nft(gate_types, controls, layer_mask, angles, coords_ps, n_free_ps, active_ps, slot_layer_ps, table_local):
+        def nft(
+            gate_types, controls, angles, layer_mask, coords_ps, n_free_ps,
+            active_ps, slot_layer_ps, table_local, initial_local=None,
+        ):
             pop = gate_types.shape[0]
             pop_idx = jnp.arange(pop)
             max_layers = gate_types.shape[1]
@@ -318,7 +532,8 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 def simulate_prefix(args):
                     gt, ctrl, ang, lm = args
                     return _simulate_local(
-                        gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits
+                        gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits,
+                        initial_local=initial_local,
                     )
 
                 prefix_local = jax.lax.map(
@@ -333,12 +548,11 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                             n_devices, self.n_qubits, initial_local=start,
                         )
                         probs = state[0] ** 2 + state[1] ** 2
-                        return jnp.dot(probs, table_local, preferred_element_type=jnp.float32)
+                        return _blockwise_energy(probs, table_local, n_devices, self.n_qubits)
 
-                    partials = jax.lax.map(
+                    return jax.lax.map(
                         one, (prefix_local, gate_types, controls, a, suffix_mask)
                     )
-                    return jax.lax.psum(partials, AMP_AXIS)
 
                 return _nft_scan_body(
                     objective, angles_c, coords, n_free, active, pop, pop_idx,
@@ -359,49 +573,64 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             angles_final, z0_slots = jax.lax.scan(scan_body, angles, xs)
             return angles_final, z0_slots[-1]
 
+        in_specs, out_specs = self._nft_specs(8, prefix=False)
         mapped = jax.jit(
             shard_map(
-                nft,
-                mesh=self.amp_mesh,
-                in_specs=(PartitionSpec(),) * 8 + (PartitionSpec(AMP_AXIS),),
-                out_specs=(PartitionSpec(), PartitionSpec()),
+                nft, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
                 check_vma=False,
             )
         )
         self._fns[key] = mapped
         return mapped
 
+    def _device_sweep_applies(self, config) -> bool:
+        """The device sweeps cover the exact diagonal estimator objective
+        (same conditions the optimizer's own fusions require)."""
+        if not self._diagonal:
+            return False
+        if self.alpha < 1.0 or self.shots is not None or self.precision > 0.0:
+            return False
+        if getattr(config, "five_point", False):
+            return False
+        return True
+
+    def _initial_extra(self):
+        return (self._initial,) if self._initial is not None else ()
+
     def nft_minimize_slots(self, packed, coords, n_free, active, slot_layers, angles, config, seed):
-        """Fused multi-slot parameter search over the amplitude mesh —
-        same contract as ``BatchedNFT.minimize_slots`` device hooks: slot
+        """Fused multi-slot parameter search over the mesh — same
+        contract as ``BatchedNFT.minimize_slots`` device hooks: slot
         arrays are [P, S, ...], ``slot_layers`` carries ``max_layers``
         for sat-out slots (empty suffix), and the whole slot sequence
         runs as ONE compiled SPMD scan.  Returns None when the
-        host-stepped path is required (CVaR, shots, precision noise,
-        five-point) or the cache knob is explicitly off."""
-        if self.alpha < 1.0 or self.shots is not None or self.precision > 0.0:
-            return None
-        if getattr(config, "five_point", False):
+        host-stepped path is required (general operators, CVaR, shots,
+        precision noise, five-point) or the cache knob is explicitly
+        off."""
+        if not self._device_sweep_applies(config):
             return None
         cache_flag = getattr(config, "cache_prefix", None)
         if cache_flag is not None and not cache_flag:
             return None
+        pop = packed.n_individuals
         fn = self._nft_slots_fn(config.maxiter, config.reset_interval)
-        args = self._globalize(
-            packed.gate_types, packed.controls, packed.layer_mask, np.asarray(angles),
-            np.asarray(coords), np.asarray(n_free), np.asarray(active),
-            np.asarray(slot_layers, np.int32),
+        args = self._pop_args(
+            packed, angles,
+            extra=(
+                np.asarray(coords), np.asarray(n_free), np.asarray(active),
+                np.asarray(slot_layers, np.int32),
+            ),
         )
-        out_angles, energies = fn(*args, self._table)
-        return np.asarray(out_angles), np.asarray(energies)
+        out_angles, energies = fn(*args, self._table, *self._initial_extra())
+        return np.asarray(out_angles)[:pop], np.asarray(energies)[:pop]
 
     def nft_minimize(self, packed, coords, n_free, active, angles, config, seed, last_layer=None):
         """Device-side NFT sweep for BatchedNFT's evaluator hook: the whole
-        maxiter scan (simulation, psum reductions, parameter updates) runs
-        as ONE compiled SPMD program over the amplitude mesh — instead of
-        one host dispatch per probe.  Returns None when this evaluator
-        configuration needs the host-stepped path (CVaR tails, finite
-        shots, precision noise, five-point NFT).
+        maxiter scan (simulation, collective reductions, parameter
+        updates) runs as ONE compiled SPMD program over the (pop, amp)
+        mesh — instead of one host dispatch per probe.  Returns None when
+        this evaluator configuration needs the host-stepped path (general
+        operators, CVaR tails, finite shots, precision noise, five-point
+        NFT).
 
         ``last_layer`` (see NFTConfig.cache_prefix) enables the
         layer-prefix-cached sweep: the frozen prefix simulates once
@@ -409,12 +638,11 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         applies only the optimized layer from the cached shard states —
         default-on for this evaluator (the >20-qubit production path),
         opt out with ``NFTConfig(cache_prefix=False)``."""
-        if self.alpha < 1.0 or self.shots is not None or self.precision > 0.0:
-            return None
-        if getattr(config, "five_point", False):
+        if not self._device_sweep_applies(config):
             return None
         cache_flag = getattr(config, "cache_prefix", None)
         use_prefix = last_layer is not None and (cache_flag is None or cache_flag)
+        pop = packed.n_individuals
         a_full = np.asarray(angles)
         if use_prefix:
             ll = np.asarray(last_layer, np.int32)
@@ -427,21 +655,29 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             coords1 = np.asarray(coords).copy()
             coords1[:, :, 0] = 0
             fn = self._nft_fn(config.maxiter, config.reset_interval, prefix=True)
-            args = self._globalize(
-                packed.gate_types, packed.controls, prefix_mask, a_full,
-                gt1, ctrl1, a1, coords1, n_free, active,
-            )
-            out_a1, energies = fn(*args, self._table)
+            arrays = [
+                self._pad_pop(packed.gate_types), self._pad_pop(packed.controls),
+                self._pad_pop(prefix_mask), self._pad_pop(a_full),
+                self._pad_pop(gt1), self._pad_pop(ctrl1), self._pad_pop(a1),
+                self._pad_pop(coords1), self._pad_pop(np.asarray(n_free)),
+                self._pad_pop(np.asarray(active)),
+            ]
+            args = self._globalize(arrays, [P(POP_AXIS)] * len(arrays))
+            out_a1, energies = fn(*args, self._table, *self._initial_extra())
             merged = a_full.copy()
-            merged[np.arange(packed.n_individuals), ll] = np.asarray(out_a1)[:, 0]
-            return merged, np.asarray(energies)
+            merged[np.arange(pop), ll] = np.asarray(out_a1)[:pop, 0]
+            return merged, np.asarray(energies)[:pop]
         fn = self._nft_fn(config.maxiter, config.reset_interval)
-        args = self._globalize(
-            packed.gate_types, packed.controls, packed.layer_mask,
-            np.asarray(angles), np.asarray(coords), np.asarray(n_free), np.asarray(active),
+        args = self._pop_args(
+            packed, a_full,
+            extra=(np.asarray(coords), np.asarray(n_free), np.asarray(active)),
         )
-        out_angles, energies = fn(*args, self._table)
-        return np.asarray(out_angles), np.asarray(energies)
+        out_angles, energies = fn(*args, self._table, *self._initial_extra())
+        return np.asarray(out_angles)[:pop], np.asarray(energies)[:pop]
+
+    # ------------------------------------------------------------------
+    # finite-shot sampling (fully distributed)
+    # ------------------------------------------------------------------
 
     def _sampled_energies_fn(self, shots: int, use_cvar: bool):
         """Compiled fully-distributed shot sampling: hierarchical
@@ -451,27 +687,26 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         a psum assembles the per-shot energies), then the shot-multiset
         expectation/CVaR reduction over [P, shots].  No full 2^n array
         ever leaves the mesh — multi-controller safe."""
-        import jax
-
         from jax import shard_map
-        from jax.sharding import PartitionSpec
 
         key = ("sampled", shots, use_cvar)
         if key in self._fns:
             return self._fns[key]
 
         from queasars_tpu.sim.expectation import cvar_expectation_from_shot_energies
-        from queasars_tpu.sim.sharded_statevector import _mesh_bits, _simulate_local
+        from queasars_tpu.sim.sharded_statevector import _simulate_local
 
-        n_devices, local_bits = _mesh_bits(self.amp_mesh, self.n_qubits)
+        n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
 
-        def sampled(gate_types, controls, angles, layer_mask, keys, alpha, table_local):
+        def sampled(gate_types, controls, angles, layer_mask, keys, alpha, table_local,
+                    initial_local=None):
             device_id = jax.lax.axis_index(AMP_AXIS)
 
             def one(args):
                 gt, ctrl, ang, lm, k = args
                 state = _simulate_local(
-                    gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits
+                    gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits,
+                    initial_local=initial_local,
                 )
                 local_probs = state[0] ** 2 + state[1] ** 2
                 local_cdf = jnp.cumsum(local_probs)
@@ -495,17 +730,22 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 return cvar_expectation_from_shot_energies(shot_energies, alpha)
             return jnp.mean(shot_energies, axis=-1)
 
+        initial_spec = (P(None, AMP_AXIS),) if self._initial is not None else ()
         mapped = jax.jit(
             shard_map(
                 sampled,
-                mesh=self.amp_mesh,
-                in_specs=(PartitionSpec(),) * 6 + (PartitionSpec(AMP_AXIS),),
-                out_specs=PartitionSpec(),
+                mesh=self.mesh,
+                in_specs=(P(POP_AXIS),) * 5 + (P(), P(AMP_AXIS)) + initial_spec,
+                out_specs=P(POP_AXIS),
                 check_vma=False,
             )
         )
         self._fns[key] = mapped
         return mapped
+
+    # ------------------------------------------------------------------
+    # the evaluate_packed contract
+    # ------------------------------------------------------------------
 
     def _apply_precision_noise(self, energies: np.ndarray) -> np.ndarray:
         if self.precision == 0.0:
@@ -516,22 +756,34 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
 
     def evaluate_packed(self, packed, angles=None):
         a = packed.angles if angles is None else angles
+        pop = packed.n_individuals
+        if not self._diagonal:
+            fn = self._general_fn()
+            args = self._pop_args(packed, a)
+            terms = self._globalize(
+                (
+                    self._terms["coeffs_re"], self._terms["coeffs_im"],
+                    self._terms["z_local"], self._terms["x_local"],
+                    self._terms["z_global"], self._terms["group_id"],
+                ),
+                [P()] * 6,
+            )
+            out = fn(*args, *terms, *self._initial_extra())
+            return self._apply_precision_noise(np.asarray(out)[:pop])
         energies_fn, probs_fn = self._shape_fns(packed)
         if self.alpha >= 1.0 and self.shots is None:
-            args = self._globalize(packed.gate_types, packed.controls, a, packed.layer_mask)
-            out = energies_fn(*args, self._table)
-            return self._apply_precision_noise(np.asarray(out))
+            args = self._pop_args(packed, a)
+            out = energies_fn(*args, self._table, *self._initial_extra())
+            return self._apply_precision_noise(np.asarray(out)[:pop])
         if self.shots is not None:
             # fully distributed shot sampling (hierarchical inverse-CDF
             # over shards) + shot-multiset expectation/CVaR — no 2^n
             # array leaves the mesh, multi-controller safe
             fn = self._sampled_energies_fn(self.shots, self.alpha < 1.0)
-            keys = np.asarray(self._next_keys(packed.n_individuals))
-            args = self._globalize(
-                packed.gate_types, packed.controls, a, packed.layer_mask, keys
-            )
-            out = fn(*args, jnp.float32(self.alpha), self._table)
-            return self._apply_precision_noise(np.asarray(out))
+            keys = self._next_keys(pop)
+            args = self._pop_args(packed, a, extra=(keys,))
+            out = fn(*args, jnp.float32(self.alpha), self._table, *self._initial_extra())
+            return self._apply_precision_noise(np.asarray(out)[:pop])
         if jax.process_count() > 1:
             raise CircuitEvaluatorException(
                 "the exact (shot-free) CVaR amplitude-sharded path gathers the "
@@ -539,8 +791,9 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 "only; use alpha=1 exact energies or finite shots on "
                 "multi-controller meshes"
             )
-        probs = probs_fn(packed.gate_types, packed.controls, a, packed.layer_mask)
+        args = self._pop_args(packed, a)
+        probs = probs_fn(*args, *self._initial_extra())
         out = cvar_expectation_from_probs(
             probs, self._sorted, self._order, jnp.float32(self.alpha)
         )
-        return self._apply_precision_noise(np.asarray(out))
+        return self._apply_precision_noise(np.asarray(out)[:pop])

@@ -114,12 +114,23 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     #: None = on exactly when the fused Pallas path is active (production
     #: TPU runs); True/False forces it for any engine.
     reuse_selection_energies: Optional[bool] = None
-    #: amplitude sharding: split each statevector across the mesh instead
-    #: of sharding the population axis (SURVEY.md §2.3 P4 — the scale
-    #: axis the reference lacks).  None = automatic (on when a mesh is
-    #: configured and the operator exceeds 20 qubits), True/False = force.
-    #: Estimator path with diagonal operators and no initial state only.
+    #: amplitude sharding: factor the mesh as (pop, amp) — the population
+    #: axis keeps sharding individuals while each statevector splits over
+    #: the amp axis (SURVEY.md §2.3 P4 — the scale axis the reference
+    #: lacks, composed with the one it has).  None = automatic (on when a
+    #: mesh is configured and the operator exceeds 20 qubits), True/False
+    #: = force.  Works on the estimator path (any operator; exact) and
+    #: the sampler path (diagonal operators; distributed shot sampling),
+    #: with or without an initial state.
     shard_amplitudes: Optional[bool] = None
+    #: devices on the amplitude axis of the (pop, amp) factorization
+    #: (must divide the mesh size; the rest shard the population).
+    #: None = smallest power of two keeping each shard's local qubit
+    #: count at most ``amp_local_qubits``
+    amp_devices: Optional[int] = None
+    #: auto-factorization target: grow the amp axis until each device
+    #: holds at most 2^this amplitudes per state
+    amp_local_qubits: int = 20
 
     def __post_init__(self):
         if (
@@ -187,19 +198,27 @@ class EvolvingAnsatzMinimumEigensolver:
             requested = self.configuration.shard_amplitudes
             if requested is False or mesh is None:
                 return False
-            if self.configuration.configured_estimator is None or not op.is_diagonal:
-                if requested:
-                    raise ValueError(
-                        "shard_amplitudes requires the estimator path and a diagonal operator"
-                    )
-                return False
-            if initial_state is not None:
-                if requested:
-                    raise ValueError("shard_amplitudes does not support an initial state yet")
+            if self.configuration.configured_estimator is None and not op.is_diagonal:
+                # the sampler path is diagonal-only on every engine; let
+                # the ordinary evaluator construction raise its error
                 return False
             if requested is None:
                 return op.n_qubits > 20
             return True
+
+        def resolve_amp_devices(op: PauliSum) -> Optional[int]:
+            """The (pop, amp) factorization: explicit knob, or the
+            smallest power-of-two amp axis keeping each shard at
+            <= 2^amp_local_qubits amplitudes — the population keeps the
+            remaining devices (the reference's scaling axis survives at
+            large n)."""
+            if self.configuration.amp_devices is not None:
+                return self.configuration.amp_devices
+            total = int(np.prod(np.shape(mesh.devices)))
+            amp = 1
+            while amp < total and op.n_qubits - (amp.bit_length() - 1) > self.configuration.amp_local_qubits:
+                amp *= 2
+            return amp
 
         def build_evaluator(op: PauliSum) -> BaseCircuitEvaluator:
             if amplitude_sharding_applies(op):
@@ -208,11 +227,24 @@ class EvolvingAnsatzMinimumEigensolver:
                 )
 
                 estimator = self.configuration.configured_estimator
+                if estimator is not None:
+                    return AmplitudeShardedExpectationEvaluator(
+                        operator=op,
+                        mesh=mesh,
+                        precision=estimator.precision or 0.0,
+                        seed=estimator.seed,
+                        initial_state=initial_state,
+                        amp_devices=resolve_amp_devices(op),
+                    )
+                sampler = self.configuration.configured_sampler
                 return AmplitudeShardedExpectationEvaluator(
                     operator=op,
                     mesh=mesh,
-                    precision=estimator.precision or 0.0,
-                    seed=estimator.seed,
+                    shots=sampler.shots,
+                    alpha=self.configuration.distribution_alpha_tail,
+                    seed=sampler.seed,
+                    initial_state=initial_state,
+                    amp_devices=resolve_amp_devices(op),
                 )
             if self.configuration.configured_estimator is not None:
                 evaluator = StatevectorExpectationEvaluator(

@@ -102,6 +102,10 @@ class EVQEMinimumEigensolverConfiguration:
     n_devices: Optional[int] = None
     parameter_order: str = "canonical"
     shard_amplitudes: Optional[bool] = None
+    #: (pop, amp) factorization knobs for amplitude sharding — see the
+    #: driver configuration
+    amp_devices: Optional[int] = None
+    amp_local_qubits: int = 20
     #: selection reuses the parameter search's exact final energies
     #: (None = auto with the fused Pallas path; see the driver config)
     reuse_selection_energies: Optional[bool] = None
@@ -222,6 +226,8 @@ class EVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             n_devices=configuration.n_devices,
             parameter_order=configuration.parameter_order,
             shard_amplitudes=configuration.shard_amplitudes,
+            amp_devices=configuration.amp_devices,
+            amp_local_qubits=configuration.amp_local_qubits,
             reuse_selection_energies=configuration.reuse_selection_energies,
         )
         super().__init__(configuration=config)

@@ -42,9 +42,9 @@ class BestIndividualChangeTolerance(EvolvingAnsatzMinimumEigensolverBaseTerminat
 
     def __init__(self, minimum_change: float, allowed_consecutive_violations: int = 0):
         if minimum_change <= 0:
-            raise ValueError("The minimum absolute improvement parameter must be bigger than 0!")
+            raise ValueError("minimum_absolute_improvement must be positive")
         if allowed_consecutive_violations < 0:
-            raise ValueError("allowed_consecutive_violations must be at least 0!")
+            raise ValueError("allowed_consecutive_violations must be >= 0")
         self._minimum_change = minimum_change
         self._allowed_consecutive_violations = allowed_consecutive_violations
         self._previous_expectation_value: Optional[float] = None
@@ -75,7 +75,7 @@ class BestIndividualRelativeChangeTolerance(EvolvingAnsatzMinimumEigensolverBase
         if minimum_relative_change <= 0 or minimum_relative_change > 1:
             raise ValueError("minimum_relative_change must lie in the half-open interval (0, 1]")
         if allowed_consecutive_violations < 0:
-            raise ValueError("allowed_consecutive_violations must be at least 0!")
+            raise ValueError("allowed_consecutive_violations must be >= 0")
         self._minimum_relative_change = minimum_relative_change
         self._allowed_consecutive_violations = allowed_consecutive_violations
         self._previous_expectation_value: Optional[float] = None
@@ -139,7 +139,7 @@ class PopulationChangeTolerance(EvolvingAnsatzMinimumEigensolverBaseTerminationC
 
     def __init__(self, minimum_change: float, allowed_consecutive_violations: int):
         if allowed_consecutive_violations < 0:
-            raise ValueError("allowed_consecutive_violations must be at least 0!")
+            raise ValueError("allowed_consecutive_violations must be >= 0")
         self._minimum_change = minimum_change
         self._allowed_consecutive_violations = allowed_consecutive_violations
         self.reset_state()
@@ -176,7 +176,7 @@ class PopulationChangeRelativeTolerance(EvolvingAnsatzMinimumEigensolverBaseTerm
 
     def __init__(self, minimum_relative_change: float, allowed_consecutive_violations: int):
         if allowed_consecutive_violations < 0:
-            raise ValueError("allowed_consecutive_violations must be at least 0!")
+            raise ValueError("allowed_consecutive_violations must be >= 0")
         self._minimum_relative_change = minimum_relative_change
         self._allowed_consecutive_violations = allowed_consecutive_violations
         self.reset_state()

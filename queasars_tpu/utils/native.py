@@ -9,7 +9,6 @@ the package works without a toolchain.  pybind11 is deliberately not used
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -98,3 +98,125 @@ def oracle_random_population(
         )
         for _ in range(n_individuals)
     ]
+
+
+# ---------------------------------------------------------------------------
+# operator-level transcriptions (round 3): the Random consumption of the
+# solver pipeline construction and each evolutionary operator, transcribed
+# from the reference sources cited per function.  Together with the genome
+# factories above, these pin the ENTIRE structural random stream of a
+# reference solve.
+# ---------------------------------------------------------------------------
+
+
+def oracle_pipeline_seeds(master_seed: Optional[int]) -> dict:
+    """The master Random's draw order in EVQEMinimumEigensolver.__init__
+    (reference: evqe.py:188-230): one child seed per operator in pipeline
+    order — last-layer search, speciation, selection, parameter search,
+    topological search, layer removal — then the population seed, which
+    the initializer lambda draws lazily at solve time (evqe.py:190-196
+    evaluates new_random_seed when the lambda runs, i.e. AFTER the six
+    operator constructions)."""
+    rng = Random(master_seed)
+    operators = {
+        "last_layer_parameter_search": oracle_new_seed(rng),
+        "speciation": oracle_new_seed(rng),
+        "selection": oracle_new_seed(rng),
+        "parameter_search": oracle_new_seed(rng),
+        "topological_search": oracle_new_seed(rng),
+        "layer_removal": oracle_new_seed(rng),
+    }
+    return {"operators": operators, "population": oracle_new_seed(rng)}
+
+
+def oracle_mutation_round(rng: Random, n_individuals: int, probability: float):
+    """One mutation operator application (reference: mutation.py:205-216):
+    per individual IN ORDER one ``random()`` Bernoulli draw; each selected
+    individual consumes one child seed immediately."""
+    flags: list[bool] = []
+    seeds: list[Optional[int]] = []
+    for _ in range(n_individuals):
+        if rng.random() <= probability:
+            flags.append(True)
+            seeds.append(oracle_new_seed(rng))
+        else:
+            flags.append(False)
+            seeds.append(None)
+    return flags, seeds
+
+
+def oracle_layer_order(seed: Optional[int], n_layers: int):
+    """Per-individual layer optimization order in the full parameter
+    search (reference: mutation.py:115-129): repeatedly ``choice`` from
+    the remaining layer ids, then one child seed per chosen layer."""
+    rng = Random(seed)
+    remaining = list(range(n_layers))
+    order: list[int] = []
+    child_seeds: list[int] = []
+    while remaining:
+        layer = rng.choice(remaining)
+        remaining.remove(layer)
+        order.append(layer)
+        child_seeds.append(oracle_new_seed(rng))
+    return order, child_seeds
+
+
+def oracle_removal_count(seed: Optional[int], n_layers: int) -> int:
+    """Trailing layers removed by the layer-removal mutation (reference:
+    mutation.py:135-152): 0 for single-layer individuals (no draw), else
+    one ``randrange(1, n_layers)``."""
+    if n_layers == 1:
+        return 0
+    return Random(seed).randrange(1, n_layers)
+
+
+def oracle_speciation_representatives(rng: Random, species_member_lists):
+    """The representative refresh after species assignment (reference:
+    speciation.py:67-83): one ``choice(members)`` per species with
+    members, iterated in species insertion order.  Returns the chosen
+    representative INDEX per species."""
+    return [rng.choice(members) for members in species_member_lists if members]
+
+
+def oracle_roulette_selection(rng: Random, evaluation_results, layer_counts,
+                              controlled_gate_counts, species_sizes,
+                              alpha_penalty, beta_penalty, n_select):
+    """Roulette-wheel selection draws (reference: selection.py:114-139),
+    including the documented double-offset quirk: the offset is added into
+    the fitness AND again inside the 1/(fitness+offset) weight.  Returns
+    selected indices (``choices`` with weights consumes one ``random()``
+    per draw; the selected objects do not touch the stream)."""
+    best = min(range(len(evaluation_results)), key=lambda i: evaluation_results[i])
+    offset = -evaluation_results[best] + 1 if evaluation_results[best] <= 0 else 0
+    fitness = [
+        (evaluation_results[i] + offset + alpha_penalty * layer_counts[i]
+         + beta_penalty * controlled_gate_counts[i]) * float(species_sizes[i])
+        for i in range(len(evaluation_results))
+    ]
+    weights = [1 / (f + offset) for f in fitness]
+    return rng.choices(range(len(evaluation_results)), weights=weights, k=n_select)
+
+
+def oracle_tournament_selection(rng: Random, evaluation_results, layer_counts,
+                                controlled_gate_counts, species_sizes,
+                                alpha_penalty, beta_penalty, tournament_size,
+                                n_select):
+    """Tournament selection draws (reference: selection.py:141-168): per
+    selected slot one unweighted ``choices(range(n), k=t)``; the winner is
+    the lowest fitness, earliest index on ties (strict ``<``)."""
+    fitness = [
+        (evaluation_results[i] + alpha_penalty * layer_counts[i]
+         + beta_penalty * controlled_gate_counts[i]) * float(species_sizes[i])
+        for i in range(len(evaluation_results))
+    ]
+    selected: list[int] = []
+    while len(selected) < n_select:
+        tournament = rng.choices(range(len(evaluation_results)), k=tournament_size)
+        best_index = None
+        best_fitness = None
+        for idx in tournament:
+            if best_fitness is None or fitness[idx] < best_fitness:
+                best_index = idx
+                best_fitness = fitness[idx]
+        selected.append(best_index)
+    return selected

@@ -65,7 +65,11 @@ def test_invalid_parameter_order_rejected():
         set_parameter_order("alphabetic")
 
 
-def test_shard_amplitudes_requires_estimator_path():
+def test_shard_amplitudes_sampler_path_supported():
+    """Round 3: a sampler-only configuration may shard amplitudes (the
+    round-2 restriction is lifted; distributed finite-shot sampling)."""
+    import numpy as np
+
     config = make_config(
         configured_estimator=None,
         configured_sampler=ConfiguredSampler(shots=64),
@@ -73,21 +77,23 @@ def test_shard_amplitudes_requires_estimator_path():
         mesh=population_mesh(2),
     )
     hamiltonian = PauliSum.sum([pauli_z_string(q, 3) for q in range(3)])
-    with pytest.raises(ValueError, match="estimator path"):
-        EVQEMinimumEigensolver(config).compute_minimum_eigenvalue(hamiltonian)
+    result = EVQEMinimumEigensolver(config).compute_minimum_eigenvalue(hamiltonian)
+    assert np.isfinite(result.eigenvalue)
 
 
-def test_shard_amplitudes_rejects_initial_state():
+def test_shard_amplitudes_accepts_initial_state():
+    """Round 3: the sharded evaluator prepares the start state once,
+    amp-sharded (the round-2 restriction is lifted)."""
     import numpy as np
 
     config = make_config(shard_amplitudes=True, mesh=population_mesh(2))
     hamiltonian = PauliSum.sum([pauli_z_string(q, 3) for q in range(3)])
     state = np.zeros(8, np.complex64)
     state[0] = 1.0
-    with pytest.raises(ValueError, match="initial state"):
-        EVQEMinimumEigensolver(config).compute_minimum_eigenvalue_with_initial_state(
-            hamiltonian, initial_state=state
-        )
+    result = EVQEMinimumEigensolver(config).compute_minimum_eigenvalue_with_initial_state(
+        hamiltonian, initial_state=state
+    )
+    assert np.isfinite(result.eigenvalue)
 
 
 def test_resume_from_missing_checkpoint_raises():
