@@ -213,6 +213,47 @@ def measure_sweep_rate(packed, z_masks, coeffs, repeats: int = 2) -> tuple[float
     return nfev * packed.n_individuals / per_sweep, float(nfev)
 
 
+def measure_sampler_rate(packed, table, repeats: int = 2, scan_iters: int = 40) -> float:
+    """Sampler-path sustained rate (512-shot CVaR-0.5 objective, the
+    reference's notebook configuration) through the in-kernel sampler:
+    simulation + hierarchical inverse-CDF measurement fused in one
+    kernel, only [shots] energies leaving the chip."""
+    from functools import partial as _partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from queasars_tpu.optim.objective import population_energies
+
+    shots = 512
+    table_dev = jnp.asarray(table)
+    keys = jnp.asarray(jax.random.split(jax.random.PRNGKey(0), POPULATION))
+    dummy = jnp.zeros(1, jnp.float32)
+    dummy_order = jnp.zeros(1, jnp.int32)
+
+    @_partial(jax.jit, static_argnames=("iters",))
+    def scan_evals(gt, c, a, lm, tab, ks, iters):
+        def step(carry, k):
+            energies = population_energies(
+                gt, c, a + 0.001 * k.astype(jnp.float32), lm, tab, dummy, dummy_order,
+                jnp.float32(0.5), ks, n_qubits=N_QUBITS, shots=shots,
+                use_cvar=True, use_shots=True, use_pallas=True,
+            )
+            return carry + energies, None
+
+        out, _ = jax.lax.scan(step, jnp.zeros(a.shape[0], jnp.float32), jnp.arange(iters))
+        return out
+
+    args = (packed.gate_types, packed.controls, packed.angles, packed.layer_mask, table_dev, keys)
+    np.asarray(scan_evals(*args, scan_iters))
+    np.asarray(scan_evals(*args, scan_iters))
+    start = time.perf_counter()
+    for _ in range(repeats):
+        np.asarray(scan_evals(*args, scan_iters))
+    elapsed = time.perf_counter() - start
+    return POPULATION * repeats * scan_iters / elapsed
+
+
 def measure_cpp_rate(packed, table, repeats: int = 3) -> float | None:
     """Single-core C++ statevector rate on the identical workload — the
     Aer-equivalent baseline denominator."""
@@ -289,6 +330,16 @@ def main() -> None:
         except Exception as exc:
             print(f"# hot-path sweep measurement skipped: {exc}", file=sys.stderr)
 
+    sampler_rate = None
+    if (
+        os.environ.get("QUEASARS_BENCH_NO_SAMPLER") != "1"
+        and os.environ.get("QUEASARS_BENCH_NO_PALLAS") != "1"
+    ):
+        try:
+            sampler_rate = measure_sampler_rate(packed, table)
+        except Exception as exc:
+            print(f"# sampler-path measurement skipped: {exc}", file=sys.stderr)
+
     cpp_rate = measure_cpp_rate(packed, table)
 
     env = dict(os.environ)
@@ -322,6 +373,9 @@ def main() -> None:
         # the same sweep — see docs/performance.md)
         "hot_path_sweep_evals_per_sec": round(sweep_rate, 2) if sweep_rate else None,
         "hot_path_vs_baseline": round(sweep_rate / baseline, 2) if sweep_rate and baseline else None,
+        # sampler path (512-shot CVaR objective) through the fully
+        # in-kernel sampler — the reference's notebook configuration
+        "sampler_path_evals_per_sec": round(sampler_rate, 2) if sampler_rate else None,
     }
     print(json.dumps(result))
 

@@ -107,15 +107,24 @@ def main() -> None:
           f"best energy {result.eigenvalue:.4f} in {result.generations} generations")
 
     # --- amplitude-sharded EVQE solve (states beyond one chip) ---------
-    # shard_amplitudes=True splits every statevector across the mesh — the
-    # factorization for operators bigger than a chip's memory (auto-picked
-    # for >20 qubits when a mesh is configured)
+    # shard_amplitudes=True factors the mesh as (pop, amp): every
+    # statevector splits over the amp axis while the population axis keeps
+    # sharding individuals.  amp_devices picks the split explicitly (None
+    # = automatic: just enough amp width to keep each shard under
+    # 2^amp_local_qubits amplitudes).  Exact trajectories are
+    # bit-identical across factorizations of the same devices.
     from dataclasses import replace
 
     amp_result = EVQEMinimumEigensolver(
-        replace(config, population_size=8, max_generations=2, shard_amplitudes=True)
+        replace(
+            config, population_size=8, max_generations=2,
+            shard_amplitudes=True, amp_devices=2,
+        )
     ).compute_minimum_eigenvalue(hamiltonian)
-    print(f"amplitude-sharded EVQE solve: best energy {amp_result.eigenvalue:.4f}")
+    print(
+        "amplitude-sharded EVQE solve on a (4, 2) (pop, amp) mesh: "
+        f"best energy {amp_result.eigenvalue:.4f}"
+    )
 
 
 if __name__ == "__main__":

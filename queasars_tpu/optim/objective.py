@@ -60,16 +60,18 @@ def population_energies(
         from queasars_tpu.sim.statevector import simulate_circuits
 
         if len(table) == 2:
-            # dense Hermitian matvec (MXU) — see _energies_dense
+            # dense Hermitian matvec (MXU) — see _energies_dense;
+            # precision=HIGHEST: the TPU default's single-bf16-pass f32
+            # matmul is ~4e-3 relative, far outside the engine gates
             h_re, h_im = table
             states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
             ar, ai = states[:, 0, :], states[:, 1, :]
-            out_re = jnp.dot(ar, h_re.T, preferred_element_type=jnp.float32) - jnp.dot(
-                ai, h_im.T, preferred_element_type=jnp.float32
+            mm = lambda a, b: jnp.dot(
+                a, b, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            out_im = jnp.dot(ai, h_re.T, preferred_element_type=jnp.float32) + jnp.dot(
-                ar, h_im.T, preferred_element_type=jnp.float32
-            )
+            out_re = mm(ar, h_re.T) - mm(ai, h_im.T)
+            out_im = mm(ai, h_re.T) + mm(ar, h_im.T)
             energies = jnp.sum(ar * out_re + ai * out_im, axis=-1)
         else:
             from queasars_tpu.sim.expectation import general_pauli_expectation_real
@@ -92,6 +94,25 @@ def population_energies(
             gate_types, controls, angles, layer_mask, table, n_qubits, initial=initial_state
         )
         return _with_precision_noise(energies, keys, precision)
+    fast_path = use_shots and (pallas_ok if fast_shots is None else fast_shots)
+    if fast_path and pallas_ok and n_qubits >= 14:
+        # fully in-kernel sampling: simulation AND the hierarchical
+        # inverse-CDF run in one kernel, so the probability plane never
+        # leaves VMEM — same draw values as sample_indices (frac *
+        # total), so the multiset matches up to CDF-rounding boundary
+        # flips; the shot-multiset reduction below is shared
+        from queasars_tpu.sim.pallas_kernels import pallas_sampled_shot_energies
+
+        frac = jax.vmap(lambda k: jax.random.uniform(k, (shots,), jnp.float32))(keys)
+        shot_energies = pallas_sampled_shot_energies(
+            gate_types, controls, angles, layer_mask, table, frac,
+            n_qubits, shots, initial=initial_state,
+        )
+        if use_cvar:
+            energies = cvar_expectation_from_shot_energies(shot_energies, alpha)
+        else:
+            energies = jnp.mean(shot_energies, axis=-1)
+        return _with_precision_noise(energies, keys, precision)
     if pallas_ok:
         from queasars_tpu.sim.pallas_kernels import pallas_population_probs
 
@@ -100,7 +121,7 @@ def population_energies(
         )
     else:
         probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
-    if use_shots and (pallas_ok if fast_shots is None else fast_shots):
+    if fast_path:
         # shot-multiset fast path: gather the sampled states' energies and
         # reduce over [P, shots] instead of materializing counts and
         # contracting over [P, 2^n].  Identical random stream (same

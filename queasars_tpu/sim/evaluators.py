@@ -110,10 +110,12 @@ def _energies_dense(gate_types, controls, angles, layer_mask, h_re, h_im, n_qubi
     """
     states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
     ar, ai = states[:, 0, :], states[:, 1, :]
-    hr_ar = jnp.dot(ar, h_re.T, preferred_element_type=jnp.float32)
-    hi_ai = jnp.dot(ai, h_im.T, preferred_element_type=jnp.float32)
-    hr_ai = jnp.dot(ai, h_re.T, preferred_element_type=jnp.float32)
-    hi_ar = jnp.dot(ar, h_im.T, preferred_element_type=jnp.float32)
+    hr_ar = jnp.dot(
+        ar, h_re.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    hi_ai = jnp.dot(ai, h_im.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    hr_ai = jnp.dot(ai, h_re.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    hi_ar = jnp.dot(ar, h_im.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     out_re = hr_ar - hi_ai
     out_im = hr_ai + hi_ar
     return jnp.sum(ar * out_re + ai * out_im, axis=-1)
@@ -145,9 +147,22 @@ def _sampled_probs(gate_types, controls, angles, layer_mask, keys, n_qubits, sho
 
 @partial(jax.jit, static_argnames=("n_qubits", "shots"))
 def _sampled_energies_pallas(gate_types, controls, angles, layer_mask, keys, table, n_qubits, shots):
-    """Sampled states' energies [P, shots] via the fused probs kernel —
-    the shot-multiset fast path (same inverse-CDF stream as
-    ``sample_counts``; reduce over shots instead of 2^n)."""
+    """Sampled states' energies [P, shots] on the Pallas path.
+
+    When the in-kernel sampler applies (n >= 14), the
+    whole measurement — simulation + hierarchical inverse CDF — runs
+    inside one kernel and only [P, shots] energies leave the chip; the
+    draw values are the same ``frac * total`` as ``sample_indices``, so
+    the multiset matches up to CDF-rounding boundary flips.  Otherwise:
+    fused probs kernel + the shot-multiset fast path (identical stream
+    to ``sample_counts``)."""
+    if n_qubits >= 14:
+        from queasars_tpu.sim.pallas_kernels import pallas_sampled_shot_energies
+
+        frac = jax.vmap(lambda k: jax.random.uniform(k, (shots,), jnp.float32))(keys)
+        return pallas_sampled_shot_energies(
+            gate_types, controls, angles, layer_mask, table, frac, n_qubits, shots
+        )
     from queasars_tpu.sim.pallas_kernels import pallas_population_probs
 
     probs = pallas_population_probs(gate_types, controls, angles, layer_mask, n_qubits)

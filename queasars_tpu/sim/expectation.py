@@ -17,7 +17,13 @@ import jax.numpy as jnp
 def expectation_from_probs(probs: jax.Array, energy_table: jax.Array) -> jax.Array:
     """Plain expectation  <E> = sum_i p_i e_i  (alpha=1 fast path,
     reference: expectation_calculation.py:59-61)."""
-    return jnp.dot(probs, energy_table, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: the TPU default lowers f32 matmuls to ONE bf16
+    # pass (~4e-3 relative), which is far outside the 1e-5 engine-parity
+    # gates; full-f32 passes keep this memory-bound contraction exact
+    return jnp.dot(
+        probs, energy_table, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @jax.jit

@@ -431,6 +431,248 @@ def pallas_energies_exact(
     return jnp.sum(partials, axis=(-2, -1))
 
 
+def _population_sampled_energies_kernel(
+    gate_types_ref,  # SMEM [1, L, n] int32
+    controls_ref,    # SMEM [1, L, n] int32
+    angles_ref,      # SMEM [1, L, n, 3] f32
+    layer_mask_ref,  # SMEM [1, L, 1] int32
+    frac_ref,        # VMEM [1, S, 1] f32 uniform draws in [0, 1)
+    table_ref,       # VMEM [R, 128] f32 diagonal energy table
+    *rest,           # [init_ref?], out_ref, state_re, state_im
+    n_qubits: int,
+    n_layers: int,
+    shots: int,
+    has_init: bool,
+):
+    """Fused simulate + measure: the whole inverse-CDF shot sampler runs
+    in-kernel against the VMEM-resident probabilities, so only the [S]
+    sampled ENERGIES leave the chip (2 KB at 512 shots) instead of the
+    4 MB probability plane plus an XLA-side cumsum/searchsorted/gather
+    cascade (measured ~7 ms of the round-2 sampler path's cost at
+    n=20/pop-32).
+
+    The uniform draws come IN (host-keyed threefry, the same stream as
+    ``sample_indices``); ``u = frac * total`` reproduces that path's
+    draw values exactly, so the sampled multiset matches up to
+    summation-tree rounding on rare boundary draws.
+
+    The CDF is hierarchical — (64 blocks) x (128 rows) x (128 lanes) —
+    with each level resolved for ALL shots at once, in EXACT f32
+    arithmetic: Mosaic lowers f32 matmuls to bf16 passes at every
+    precision setting (measured: 0% shot agreement with the flat stream
+    at default precision, 98.4% at HIGHEST — the last bf16 limb is
+    dropped), so (a) one-hot gathers run as THREE default-precision
+    matmuls against a bf16-exact three-way split of the value matrix
+    (each pass multiplies a 0/1 one-hot with a bf16-exact limb and
+    accumulates in f32 — exact), and (b) prefix sums run as log-step
+    roll-scans on the VPU (exact f32 adds), never on the MXU.  No
+    scalar loops, no cross-tile shape casts (the block/row summaries
+    come from selector-matrix gathers instead of reshapes).
+    """
+    if has_init:
+        init_ref, out_ref, state_re, state_im = rest
+    else:
+        out_ref, state_re, state_im = rest
+        init_ref = None
+    rows = 1 << (n_qubits - LANE_BITS)
+    n_blocks = rows // LANES
+
+    _run_circuit_in_vmem(
+        gate_types_ref, controls_ref, angles_ref, layer_mask_ref,
+        state_re, state_im, n_qubits, n_layers, init_ref,
+    )
+    probs = state_re[:] * state_re[:] + state_im[:] * state_im[:]
+
+    def split3(v):
+        """f32 -> three bf16-exact f32 limbs with v == l1 + l2 + l3."""
+        l1 = v.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = v - l1
+        l2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        l3 = r1 - l2
+        return l1, l2, l3
+
+    def gather_dot(onehot, value, dims=(((1,), (0,)), ((), ()))):
+        """Exact one-hot gather: sum of three default-precision passes."""
+        return sum(
+            jax.lax.dot_general(onehot, limb, dims, preferred_element_type=jnp.float32)
+            for limb in split3(value)
+        )
+
+    def lane_scan(x, width):
+        """Inclusive prefix sum along lanes (exact f32 roll-adds)."""
+        lane_pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        d = 1
+        while d < width:
+            x = x + jnp.where(lane_pos >= d, pltpu.roll(x, d, 1), 0.0)
+            d *= 2
+        return x
+
+    def sublane_scan(x, height):
+        """Inclusive prefix sum along sublanes (exact f32 roll-adds)."""
+        sub_pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        d = 1
+        while d < height:
+            x = x + jnp.where(sub_pos >= d, pltpu.roll(x, d, 0), 0.0)
+            d *= 2
+        return x
+
+    # per-row masses [rows, 1] (VPU reduction — exact)
+    row_tot = jnp.sum(probs, axis=1, keepdims=True)
+    # selector gathers replace the (unsupported) [rows,1]->[B,R] reshape:
+    # Bsel[g, b] = 1 iff row g lies in block b; Rsel[j, g] = 1 iff row g
+    # is the j-th row of its block — exactly one g satisfies both, so
+    # r2t[j, b] = row_tot[b*128 + j] (a pure gather)
+    row_ids_col = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    blk_lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, n_blocks), 1)
+    bsel = ((row_ids_col // LANES) == blk_lanes).astype(jnp.float32)  # [rows, B]
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANES, rows), 0)
+    lane_rows_wide = jax.lax.broadcasted_iota(jnp.int32, (LANES, rows), 1)
+    rsel = ((lane_rows_wide % LANES) == sub128).astype(jnp.float32)  # [128, rows]
+    r2t = gather_dot(rsel, bsel * row_tot)  # [128, B]
+    # in-block inclusive row prefix (exact)
+    row_prefix_t = sublane_scan(r2t, LANES)  # [128, B]
+    # block totals = the prefix's last row; taken as a max-reduction
+    # (probabilities are nonnegative, so the prefix is nondecreasing)
+    # because a [127:128, :] slice carries a sublane offset that the
+    # concatenate below cannot lower ("offset mismatch on non-concat
+    # dimension")
+    block_tot = jnp.max(row_prefix_t, axis=0, keepdims=True)  # [1, B]
+    # inclusive block prefix: pad the block totals onto a full lane tile
+    # and roll-scan (exact); positions past n_blocks hold garbage partial
+    # sums and are never read
+    if n_blocks < LANES:
+        padded = jnp.concatenate(
+            [block_tot, jnp.zeros((1, LANES - n_blocks), jnp.float32)], axis=1
+        )
+    else:
+        padded = block_tot
+    cb = lane_scan(padded, n_blocks)[:, :n_blocks]  # [1, B]
+    total = jnp.sum(block_tot)
+
+    u = frac_ref[0] * total  # [S, 1] — identical values to sample_indices' draws
+
+    # level A: block index = count of inclusive block-prefix values <= u
+    # (searchsorted-right semantics, matching sim/sampling.py)
+    cmp_a = cb <= u  # [S, B]
+    block = jnp.minimum(
+        jnp.sum(cmp_a.astype(jnp.int32), axis=1, keepdims=True), n_blocks - 1
+    )
+    base_a = jnp.max(jnp.where(cmp_a, cb, 0.0), axis=1, keepdims=True)
+    u1 = u - base_a
+
+    lane_blocks = jax.lax.broadcasted_iota(jnp.int32, (shots, n_blocks), 1)
+    oh_block = (lane_blocks == block).astype(jnp.float32)  # [S, B]
+    # the shot's block's row-prefix vector: contract the one-hot with
+    # row_prefix_t over the BLOCK axis -> [S, 128] (exact gather)
+    row_prefix = gather_dot(oh_block, row_prefix_t, (((1,), (1,)), ((), ())))
+    cmp_b = row_prefix <= u1
+    row = jnp.minimum(
+        jnp.sum(cmp_b.astype(jnp.int32), axis=1, keepdims=True), LANES - 1
+    )
+    base_b = jnp.max(jnp.where(cmp_b, row_prefix, 0.0), axis=1, keepdims=True)
+    u2 = u1 - base_b
+
+    # level C: one-hot row gather of the probability AND energy planes,
+    # processed in 128-shot chunks that STORE their energies immediately
+    # — each chunk's [128, rows] one-hot is dead at its store, so the
+    # scheduler can reuse the buffers (a monolithic [S, rows] one-hot
+    # blows the scoped VMEM budget at n=20 / 512 shots)
+    global_row = block * LANES + row  # [S, 1]
+    probs_limbs = split3(probs)
+    table_limbs = split3(table_ref[:])
+    chunk_bounds = list(range(0, shots, LANES)) + [shots]
+    for c0, c1 in zip(chunk_bounds[:-1], chunk_bounds[1:]):
+        size = c1 - c0
+        lane_rows = jax.lax.broadcasted_iota(jnp.int32, (size, rows), 1)
+        oh_row = (lane_rows == global_row[c0:c1, :]).astype(jnp.float32)
+        dims = (((1,), (0,)), ((), ()))
+        p_row = sum(
+            jax.lax.dot_general(oh_row, limb, dims, preferred_element_type=jnp.float32)
+            for limb in probs_limbs
+        )  # [size, 128]
+        t_row = sum(
+            jax.lax.dot_general(oh_row, limb, dims, preferred_element_type=jnp.float32)
+            for limb in table_limbs
+        )
+        lane_prefix = lane_scan(p_row, LANES)
+        lane = jnp.minimum(
+            jnp.sum(
+                (lane_prefix <= u2[c0:c1, :]).astype(jnp.int32), axis=1, keepdims=True
+            ),
+            LANES - 1,
+        )
+        lanes128 = jax.lax.broadcasted_iota(jnp.int32, (size, LANES), 1)
+        energy = jnp.sum(
+            jnp.where(lanes128 == lane, t_row, 0.0), axis=1, keepdims=True
+        )
+        out_ref[0, c0:c1, :] = energy
+
+
+@partial(jax.jit, static_argnames=("n_qubits", "shots", "interpret"))
+def pallas_sampled_shot_energies(
+    gate_types: jax.Array,   # [P, L, n]
+    controls: jax.Array,     # [P, L, n]
+    angles: jax.Array,       # [P, L, n, 3]
+    layer_mask: jax.Array,   # [P, L]
+    table: jax.Array,        # [2^n] diagonal energy table
+    u_frac: jax.Array,       # [P, shots] uniform draws in [0, 1)
+    n_qubits: int,
+    shots: int,
+    interpret: bool = False,
+    initial: jax.Array | None = None,
+) -> jax.Array:
+    """Sampled shot energies [P, shots] with simulation AND measurement
+    sampling fused in one kernel (in-VMEM hierarchical inverse CDF) —
+    the sampler-path analog of ``pallas_energies_exact``.
+
+    ``u_frac`` carries the per-shot uniforms (2 KB per individual at 512
+    shots — the only sampling input), drawn from the same threefry keys
+    as ``sample_indices`` so the stream is shared with the non-fused
+    fast path (boundary draws may flip bins at the summation-tree
+    rounding level).  ``initial`` optionally provides per-individual
+    start states [P, 2, 2^n] (the optimizer layer-prefix cache).
+    Requires ``n_qubits >= 14`` (the block hierarchy needs >= 128 rows).
+    """
+    if n_qubits < LANE_BITS + LANE_BITS:
+        raise ValueError("the in-kernel sampler requires n_qubits >= 14")
+    pop, n_layers = gate_types.shape[0], gate_types.shape[1]
+    rows = 1 << (n_qubits - LANE_BITS)
+    has_init = initial is not None
+
+    kernel = partial(
+        _population_sampled_energies_kernel,
+        n_qubits=n_qubits, n_layers=n_layers, shots=shots, has_init=has_init,
+    )
+    in_specs = _genome_in_specs(n_layers, n_qubits)
+    in_specs.append(pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0)))
+    in_specs.append(pl.BlockSpec((rows, LANES), lambda p: (0, 0)))
+    operands = [
+        jnp.asarray(gate_types, jnp.int32),
+        jnp.asarray(controls, jnp.int32),
+        jnp.asarray(angles, jnp.float32),
+        jnp.asarray(layer_mask, jnp.int32)[:, :, None],
+        jnp.asarray(u_frac, jnp.float32).reshape(pop, shots, 1),
+        jnp.asarray(table, jnp.float32).reshape(rows, LANES),
+    ]
+    if has_init:
+        in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
+        operands.append(initial.reshape(pop, 2, rows, LANES))
+    out = pl.pallas_call(
+        kernel,
+        grid=(pop,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((pop, shots, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(pop, shots)
+
+
 def _kernel_atan2(y, x):
     """Polynomial atan2 (Mosaic has no atan/atan2 lowering): odd minimax
     polynomial on [0, 1] + octant/quadrant reduction; max error ~2e-6 vs
