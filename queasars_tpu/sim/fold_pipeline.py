@@ -1,0 +1,330 @@
+"""Kron-fold circuit transform: the MXU formulation of genome circuits.
+
+The VPU slot kernel (pallas_kernels.py) applies each gate as roll-based
+partner exchanges at ~11-20 us per gate — measured to be at the VPU
+roofline for that access pattern (docs/performance.md "Kernel variants").
+The MXU path measured 1.5-4x per-gate headroom (experiments/
+exp_mxu_fold*.py), but a naive per-group fold founders on two costs:
+controlled rotations whose control sits in a different 7-qubit axis
+group cannot fold into a [128, 128] group matrix, and any residual
+per-slot VPU work pays ~7 us per *skipped* slot (Mosaic if-converts
+fine-grained predication).
+
+This module removes both obstacles with an exact algebraic transform of
+the whole circuit:
+
+1. every controlled rotation CU3(c, t) is eigendecomposed as
+
+       CU3 = (I_c x V_t) . CDiag(c, t) . (I_c x Vdag_t)
+
+   where ``V`` diagonalizes the target U3 (a 2x2 eigenproblem in closed
+   form) and ``CDiag`` applies pure *phases* on the |c=1, t=0/1> basis
+   states — a cheap elementwise pass with NO partner exchange, however
+   the control and target are placed;
+2. the single-qubit factors (U3s of rotation gates, the V / Vdag of
+   controlled rotations, identities elsewhere) of *adjacent* layers
+   merge: since each circuit layer touches every qubit at most once,
+   the layer's non-diagonal part is a pure tensor product, and
+   ``(x_q A_q)(x_q B_q) = x_q (A_q B_q)`` collapses layer k's Vdag
+   factors into layer k-1's main factors by plain 2x2 multiplication.
+
+The circuit over L layers becomes exactly
+
+    [x_q F_{L,q}] . D_L . [x_q F_{L-1,q}] . ... . D_1 . [x_q F_{0,q}]
+
+— L+1 "kron layers" of per-qubit 2x2 matrices and L diagonal-phase
+passes.  Each kron layer applies as ONE matmul per 7-qubit axis group
+on the MXU (the per-qubit 2x2s expand to the group matrix inside the
+kernel at ~1 us); each diagonal pass is a few VPU ops per controlled
+gate.  No per-slot work remains at all.
+
+This module builds the pipeline tensors in XLA (jit/vmap-friendly,
+REAL arithmetic only — this TPU has no complex dtypes) and provides a
+pure-jnp complex reference applier used by the CPU oracle tests; the
+Pallas kernels consume the same tensors (pallas_kernels.py).
+
+Reference parity: the transform is exact (up to f32 rounding in the
+2x2 eigendecomposition), so results match the direct slot application
+of qiskit-convention U3/CU3 gates (reference applies ``circuit.u`` /
+``CU3Gate`` at queasars/minimum_eigensolvers/evqe/quantum_circuit/
+quantum_gate.py:96-165).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from queasars_tpu.sim.statevector import GATE_CROT, GATE_ROT
+
+LANE_BITS = 7
+
+
+class FoldPipeline(NamedTuple):
+    """Tensor form of the kron-fold transform (all leading axes [P, ...]).
+
+    - ``factors`` [P, L+1, n, 2, 2, 2] f32: per kron-layer, per qubit, a
+      complex 2x2 (axis 3 = re/im).  Kron layer 0 is layer 0's Vdag
+      factors; kron layer k (1 <= k <= L-1) is layer k's Vdag merged
+      onto layer k-1's main factors; kron layer L is layer L-1's main
+      factors.
+    - ``diag_ctrl`` / ``diag_tgt`` [P, L, D] int32: control / target
+      qubits of each controlled rotation, compacted to the front
+      (D = max(n // 2, 1); unused slots hold -1).
+    - ``diag_phase`` [P, L, D, 2, 2] f32: per slot, the applied phase
+      for target bit 0 / 1 (axis 3) as (re, im) pairs (axis 4);
+      identity (1, 0) in unused slots.
+    - ``diag_count`` [P, L] int32: used slots per layer.
+    - ``group_active`` [P, L+1, G] int32: 1 where the kron layer's
+      group fold differs from identity (G = axis groups: lane q<7,
+      row 7<=q<14, top q>=14).
+    """
+
+    factors: jax.Array
+    diag_ctrl: jax.Array
+    diag_tgt: jax.Array
+    diag_phase: jax.Array
+    diag_count: jax.Array
+    group_active: jax.Array
+
+
+def n_axis_groups(n_qubits: int) -> int:
+    """Number of kernel axis groups: lane (q<7), row (7<=q<14), top."""
+    return min((n_qubits + LANE_BITS - 1) // LANE_BITS, 3)
+
+
+def _slot_factors(gate_type, angles):
+    """Per-slot factor matrices and CDiag phases, real arithmetic.
+
+    Returns ``(main_re, main_im, vdag_re, vdag_im, ph)`` where main/vdag
+    are [2, 2] and ``ph`` is [2, 2] = (target bit, re/im).  main is U3
+    for ROT, V for CROT, I otherwise; vdag is V^dagger for CROT, I
+    otherwise; ph is (phase0, phase1) for CROT, (1, 1) otherwise.
+    """
+    theta, phi, lam = angles[0], angles[1], angles[2]
+    s = (phi + lam) * 0.5
+    a = (phi - lam) * 0.5
+    half = theta * 0.5
+    cos_half, sin_half = jnp.cos(half), jnp.sin(half)
+    cos_s, sin_s = jnp.cos(s), jnp.sin(s)
+
+    # U3 entries (qiskit convention)
+    u3_re = jnp.stack(
+        [
+            jnp.stack([cos_half, -jnp.cos(lam) * sin_half]),
+            jnp.stack([jnp.cos(phi) * sin_half, jnp.cos(phi + lam) * cos_half]),
+        ]
+    )
+    u3_im = jnp.stack(
+        [
+            jnp.stack([jnp.zeros_like(cos_half), -jnp.sin(lam) * sin_half]),
+            jnp.stack([jnp.sin(phi) * sin_half, jnp.sin(phi + lam) * cos_half]),
+        ]
+    )
+
+    # eigendecomposition U3 = V diag(e^{i(s-d/2)}, e^{i(s+d/2)}) V^dag:
+    # W = e^{-is} U3 = cos(d/2) I - i sin(d/2) (n.sigma), m = sin(d/2) n
+    cos_d2 = cos_half * cos_s
+    mz = cos_half * sin_s
+    my = sin_half * jnp.cos(a)
+    mx = -sin_half * jnp.sin(a)
+    nxy = jnp.sqrt(mx * mx + my * my)
+    sin_d2 = jnp.sqrt(nxy * nxy + mz * mz)
+    d_half = jnp.arctan2(sin_d2, cos_d2)
+
+    ph0_ang = s - d_half
+    ph1_ang = s + d_half
+    ph = jnp.stack(
+        [
+            jnp.stack([jnp.cos(ph0_ang), jnp.sin(ph0_ang)]),
+            jnp.stack([jnp.cos(ph1_ang), jnp.sin(ph1_ang)]),
+        ]
+    )  # [2 (tbit), 2 (re/im)]
+
+    # V rotates z onto n: V = [[cos(b/2), -sin(b/2) e^{-ic}],
+    #                          [sin(b/2) e^{ic}, cos(b/2)]]
+    b_half = jnp.arctan2(nxy, mz) * 0.5  # atan2 is scale-invariant in m
+    c = jnp.arctan2(my, mx)
+    cos_b, sin_b = jnp.cos(b_half), jnp.sin(b_half)
+    cos_c, sin_c = jnp.cos(c), jnp.sin(c)
+    zero = jnp.zeros_like(cos_b)
+    v_re = jnp.stack(
+        [jnp.stack([cos_b, -sin_b * cos_c]), jnp.stack([sin_b * cos_c, cos_b])]
+    )
+    v_im = jnp.stack(
+        [jnp.stack([zero, sin_b * sin_c]), jnp.stack([sin_b * sin_c, zero])]
+    )
+    eye = jnp.eye(2, dtype=jnp.float32)
+    zmat = jnp.zeros((2, 2), jnp.float32)
+    degenerate = sin_d2 < 1e-7
+    v_re = jnp.where(degenerate, eye, v_re)
+    v_im = jnp.where(degenerate, zmat, v_im)
+
+    is_rot = gate_type == GATE_ROT
+    is_crot = gate_type == GATE_CROT
+    main_re = jnp.where(is_rot, u3_re, jnp.where(is_crot, v_re, eye))
+    main_im = jnp.where(is_rot, u3_im, jnp.where(is_crot, v_im, zmat))
+    vdag_re = jnp.where(is_crot, v_re.T, eye)
+    vdag_im = jnp.where(is_crot, -v_im.T, zmat)
+    ident_ph = jnp.stack([jnp.stack([1.0, 0.0]), jnp.stack([1.0, 0.0])]).astype(
+        jnp.float32
+    )
+    ph = jnp.where(is_crot, ph, ident_ph)
+    return main_re, main_im, vdag_re, vdag_im, ph
+
+
+@partial(jax.jit, static_argnames=("n_qubits",))
+def build_fold_pipeline(
+    gate_types: jax.Array,  # [P, L, n] int32
+    controls: jax.Array,    # [P, L, n] int32
+    angles: jax.Array,      # [P, L, n, 3] f32
+    layer_mask: jax.Array,  # [P, L] bool/int
+    n_qubits: int,
+) -> FoldPipeline:
+    """Build the kron-fold pipeline tensors from a packed genome batch."""
+    pop, n_layers, n = gate_types.shape
+    if n != n_qubits:
+        raise ValueError("gate_types last axis must equal n_qubits")
+    mask = jnp.asarray(layer_mask).astype(jnp.bool_)  # [P, L]
+    angles = jnp.asarray(angles, jnp.float32)
+
+    def per_slot(gt, ang, m):
+        return _slot_factors(jnp.where(m, gt, 0), ang)
+
+    f = jax.vmap(
+        jax.vmap(jax.vmap(per_slot, in_axes=(0, 0, None)), in_axes=(0, 0, 0)),
+        in_axes=(0, 0, 0),
+    )
+    main_re, main_im, vdag_re, vdag_im, ph = f(gate_types, angles, mask)
+    # main/vdag: [P, L, n, 2, 2]; ph: [P, L, n, 2, 2]
+
+    # kron layers: K[0] = vdag[0]; K[k] = vdag[k] @ main[k-1]; K[L] = main[L-1]
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), main_re[:, :1].shape)
+    zmat = jnp.zeros_like(eye)
+    m_re = jnp.concatenate([eye, main_re], axis=1)   # [P, L+1, n, 2, 2]
+    m_im = jnp.concatenate([zmat, main_im], axis=1)
+    d_re = jnp.concatenate([vdag_re, eye], axis=1)
+    d_im = jnp.concatenate([vdag_im, zmat], axis=1)
+    mm = partial(jnp.einsum, "plqab,plqbc->plqac")
+    k_re = mm(d_re, m_re) - mm(d_im, m_im)
+    k_im = mm(d_re, m_im) + mm(d_im, m_re)
+    factors = jnp.stack([k_re, k_im], axis=3)        # [P, L+1, n, 2, 2, 2]
+
+    # diagonal slots: compact CROT positions to the front of D slots
+    d_slots = max(n_qubits // 2, 1)
+    is_crot = jnp.logical_and(gate_types == GATE_CROT, mask[:, :, None])  # [P,L,n]
+    order = jnp.argsort(~is_crot, axis=2, stable=True)
+    sorted_crot = jnp.take_along_axis(is_crot, order, axis=2)
+    tgt = jnp.where(sorted_crot, order, -1)[:, :, :d_slots]
+    ctrl = jnp.where(
+        sorted_crot, jnp.take_along_axis(controls, order, axis=2), -1
+    )[:, :, :d_slots]
+    ident_ph = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0], [1.0, 0.0]], jnp.float32), ph.shape
+    )
+    ph_sorted = jnp.take_along_axis(
+        jnp.where(is_crot[..., None, None], ph, ident_ph),
+        order[..., None, None],
+        axis=2,
+    )[:, :, :d_slots]                                 # [P, L, D, 2, 2]
+    count = jnp.sum(is_crot.astype(jnp.int32), axis=2)
+
+    # group activity: fold differs from identity iff any slot factor does
+    n_groups = n_axis_groups(n_qubits)
+    eye_b = jnp.eye(2, dtype=jnp.float32)
+    dev = (k_re - eye_b) ** 2 + k_im**2
+    slot_active = jnp.max(dev, axis=(-2, -1)) > 1e-14  # [P, L+1, n]
+    actives = []
+    for g in range(n_groups):
+        lo = g * LANE_BITS
+        hi = n_qubits if g == n_groups - 1 else (g + 1) * LANE_BITS
+        actives.append(jnp.any(slot_active[:, :, lo:hi], axis=2))
+    group_active = jnp.stack(actives, axis=2).astype(jnp.int32)
+
+    return FoldPipeline(
+        factors=factors,
+        diag_ctrl=ctrl.astype(jnp.int32),
+        diag_tgt=tgt.astype(jnp.int32),
+        diag_phase=ph_sorted,
+        diag_count=count,
+        group_active=group_active,
+    )
+
+
+def cu3_slot_factors_reference(theta, phi, lam):
+    """Complex (V, phase0, phase1) of the eigendecomposition — test
+    convenience wrapper over the real-arithmetic :func:`_slot_factors`."""
+    import numpy as np
+
+    main_re, main_im, _, _, ph = _slot_factors(
+        jnp.int32(GATE_CROT), jnp.asarray([theta, phi, lam], jnp.float32)
+    )
+    v = np.asarray(main_re) + 1j * np.asarray(main_im)
+    ph = np.asarray(ph)
+    return v, complex(ph[0, 0], ph[0, 1]), complex(ph[1, 0], ph[1, 1])
+
+
+# ---------------------------------------------------------------------------
+# pure-jnp reference applier (oracle tests; CPU only — uses complex dtypes)
+# ---------------------------------------------------------------------------
+
+
+def _kron_chain(mats):
+    """complex [m, 2, 2] -> [2^m, 2^m] with qubit j = bit j (little-endian)."""
+    out = mats[0]
+    for j in range(1, mats.shape[0]):
+        out = jnp.kron(mats[j], out)
+    return out
+
+
+def apply_fold_pipeline_reference(
+    pipeline: FoldPipeline, n_qubits: int, initial: jax.Array | None = None
+) -> jax.Array:
+    """Apply the pipeline with plain dense kron matrices (oracle).
+
+    Returns statevectors [P, 2, 2^n] in the engine's stacked re/im
+    layout.  O(4^n) per kron layer — test sizes only.
+    """
+    import numpy as np
+
+    factors = np.asarray(pipeline.factors)
+    fac = factors[:, :, :, 0] + 1j * factors[:, :, :, 1]  # [P, L+1, n, 2, 2]
+    phases_ri = np.asarray(pipeline.diag_phase)           # [P, L, D, 2, 2]
+    phases = phases_ri[..., 0] + 1j * phases_ri[..., 1]   # [P, L, D, 2]
+    ctrl = np.asarray(pipeline.diag_ctrl)
+    tgt = np.asarray(pipeline.diag_tgt)
+
+    pop, n_kron = fac.shape[0], fac.shape[1]
+    n_layers = n_kron - 1
+    dim = 1 << n_qubits
+    basis = np.arange(dim)
+
+    out = np.zeros((pop, 2, dim), np.float32)
+    for p in range(pop):
+        if initial is None:
+            state = np.zeros(dim, np.complex128)
+            state[0] = 1.0
+        else:
+            state = np.asarray(initial[p, 0], np.complex128) + 1j * np.asarray(
+                initial[p, 1], np.complex128
+            )
+        for k in range(n_kron):
+            u = np.asarray(_kron_chain(jnp.asarray(fac[p, k])))
+            state = u @ state
+            if k < n_layers:
+                w = np.ones(dim, np.complex128)
+                for j in range(ctrl.shape[2]):
+                    c, t = int(ctrl[p, k, j]), int(tgt[p, k, j])
+                    if c < 0:
+                        continue
+                    cbit = (basis >> c) & 1
+                    tbit = (basis >> t) & 1
+                    phase = np.where(tbit == 1, phases[p, k, j, 1], phases[p, k, j, 0])
+                    w = w * np.where(cbit == 1, phase, 1.0)
+                state = state * w
+        out[p, 0] = state.real.astype(np.float32)
+        out[p, 1] = state.imag.astype(np.float32)
+    return jnp.asarray(out)
