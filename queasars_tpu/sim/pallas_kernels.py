@@ -474,13 +474,19 @@ def _population_sampled_energies_kernel(
     else:
         out_ref, state_re, state_im = rest
         init_ref = None
-    rows = 1 << (n_qubits - LANE_BITS)
-    n_blocks = rows // LANES
-
     _run_circuit_in_vmem(
         gate_types_ref, controls_ref, angles_ref, layer_mask_ref,
         state_re, state_im, n_qubits, n_layers, init_ref,
     )
+    _sample_shots_in_vmem(state_re, state_im, frac_ref, table_ref, out_ref, n_qubits, shots)
+
+
+def _sample_shots_in_vmem(state_re, state_im, frac_ref, table_ref, out_ref, n_qubits, shots):
+    """Shared epilogue of the fused simulate+measure kernels: run the
+    hierarchical inverse-CDF sampler against the VMEM-resident state and
+    store the [S] sampled energies (docstring above)."""
+    rows = 1 << (n_qubits - LANE_BITS)
+    n_blocks = rows // LANES
     probs = state_re[:] * state_re[:] + state_im[:] * state_im[:]
 
     def split3(v):

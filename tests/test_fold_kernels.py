@@ -1,0 +1,128 @@
+"""Folded (MXU) Pallas kernels vs the statevector engine, in the Pallas
+interpreter on CPU.  The hardware cost/accuracy numbers live in
+docs/performance.md; these tests pin the kernel LOGIC: group-fold
+construction from SMEM 2x2 factors, the three axis-group matmuls, the
+controlled-diagonal phase pass, initial states, and the shared sampler
+epilogue."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from queasars_tpu.genome import EVQEPopulation
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
+from queasars_tpu.sim.pallas_fold_kernels import (
+    pallas_energies_exact_folded,
+    pallas_population_probs_folded,
+    pallas_sampled_shot_energies_folded,
+)
+from queasars_tpu.sim.statevector import probabilities, simulate_circuits
+
+
+def _workload(n, layers, pop, seed=0):
+    population = EVQEPopulation.random_population(n, layers, pop, True, random_seed=seed)
+    packed = PackedPopulation.pack(list(population.individuals))
+    pipe = build_fold_pipeline(
+        packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n
+    )
+    return packed, pipe
+
+
+@pytest.mark.parametrize("n", [7, 8, 10, 14, 15])
+def test_probs_match_engine(n):
+    packed, pipe = _workload(n, 2, pop=3, seed=n)
+    got = np.asarray(pallas_population_probs_folded(pipe, n, interpret=True))
+    want = np.asarray(
+        probabilities(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_probs_match_engine_deep_mixed_depths():
+    """Different per-individual depths exercise identity kron layers."""
+    n = 9
+    from queasars_tpu.genome.individual import EVQEIndividual
+
+    individuals = [
+        EVQEIndividual.random_individual(n, d, True, random_seed=40 + d)
+        for d in (1, 3, 5, 2)
+    ]
+    packed = PackedPopulation.pack(individuals)
+    pipe = build_fold_pipeline(
+        packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n
+    )
+    got = np.asarray(pallas_population_probs_folded(pipe, n, interpret=True))
+    want = np.asarray(
+        probabilities(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_energies_match_engine():
+    n = 10
+    packed, pipe = _workload(n, 3, pop=4, seed=2)
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.normal(size=1 << n).astype(np.float32))
+    got = np.asarray(pallas_energies_exact_folded(pipe, table, n, interpret=True))
+    probs_ref = np.asarray(
+        probabilities(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n
+        )
+    )
+    want = probs_ref @ np.asarray(table)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_initial_state_roundtrip():
+    """Folded kernel from a cached prefix state must equal the engine's
+    full-circuit result (the optimizer prefix-cache contract)."""
+    n = 8
+    packed, pipe = _workload(n, 2, pop=3, seed=7)
+    rng = np.random.default_rng(11)
+    raw = rng.normal(size=(3, 2, 1 << n)).astype(np.float32)
+    norm = np.sqrt((raw**2).sum(axis=(1, 2), keepdims=True))
+    initial = jnp.asarray(raw / norm)
+    got = np.asarray(
+        pallas_population_probs_folded(pipe, n, interpret=True, initial=initial)
+    )
+    states = np.asarray(
+        simulate_circuits(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n,
+            initial,
+        )
+    )
+    want = states[:, 0] ** 2 + states[:, 1] ** 2
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_sampled_shot_energies_match_unfolded_stream():
+    """The folded sampler shares the epilogue with the slot-kernel
+    sampler: same uniforms -> same sampled energies."""
+    from queasars_tpu.sim.pallas_kernels import pallas_sampled_shot_energies
+
+    n, shots = 14, 64
+    packed, pipe = _workload(n, 2, pop=2, seed=3)
+    rng = np.random.default_rng(9)
+    table = jnp.asarray(rng.normal(size=1 << n).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(4), packed.n_individuals)
+    frac = jnp.stack([jax.random.uniform(k, (shots,), jnp.float32) for k in keys])
+    got = np.asarray(
+        pallas_sampled_shot_energies_folded(pipe, table, frac, n, shots, interpret=True)
+    )
+    want = np.asarray(
+        pallas_sampled_shot_energies(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask,
+            table, frac, n, shots, interpret=True,
+        )
+    )
+    # identical draws; interpreter matmuls are exact f32, so the only
+    # divergence source is the f32 fold-vs-slot state difference moving a
+    # boundary draw — none on this workload
+    np.testing.assert_allclose(got, want, atol=1e-5)
