@@ -17,6 +17,9 @@ reference ("cpu_jnp_rate") but is NOT the baseline.
 Correctness gate: before reporting, the fused Pallas kernel is compared
 against the jnp engine ON DEVICE at n=8, 16 and 20 (1e-5 on probability
 vectors).  If any check fails the benchmark refuses to report a number.
+The folded (MXU) kernel is measured under the same on-device 1e-5 gate
+and the headline takes the faster of the two kernels ("kernel" field);
+a folded-gate failure only drops that variant, never fakes the headline.
 Set QUEASARS_BENCH_FAST=1 to skip the n=8/16 checks (each is an extra
 multi-minute remote Pallas compile); the n=20 check reuses the benchmark
 kernel shape and always runs.
@@ -98,6 +101,68 @@ def pallas_correctness_check(packed, table) -> None:
         packed.gate_types, packed.controls, packed.angles, packed.layer_mask, N_QUBITS
     )
     print(f"# pallas correctness vs jnp engine: {errors}", file=sys.stderr)
+
+
+def fold_correctness_check(packed) -> None:
+    """Compare the folded (MXU) kernel at HIGHEST precision against the
+    jnp engine on device at the benchmark shape; raise on mismatch.  The
+    folded rate is only reported (and never the headline) unless this
+    gate passes."""
+    import jax
+
+    from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
+    from queasars_tpu.sim.pallas_fold_kernels import pallas_population_probs_folded
+    from queasars_tpu.sim.statevector import probabilities
+
+    pipe = build_fold_pipeline(
+        packed.gate_types, packed.controls, packed.angles, packed.layer_mask, N_QUBITS
+    )
+    got = np.asarray(pallas_population_probs_folded(pipe, N_QUBITS))
+    want = np.asarray(
+        probabilities(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, N_QUBITS
+        )
+    )
+    err = float(np.abs(got - want).max())
+    if err > 1e-5:
+        raise AssertionError(
+            f"folded/jnp probability mismatch at n={N_QUBITS}: max |diff| = {err:.3e}"
+        )
+    print(f"# folded-kernel correctness vs jnp engine: {err:.3e}", file=sys.stderr)
+
+
+def measure_fold_rate(packed, table, repeats: int = 3, scan_iters: int = 40) -> float:
+    """Sustained exact-energy rate through the folded MXU kernels,
+    INCLUDING the per-iteration ``build_fold_pipeline`` cost (production
+    rebuilds the fold whenever angles change)."""
+    from functools import partial as _partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
+    from queasars_tpu.sim.pallas_fold_kernels import pallas_energies_exact_folded
+
+    table_dev = jnp.asarray(table)
+
+    @_partial(jax.jit, static_argnames=("iters",))
+    def scan_evals(gt, c, a, lm, tab, iters):
+        def step(carry, k):
+            pipe = build_fold_pipeline(gt, c, a + 0.001 * k.astype(jnp.float32), lm, N_QUBITS)
+            energies = pallas_energies_exact_folded(pipe, tab, N_QUBITS)
+            return carry + energies, None
+
+        out, _ = jax.lax.scan(step, jnp.zeros(a.shape[0], jnp.float32), jnp.arange(iters))
+        return out
+
+    args = (packed.gate_types, packed.controls, packed.angles, packed.layer_mask, table_dev)
+    np.asarray(scan_evals(*args, scan_iters))
+    np.asarray(scan_evals(*args, scan_iters))
+    start = time.perf_counter()
+    for _ in range(repeats):
+        np.asarray(scan_evals(*args, scan_iters))
+    elapsed = time.perf_counter() - start
+    return POPULATION * repeats * scan_iters / elapsed
 
 
 def measure_rate(packed, table, repeats: int, warmup: int = 2, scan_iters: int = 40) -> float:
@@ -213,7 +278,9 @@ def measure_sweep_rate(packed, z_masks, coeffs, repeats: int = 2) -> tuple[float
     return nfev * packed.n_individuals / per_sweep, float(nfev)
 
 
-def measure_sampler_rate(packed, table, repeats: int = 2, scan_iters: int = 40) -> float:
+def measure_sampler_rate(
+    packed, table, repeats: int = 2, scan_iters: int = 40, use_mxu: bool = False
+) -> float:
     """Sampler-path sustained rate (512-shot CVaR-0.5 objective, the
     reference's notebook configuration) through the in-kernel sampler:
     simulation + hierarchical inverse-CDF measurement fused in one
@@ -237,7 +304,7 @@ def measure_sampler_rate(packed, table, repeats: int = 2, scan_iters: int = 40) 
             energies = population_energies(
                 gt, c, a + 0.001 * k.astype(jnp.float32), lm, tab, dummy, dummy_order,
                 jnp.float32(0.5), ks, n_qubits=N_QUBITS, shots=shots,
-                use_cvar=True, use_shots=True, use_pallas=True,
+                use_cvar=True, use_shots=True, use_pallas=True, use_mxu=use_mxu,
             )
             return carry + energies, None
 
@@ -318,6 +385,18 @@ def main() -> None:
         os.environ["QUEASARS_BENCH_NO_PALLAS"] = "1"
         tpu_rate = measure_rate(packed, table, repeats=2)
 
+    # folded (MXU) kernel: correctness-gated; never reported on failure
+    fold_rate = None
+    if (
+        os.environ.get("QUEASARS_BENCH_NO_FOLD") != "1"
+        and os.environ.get("QUEASARS_BENCH_NO_PALLAS") != "1"
+    ):
+        try:
+            fold_correctness_check(packed)
+            fold_rate = measure_fold_rate(packed, table)
+        except Exception as exc:
+            print(f"# folded-kernel measurement skipped: {exc}", file=sys.stderr)
+
     # hot-path (prefix-cached NFT last-layer sweep) rate — two extra kernel
     # shapes; skip via env or on any failure (the primary metric stands alone)
     sweep_rate = None
@@ -340,6 +419,15 @@ def main() -> None:
         except Exception as exc:
             print(f"# sampler-path measurement skipped: {exc}", file=sys.stderr)
 
+    sampler_fold_rate = None
+    if sampler_rate is not None and fold_rate is not None:
+        # folded simulation + in-VMEM sampler (gated by the fold
+        # correctness check that fold_rate already passed)
+        try:
+            sampler_fold_rate = measure_sampler_rate(packed, table, use_mxu=True)
+        except Exception as exc:
+            print(f"# folded sampler measurement skipped: {exc}", file=sys.stderr)
+
     cpp_rate = measure_cpp_rate(packed, table)
 
     env = dict(os.environ)
@@ -359,11 +447,15 @@ def main() -> None:
         cpu_jnp_rate = None
 
     baseline = cpp_rate if cpp_rate else cpu_jnp_rate
+    best_rate = max(tpu_rate, fold_rate or 0.0)
     result = {
         "metric": "population_circuit_evals_per_sec_20q_pop32",
-        "value": round(tpu_rate, 2),
+        "value": round(best_rate, 2),
         "unit": "evals/s",
-        "vs_baseline": round(tpu_rate / baseline, 2) if baseline else None,
+        "vs_baseline": round(best_rate / baseline, 2) if baseline else None,
+        "kernel": "mxu_fold" if fold_rate and fold_rate > tpu_rate else "vpu_slots",
+        "vpu_rate": round(tpu_rate, 2),
+        "mxu_fold_rate": round(fold_rate, 2) if fold_rate else None,
         "baseline": "aer_proxy_cpp_1core" if cpp_rate else "jnp_cpu_1core",
         "cpp_rate": round(cpp_rate, 2) if cpp_rate else None,
         "cpu_jnp_rate": round(cpu_jnp_rate, 2) if cpu_jnp_rate else None,
@@ -375,7 +467,11 @@ def main() -> None:
         "hot_path_vs_baseline": round(sweep_rate / baseline, 2) if sweep_rate and baseline else None,
         # sampler path (512-shot CVaR objective) through the fully
         # in-kernel sampler — the reference's notebook configuration
-        "sampler_path_evals_per_sec": round(sampler_rate, 2) if sampler_rate else None,
+        "sampler_path_evals_per_sec": round(
+            max(sampler_rate, sampler_fold_rate or 0.0), 2
+        ) if sampler_rate else None,
+        "sampler_vpu_rate": round(sampler_rate, 2) if sampler_rate else None,
+        "sampler_mxu_fold_rate": round(sampler_fold_rate, 2) if sampler_fold_rate else None,
     }
     print(json.dumps(result))
 

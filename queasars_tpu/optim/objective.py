@@ -39,6 +39,7 @@ def population_energies(
     use_general: bool = False,
     precision=None,
     fast_shots=None,
+    use_mxu: bool | None = None,
 ):
     """Energies [P] for the population at the given angle tensor.
 
@@ -87,33 +88,78 @@ def population_energies(
     # start states [P, 2, 2^n] (the layer-prefix cache); a *shared* [2, 2^n]
     # start state falls back to the jnp engine
     pallas_ok = use_pallas and (initial_state is None or initial_state.ndim == 3)
-    if pallas_ok and not use_cvar and not use_shots:
-        from queasars_tpu.sim.pallas_kernels import pallas_energies_exact
+    # MXU kron-fold formulation (sim/fold_pipeline.py): whole circuits as
+    # group matmuls + diagonal phase passes.  Default-on for supported
+    # TPU sizes; opt out via use_mxu=False or QUEASARS_MXU=0
+    # (see mxu_fold_enabled).
+    mxu_ok = pallas_ok and mxu_fold_enabled(use_mxu, n_qubits)
+    if pallas_ok and not mxu_ok and n_qubits > 20:
+        # only the folded kernels reach n=21; without them the slot
+        # kernels cap at 20 and the jnp engine takes over
+        pallas_ok = False
 
-        energies = pallas_energies_exact(
-            gate_types, controls, angles, layer_mask, table, n_qubits, initial=initial_state
-        )
+    def _fold_pipeline():
+        from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
+
+        return build_fold_pipeline(gate_types, controls, angles, layer_mask, n_qubits)
+
+    if pallas_ok and not use_cvar and not use_shots:
+        if mxu_ok:
+            from queasars_tpu.sim.pallas_fold_kernels import pallas_energies_exact_folded
+
+            energies = pallas_energies_exact_folded(
+                _fold_pipeline(), table, n_qubits, initial=initial_state
+            )
+        else:
+            from queasars_tpu.sim.pallas_kernels import pallas_energies_exact
+
+            energies = pallas_energies_exact(
+                gate_types, controls, angles, layer_mask, table, n_qubits, initial=initial_state
+            )
         return _with_precision_noise(energies, keys, precision)
     fast_path = use_shots and (pallas_ok if fast_shots is None else fast_shots)
-    if fast_path and pallas_ok and n_qubits >= 14:
+    # the in-VMEM sampler epilogue caps at n=20 (fold_supported path
+    # ="sampler"); at n=21 the folded probs kernel + XLA-side sampling
+    # below covers the shot path instead
+    if fast_path and pallas_ok and 14 <= n_qubits <= 20:
         # fully in-kernel sampling: simulation AND the hierarchical
         # inverse-CDF run in one kernel, so the probability plane never
         # leaves VMEM — same draw values as sample_indices (frac *
         # total), so the multiset matches up to CDF-rounding boundary
         # flips; the shot-multiset reduction below is shared
-        from queasars_tpu.sim.pallas_kernels import pallas_sampled_shot_energies
-
         frac = jax.vmap(lambda k: jax.random.uniform(k, (shots,), jnp.float32))(keys)
-        shot_energies = pallas_sampled_shot_energies(
-            gate_types, controls, angles, layer_mask, table, frac,
-            n_qubits, shots, initial=initial_state,
-        )
+        if mxu_ok:
+            from queasars_tpu.sim.pallas_fold_kernels import (
+                pallas_sampled_shot_energies_folded,
+            )
+
+            # precision="default" (single-pass bf16 matmuls, 2.5x the
+            # slot kernel vs 1.33x at HIGHEST): the ~1e-3 state error is
+            # far below the shot noise this path exists to model
+            # (1/sqrt(512) ~ 4e-2); exact paths stay at HIGHEST
+            shot_energies = pallas_sampled_shot_energies_folded(
+                _fold_pipeline(), table, frac, n_qubits, shots,
+                precision="default", initial=initial_state,
+            )
+        else:
+            from queasars_tpu.sim.pallas_kernels import pallas_sampled_shot_energies
+
+            shot_energies = pallas_sampled_shot_energies(
+                gate_types, controls, angles, layer_mask, table, frac,
+                n_qubits, shots, initial=initial_state,
+            )
         if use_cvar:
             energies = cvar_expectation_from_shot_energies(shot_energies, alpha)
         else:
             energies = jnp.mean(shot_energies, axis=-1)
         return _with_precision_noise(energies, keys, precision)
-    if pallas_ok:
+    if pallas_ok and mxu_ok:
+        from queasars_tpu.sim.pallas_fold_kernels import pallas_population_probs_folded
+
+        probs = pallas_population_probs_folded(
+            _fold_pipeline(), n_qubits, initial=initial_state
+        )
+    elif pallas_ok:
         from queasars_tpu.sim.pallas_kernels import pallas_population_probs
 
         probs = pallas_population_probs(
@@ -145,6 +191,28 @@ def population_energies(
     return _with_precision_noise(energies, keys, precision)
 
 
+def mxu_fold_enabled(use_mxu: bool | None, n_qubits: int) -> bool:
+    """Resolve the MXU kron-fold knob: explicit ``use_mxu`` wins, else the
+    ``QUEASARS_MXU`` env var (default ON — the folded kernels measured
+    1.33x the slot kernel end-to-end at matching 1e-5 accuracy, see
+    docs/performance.md); either way the folded kernels must support the
+    size (n in [7, 20]) and platform (TPU)."""
+    import os
+
+    from queasars_tpu.sim.pallas_fold_kernels import fold_supported
+
+    if use_mxu is None:
+        use_mxu = os.environ.get("QUEASARS_MXU", "1") == "1"
+    if not use_mxu:
+        return False
+    import jax as _jax
+
+    platform = _jax.default_backend()
+    # interpret-mode tests run the folded kernels on CPU explicitly; the
+    # enablement predicate only opts production TPU paths in
+    return fold_supported(n_qubits, platform)
+
+
 def _with_precision_noise(energies, keys, precision):
     """Seeded Gaussian noise of std ``precision`` per energy (None = off)."""
     if precision is None:
@@ -170,7 +238,15 @@ def objective_operands(evaluator):
 
     import jax
 
+    from queasars_tpu.sim.pallas_fold_kernels import fold_supported
     from queasars_tpu.sim.pallas_kernels import pallas_supported
+
+    def _kernel_ok(n_qubits):
+        # slot kernels cap at n=20; the folded (MXU) kernels extend the
+        # exact/probs paths to n=21 (population_energies falls back to
+        # the jnp engine if the fold is opted out at 21)
+        backend = jax.default_backend()
+        return pallas_supported(n_qubits, backend) or fold_supported(n_qubits, backend)
 
     dummy = jnp.zeros(1, dtype=jnp.float32)
     dummy_order = jnp.zeros(1, dtype=jnp.int32)
@@ -216,7 +292,7 @@ def objective_operands(evaluator):
             use_pallas=(
                 evaluator._use_pallas
                 and evaluator._initial is None
-                and pallas_supported(evaluator.n_qubits, jax.default_backend())
+                and _kernel_ok(evaluator.n_qubits)
             ),
             precision=precision,
         )
@@ -234,7 +310,7 @@ def objective_operands(evaluator):
             use_pallas=(
                 evaluator._use_pallas
                 and evaluator._initial is None
-                and pallas_supported(evaluator.n_qubits, jax.default_backend())
+                and _kernel_ok(evaluator.n_qubits)
             ),
             precision=None,
         )

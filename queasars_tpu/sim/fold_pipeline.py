@@ -208,7 +208,12 @@ def build_fold_pipeline(
     m_im = jnp.concatenate([zmat, main_im], axis=1)
     d_re = jnp.concatenate([vdag_re, eye], axis=1)
     d_im = jnp.concatenate([vdag_im, zmat], axis=1)
-    mm = partial(jnp.einsum, "plqab,plqbc->plqac")
+    # HIGHEST is load-bearing: on TPU this einsum lowers to MXU matmuls
+    # whose default precision is a single bf16 pass (~1e-3 per entry —
+    # measured 8e-3 on circuit probabilities before pinning)
+    mm = partial(
+        jnp.einsum, "plqab,plqbc->plqac", precision=jax.lax.Precision.HIGHEST
+    )
     k_re = mm(d_re, m_re) - mm(d_im, m_im)
     k_im = mm(d_re, m_im) + mm(d_im, m_re)
     factors = jnp.stack([k_re, k_im], axis=3)        # [P, L+1, n, 2, 2, 2]

@@ -318,10 +318,19 @@ def _pipeline_specs(pipeline: FoldPipeline):
     return in_specs, operands, n_kron, d_slots
 
 
-def fold_supported(n_qubits: int, platform: str) -> bool:
+def fold_supported(n_qubits: int, platform: str, path: str = "exact") -> bool:
     """True when the folded MXU path applies (TPU, state fits VMEM, at
-    least one full lane group)."""
-    return platform == "tpu" and LANE_BITS <= n_qubits <= 20
+    least one full lane group).
+
+    The exact/probs kernels reach n=21 — one qubit past the slot
+    kernel's cap (measured: probs match the engine to 2e-8 at n=21; at
+    n=22 Mosaic spills ~144 MB of registers around the top-group Gauss
+    matmuls and the compile is rejected at 176 MB of 128 MB VMEM,
+    experiments/exp_fold_n22.py).  The in-VMEM sampler epilogue needs
+    extra CDF scratch and keeps the 20-qubit cap (``path="sampler"``).
+    """
+    cap = 20 if path == "sampler" else 21
+    return platform == "tpu" and LANE_BITS <= n_qubits <= cap
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "precision", "interpret"))

@@ -126,3 +126,37 @@ def test_sampled_shot_energies_match_unfolded_stream():
     # divergence source is the f32 fold-vs-slot state difference moving a
     # boundary draw — none on this workload
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_mxu_fold_enablement_predicate(monkeypatch):
+    """The production dispatch (optim/objective.py) engages the folded
+    kernels by default but only on a supported platform/size, and both
+    the knob and the env var can veto it."""
+    from queasars_tpu.optim.objective import mxu_fold_enabled
+
+    # default ON, but gated on fold_supported: this test runs on the CPU
+    # backend, where the folded TPU kernels never engage
+    monkeypatch.delenv("QUEASARS_MXU", raising=False)
+    assert mxu_fold_enabled(None, 20) is False
+    assert mxu_fold_enabled(True, 20) is False
+    # explicit False wins over the env var
+    monkeypatch.setenv("QUEASARS_MXU", "1")
+    assert mxu_fold_enabled(False, 20) is False
+    # env opt-out wins over the default
+    monkeypatch.setenv("QUEASARS_MXU", "0")
+    assert mxu_fold_enabled(None, 20) is False
+
+
+def test_fold_supported_ranges():
+    from queasars_tpu.sim.pallas_fold_kernels import fold_supported
+
+    assert fold_supported(20, "tpu")
+    assert fold_supported(7, "tpu")
+    assert not fold_supported(6, "tpu")   # below one lane group
+    # the exact/probs kernels reach one qubit past the slot kernels
+    assert fold_supported(21, "tpu")
+    assert not fold_supported(22, "tpu")  # Mosaic register spill (exp_fold_n22)
+    # the in-VMEM sampler epilogue keeps the 20-qubit cap
+    assert fold_supported(20, "tpu", "sampler")
+    assert not fold_supported(21, "tpu", "sampler")
+    assert not fold_supported(20, "cpu")
