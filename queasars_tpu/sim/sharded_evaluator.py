@@ -147,6 +147,14 @@ def as_amplitude_mesh(mesh: Mesh) -> Mesh:
     return Mesh(mesh.devices.reshape(-1), (AMP_AXIS,))
 
 
+def _fold_default() -> bool:
+    """Default for the evaluator's ``use_fold`` knob: on, unless the
+    ``QUEASARS_SHARD_FOLD`` env var says 0."""
+    import os
+
+    return os.environ.get("QUEASARS_SHARD_FOLD", "1") == "1"
+
+
 def as_pop_amp_mesh(mesh: Mesh, amp_devices: Optional[int] = None) -> Mesh:
     """Coerce any mesh to the 2-D ``(pop, amp)`` form.
 
@@ -199,6 +207,13 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         array); ``"host"`` builds it on the host with f64 accumulation
         (for small n where the exponential JSSP weights need the extra
         carry) and ships each device only its shard
+    :param use_fold: route the exact diagonal estimator path through the
+        kron-fold application (sim/sharded_fold.py: group matmuls for the
+        shard-local low qubits + per-qubit combines above, instead of one
+        barriered pass per genome slot).  Default (None) = on, unless
+        ``QUEASARS_SHARD_FOLD=0``; results stay bit-identical across
+        (pop, amp) factorizations either way, but the fold's float
+        stream differs from the per-gate path's (~1e-6 on energies)
     """
 
     def __init__(
@@ -212,6 +227,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         initial_state: Union[np.ndarray, EVQEIndividual, None] = None,
         amp_devices: Optional[int] = None,
         table_mode: str = "device",
+        use_fold: Optional[bool] = None,
     ):
         super().__init__(operator.n_qubits)
         if not 0 < alpha <= 1:
@@ -274,6 +290,18 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             self._table = None
 
         self._initial = self._prepare_initial_sharded(initial_state)
+        # fold applies to the exact diagonal estimator path; other paths
+        # (CVaR, shots, general operators) keep the per-gate engine.  The
+        # enablement must never depend on the device count (the mesh
+        # bit-identity invariant) — it reads only the knob/env
+        self._use_fold = (
+            (
+                (_fold_default() and self.n_qubits >= 10)
+                if use_fold is None
+                else bool(use_fold)
+            )
+            and self._diagonal
+        )
         self._key = jax.random.PRNGKey(seed)
         self._counter = 0
         self._fns: dict = {}
@@ -376,6 +404,19 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 ),
             )
         return self._fns[shape]
+
+    def _fold_fn(self, packed):
+        """Compiled folded exact-energies function (sharded_fold.py)."""
+        key = ("fold", packed.max_layers, self._initial is not None)
+        if key not in self._fns:
+            from queasars_tpu.sim.sharded_fold import (
+                make_folded_population_energies_fn,
+            )
+
+            self._fns[key] = make_folded_population_energies_fn(
+                self.mesh, self.n_qubits, with_initial=self._initial is not None
+            )
+        return self._fns[key]
 
     def _general_fn(self):
         key = ("general", self._initial is not None)
@@ -772,6 +813,8 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             return self._apply_precision_noise(np.asarray(out)[:pop])
         energies_fn, probs_fn = self._shape_fns(packed)
         if self.alpha >= 1.0 and self.shots is None:
+            if self._use_fold:
+                energies_fn = self._fold_fn(packed)
             args = self._pop_args(packed, a)
             out = energies_fn(*args, self._table, *self._initial_extra())
             return self._apply_precision_noise(np.asarray(out)[:pop])

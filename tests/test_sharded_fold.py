@@ -1,0 +1,148 @@
+"""Folded (kron-layer) amplitude-sharded application: correctness vs the
+single-chip engine, bit-identity across every (pop, amp) factorization,
+initial states, and the evaluator integration.
+
+The fold boundary must be factorization-independent
+(default_folded_bits) — these tests are the contract that lets the
+folded path keep the mesh bit-identity invariant of the per-gate
+sharded engine (tests/test_pop_amp_mesh.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from queasars_tpu.genome import EVQEPopulation
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.sim.sharded_fold import (
+    check_folded_bits,
+    default_folded_bits,
+    make_folded_population_energies_fn,
+)
+from queasars_tpu.sim.statevector import probabilities, simulate_circuits
+
+FACTORIZATIONS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+def _mesh(shape):
+    return Mesh(np.array(jax.devices()).reshape(shape), ("pop", "amp"))
+
+
+def _workload(n, layers=3, pop=8, seed=4):
+    population = EVQEPopulation.random_population(n, layers, pop, True, random_seed=seed)
+    packed = PackedPopulation.pack(list(population.individuals))
+    table = np.random.default_rng(0).normal(size=1 << n).astype(np.float32)
+    return packed, table
+
+
+def _engine_energies(packed, table, n, initial=None):
+    probs = np.asarray(
+        probabilities(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n,
+            initial,
+        )
+    )
+    return probs @ table
+
+
+@pytest.mark.parametrize("n_qubits", [10, 12])
+def test_folded_energies_match_engine_across_factorizations(n_qubits):
+    packed, table = _workload(n_qubits)
+    want = _engine_energies(packed, table, n_qubits)
+    results = []
+    for shape in FACTORIZATIONS:
+        fn = make_folded_population_energies_fn(_mesh(shape), n_qubits)
+        out = np.asarray(
+            fn(
+                packed.gate_types, packed.controls, packed.angles,
+                packed.layer_mask, jnp.asarray(table),
+            )
+        )
+        np.testing.assert_allclose(out, want, atol=5e-5)
+        results.append(out)
+    for out in results[1:]:
+        # bitwise, not allclose: the mesh bit-identity invariant
+        assert np.array_equal(out, results[0])
+
+
+def test_folded_energies_with_initial_state():
+    n = 10
+    packed, table = _workload(n, pop=8, seed=7)
+    rng = np.random.default_rng(3)
+    raw = rng.normal(size=(2, 1 << n)).astype(np.float32)
+    raw /= np.sqrt((raw**2).sum())
+    initial = jnp.asarray(raw)
+    want = _engine_energies(packed, table, n, initial=initial)
+    results = []
+    for shape in [(8, 1), (2, 4)]:
+        fn = make_folded_population_energies_fn(_mesh(shape), n, with_initial=True)
+        out = np.asarray(
+            fn(
+                packed.gate_types, packed.controls, packed.angles,
+                packed.layer_mask, jnp.asarray(table), initial,
+            )
+        )
+        np.testing.assert_allclose(out, want, atol=5e-5)
+        results.append(out)
+    assert np.array_equal(results[0], results[1])
+
+
+def test_default_folded_bits_and_validation():
+    assert default_folded_bits(10) == 7
+    assert default_folded_bits(12) == 9
+    assert default_folded_bits(17) == 14
+    assert default_folded_bits(22) == 14
+    # a mesh whose shards are smaller than the fold boundary is rejected
+    mesh = _mesh((1, 8))
+    with pytest.raises(ValueError):
+        check_folded_bits(mesh, 10, 9)  # local_bits = 7 < 9
+    with pytest.raises(ValueError):
+        check_folded_bits(mesh, 10, 5)  # below the lane group
+    check_folded_bits(mesh, 10, 7)
+
+
+def test_evaluator_uses_fold_by_default():
+    """The amp-sharded evaluator's exact estimator path routes through the
+    folded application (and matches the per-gate path numerically)."""
+    from queasars_tpu.paulis import PauliSum
+    from queasars_tpu.sim.sharded_evaluator import AmplitudeShardedExpectationEvaluator
+
+    n = 10
+    packed, _ = _workload(n, pop=8, seed=9)
+    rng = np.random.default_rng(1)
+    k = 12
+    operator = PauliSum(
+        n_qubits=n,
+        coeffs=rng.normal(size=k).astype(np.complex128),
+        z=rng.integers(0, 1 << n, size=(k, 1)).astype(np.uint64),
+        x=np.zeros((k, 1), np.uint64),
+    )
+    fold_ev = AmplitudeShardedExpectationEvaluator(operator, _mesh((2, 4)))
+    assert fold_ev._use_fold
+    slot_ev = AmplitudeShardedExpectationEvaluator(
+        operator, _mesh((2, 4)), use_fold=False
+    )
+    assert not slot_ev._use_fold
+    got = fold_ev.evaluate_packed(packed)
+    want = slot_ev.evaluate_packed(packed)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+    # the env var vetoes the default (monkeypatch-free: explicit arg
+    # equivalence is covered above; here pin the env resolution helper)
+    import os
+
+    from queasars_tpu.sim.sharded_evaluator import _fold_default
+
+    old = os.environ.pop("QUEASARS_SHARD_FOLD", None)
+    try:
+        assert _fold_default() is True
+        os.environ["QUEASARS_SHARD_FOLD"] = "0"
+        assert _fold_default() is False
+    finally:
+        if old is None:
+            os.environ.pop("QUEASARS_SHARD_FOLD", None)
+        else:
+            os.environ["QUEASARS_SHARD_FOLD"] = old
