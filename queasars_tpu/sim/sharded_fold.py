@@ -40,8 +40,6 @@ all (SURVEY.md §2.3 P4).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -50,7 +48,6 @@ from jax import shard_map
 from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
 from queasars_tpu.sim.sharded_statevector import (
     AMP_AXIS,
-    POP_AXIS,
     _blockwise_energy,
     _mesh_bits,
     _partner_combine,
