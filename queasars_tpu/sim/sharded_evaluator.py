@@ -36,10 +36,11 @@ Distribution notes:
 - general (non-diagonal) Pauli sums are supported on the exact path:
   cross-shard X flips ride one ``ppermute`` per distinct global X mask
   (the same machinery the global-qubit gates use);
-- the exact shot-free CVaR path needs the GLOBAL energy order: it builds
-  the host table + argsort once and gathers the probability array by
-  energy order (documented ceiling ``CVAR_EXACT_MAX_QUBITS``; finite
-  shots lift it);
+- exact shot-free CVaR is fully distributed: the alpha-quantile energy
+  level is found by bisection on the cumulative mass (fixed-tree
+  blockwise psums per step) — no global sort, no gather of the 2^n
+  distribution, no host table, no qubit ceiling (see
+  :meth:`AmplitudeShardedExpectationEvaluator._exact_cvar_fn`);
 - finite-shot paths (any alpha) are fully distributed: hierarchical
   inverse-CDF sampling over the shards followed by the shot-multiset
   expectation/CVaR reduction — no 2^n array ever leaves the mesh;
@@ -47,9 +48,7 @@ Distribution notes:
   as an amp-sharded state and every simulation re-enters it
   shard-locally (the reference prepends initial-state circuits on every
   path, circuit_evaluation.py:148-149,201-202,272-273);
-- multi-controller meshes are supported everywhere except the exact
-  shot-free CVaR path (the energy-order gather of the full
-  distribution stays single-controller).
+- multi-controller meshes are supported on every path.
 """
 
 from __future__ import annotations
@@ -69,7 +68,6 @@ from queasars_tpu.optim.nft_math import nft_three_point_update
 from queasars_tpu.paulis import PauliSum
 from queasars_tpu.paulis.diagonal import diagonal_energy_table, diagonal_terms
 from queasars_tpu.sim.evaluators import BaseCircuitEvaluator, CircuitEvaluatorException
-from queasars_tpu.sim.expectation import cvar_expectation_from_probs
 from queasars_tpu.sim.sharded_statevector import (
     AMP_AXIS,
     POP_AXIS,
@@ -88,9 +86,6 @@ from queasars_tpu.sim.sharded_statevector import (
 #: trajectories stay bit-identical across factorizations
 POPULATION_PAD = 8
 
-#: the exact (shot-free) CVaR path sorts the FULL energy table on the
-#: host — a documented scaling ceiling (finite-shot CVaR has none)
-CVAR_EXACT_MAX_QUBITS = 26
 
 
 def _nft_scan_body(objective, angles, coords, n_free, active, pop, pop_idx, maxiter, reset_interval):
@@ -248,28 +243,15 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
 
         self._diagonal = operator.is_diagonal
         if self._diagonal:
-            exact_cvar = self.alpha < 1.0 and self.shots is None
-            if exact_cvar and self.n_qubits > CVAR_EXACT_MAX_QUBITS:
-                # the exact CVaR tail needs the GLOBAL energy order — the
-                # one remaining host-table path, with a documented ceiling
-                # (finite-shot CVaR is fully distributed and has none)
-                raise CircuitEvaluatorException(
-                    f"the exact (shot-free) CVaR path sorts the full 2^n energy "
-                    f"table on the host and is limited to "
-                    f"{CVAR_EXACT_MAX_QUBITS} qubits; configure finite shots "
-                    f"for distributed CVaR at this size"
-                )
             coeffs, z_masks = diagonal_terms(operator)
             if table_mode == "host":
                 table = diagonal_energy_table(operator, dtype=np.float32)
                 self._table = self._place_table(table)
             else:
                 self._table = build_device_table(self.mesh, coeffs, z_masks, self.n_qubits)
-            if exact_cvar:
-                table = diagonal_energy_table(operator, dtype=np.float32)
-                order = np.argsort(table, kind="stable").astype(np.int32)
-                self._order = jnp.asarray(order)
-                self._sorted = jnp.asarray(table[order])
+            # strict upper bound on |energy| for the exact-CVaR quantile
+            # bisection (every diagonal energy is a signed coefficient sum)
+            self._energy_bound = float(np.abs(coeffs).sum()) + 1.0
         else:
             if self.shots is not None:
                 raise CircuitEvaluatorException(
@@ -785,6 +767,96 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         return mapped
 
     # ------------------------------------------------------------------
+    # exact (shot-free) CVaR, fully distributed
+    # ------------------------------------------------------------------
+
+    def _exact_cvar_fn(self):
+        """Compiled distributed exact CVaR: no global sort, no gather of
+        the 2^n distribution, no host table — so no qubit ceiling and
+        multi-controller safe.
+
+        Per individual, the alpha-quantile energy level V is found by
+        bisection on the cumulative mass ``M(tau) = sum p_i [E_i < tau]``
+        (one fixed-tree blockwise psum per step, so every amp shard holds
+        identical replicated bounds).  The loop contracts the interval
+        until no representable f32 separates its ends; the invariant
+        ``M(lo) < alpha <= M(hi)`` then forces ``lo`` to be EXACTLY the
+        marginal energy level (some state has energy == lo, else
+        ``M(hi) == M(lo)`` contradicts the invariant).  The tail value is
+        the reference's sequential accumulation semantics
+        (expectation_calculation.py:14-32) pooled by level:
+        ``(sum_{E<V} pE + (alpha - M(V)) * V) / alpha``.
+
+        Cross-factorization bit-identity holds because every reduction is
+        a :func:`_blockwise_sum` fixed tree and the iteration sequence
+        depends only on those replicated sums."""
+        from jax import shard_map
+
+        key = "exact_cvar"
+        if key in self._fns:
+            return self._fns[key]
+
+        from queasars_tpu.sim.sharded_statevector import _blockwise_sum, _simulate_local
+
+        n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
+        n_amp = self.n_amp_devices
+        n_qubits = self.n_qubits
+        bound = np.float32(self._energy_bound)
+
+        def exact_cvar(gate_types, controls, angles, layer_mask, alpha, table_local,
+                       initial_local=None):
+            device_id = jax.lax.axis_index(AMP_AXIS)
+
+            def one(args):
+                gt, ctrl, ang, lm = args
+                state = _simulate_local(
+                    gt, ctrl, ang, lm, device_id, local_bits, n_devices, n_qubits,
+                    initial_local=initial_local,
+                )
+                p = state[0] ** 2 + state[1] ** 2
+
+                def mass_below(tau):
+                    return _blockwise_sum(
+                        jnp.where(table_local < tau, p, 0.0), n_amp, n_qubits
+                    )
+
+                def not_adjacent(carry):
+                    lo, hi = carry
+                    mid = 0.5 * (lo + hi)
+                    return jnp.logical_and(mid != lo, mid != hi)
+
+                def halve(carry):
+                    lo, hi = carry
+                    mid = 0.5 * (lo + hi)
+                    below = mass_below(mid) < alpha
+                    return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+                lo, _ = jax.lax.while_loop(
+                    not_adjacent, halve, (jnp.float32(-bound), jnp.float32(bound))
+                )
+                tail = table_local < lo
+                m_below = _blockwise_sum(jnp.where(tail, p, 0.0), n_amp, n_qubits)
+                s_below = _blockwise_sum(
+                    jnp.where(tail, p * table_local, 0.0), n_amp, n_qubits
+                )
+                return (s_below + (alpha - m_below) * lo) / alpha
+
+            return jax.lax.map(one, (gate_types, controls, angles, layer_mask))
+
+        initial_spec = (P(None, AMP_AXIS),) if self._initial is not None else ()
+        mapped = jax.jit(
+            shard_map(
+                exact_cvar,
+                mesh=self.mesh,
+                in_specs=(P(POP_AXIS),) * 4 + (P(), P(AMP_AXIS)) + initial_spec,
+                out_specs=P(POP_AXIS),
+                check_vma=False,
+            )
+        )
+        self._fns[key] = mapped
+        return mapped
+
+    # ------------------------------------------------------------------
     # the evaluate_packed contract
     # ------------------------------------------------------------------
 
@@ -811,7 +883,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             )
             out = fn(*args, *terms, *self._initial_extra())
             return self._apply_precision_noise(np.asarray(out)[:pop])
-        energies_fn, probs_fn = self._shape_fns(packed)
+        energies_fn, _ = self._shape_fns(packed)
         if self.alpha >= 1.0 and self.shots is None:
             if self._use_fold:
                 energies_fn = self._fold_fn(packed)
@@ -827,16 +899,9 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             args = self._pop_args(packed, a, extra=(keys,))
             out = fn(*args, jnp.float32(self.alpha), self._table, *self._initial_extra())
             return self._apply_precision_noise(np.asarray(out)[:pop])
-        if jax.process_count() > 1:
-            raise CircuitEvaluatorException(
-                "the exact (shot-free) CVaR amplitude-sharded path gathers the "
-                "full probability array by energy order and is single-process "
-                "only; use alpha=1 exact energies or finite shots on "
-                "multi-controller meshes"
-            )
+        # exact (shot-free) CVaR: distributed quantile bisection — no
+        # global sort or gather, no qubit ceiling, multi-controller safe
+        fn = self._exact_cvar_fn()
         args = self._pop_args(packed, a)
-        probs = probs_fn(*args, *self._initial_extra())
-        out = cvar_expectation_from_probs(
-            probs, self._sorted, self._order, jnp.float32(self.alpha)
-        )
+        out = fn(*args, jnp.float32(self.alpha), self._table, *self._initial_extra())
         return self._apply_precision_noise(np.asarray(out)[:pop])

@@ -231,13 +231,45 @@ def test_device_table_matches_host_table():
         np.testing.assert_allclose(device, host, atol=1e-4)
 
 
-def test_exact_cvar_ceiling_raises():
-    n_qubits = 28
-    operator = PauliSum.sum([pauli_z_string(0, n_qubits)])
-    with pytest.raises(CircuitEvaluatorException, match="limited to"):
-        AmplitudeShardedExpectationEvaluator(
-            operator, mesh=pop_amp_mesh(1, 8), alpha=0.5
+def test_exact_cvar_no_host_table_and_no_ceiling(monkeypatch):
+    """The exact shot-free CVaR path is fully distributed (round-3): no
+    host energy table, no argsort of the 2^n spectrum, and construction
+    past the old 26-qubit ceiling succeeds."""
+    import queasars_tpu.sim.sharded_evaluator as se
+
+    def boom(*args, **kwargs):
+        raise AssertionError("host energy table must not be built for exact CVaR")
+
+    monkeypatch.setattr(se, "diagonal_energy_table", boom)
+    # past the old ceiling: construction must not raise or touch the host table
+    big = PauliSum.sum([pauli_z_string(0, 28)])
+    AmplitudeShardedExpectationEvaluator(big, mesh=pop_amp_mesh(1, 8), alpha=0.5)
+    # value parity with the single-chip sorted-accumulation path
+    packed = _population(n_qubits=9, pop=3)
+    operator = _chain(packed.n_qubits)
+    evaluator = AmplitudeShardedExpectationEvaluator(
+        operator, mesh=pop_amp_mesh(2, 4), alpha=0.4
+    )
+    single = StatevectorExpectationEvaluator(operator, alpha=0.4)
+    np.testing.assert_allclose(
+        evaluator.evaluate_packed(packed), single.evaluate_packed(packed), atol=1e-5
+    )
+
+
+def test_exact_cvar_bit_identical_across_factorizations():
+    """The distributed CVaR bisection reduces with the same fixed trees
+    as the exact energies, so results are bitwise identical across every
+    (pop, amp) factorization of the same devices."""
+    packed = _population(n_qubits=8, pop=4, layers=2, seed=3)
+    operator = _chain(packed.n_qubits)
+    results = []
+    for n_pop, n_amp in [(8, 1), (4, 2), (2, 4), (1, 8)]:
+        evaluator = AmplitudeShardedExpectationEvaluator(
+            operator, mesh=pop_amp_mesh(n_pop, n_amp), alpha=0.25
         )
+        results.append(evaluator.evaluate_packed(packed))
+    for other in results[1:]:
+        np.testing.assert_array_equal(results[0], other)
 
 
 # ---------------------------------------------------------------------------
