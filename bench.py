@@ -104,8 +104,9 @@ def pallas_correctness_check(packed, table) -> None:
 
 
 def fold_correctness_check(packed) -> None:
-    """Compare the folded (MXU) kernel at HIGHEST precision against the
-    jnp engine on device at the benchmark shape; raise on mismatch.  The
+    """Compare the folded (MXU) kernel at the PRODUCTION exact precision
+    ("high" = emulated bf16x3, the objective.py default) against the jnp
+    engine on device at the benchmark shape; raise on mismatch.  The
     folded rate is only reported (and never the headline) unless this
     gate passes."""
     import jax
@@ -117,7 +118,7 @@ def fold_correctness_check(packed) -> None:
     pipe = build_fold_pipeline(
         packed.gate_types, packed.controls, packed.angles, packed.layer_mask, N_QUBITS
     )
-    got = np.asarray(pallas_population_probs_folded(pipe, N_QUBITS))
+    got = np.asarray(pallas_population_probs_folded(pipe, N_QUBITS, precision="high"))
     want = np.asarray(
         probabilities(
             packed.gate_types, packed.controls, packed.angles, packed.layer_mask, N_QUBITS
@@ -149,7 +150,7 @@ def measure_fold_rate(packed, table, repeats: int = 3, scan_iters: int = 40) -> 
     def scan_evals(gt, c, a, lm, tab, iters):
         def step(carry, k):
             pipe = build_fold_pipeline(gt, c, a + 0.001 * k.astype(jnp.float32), lm, N_QUBITS)
-            energies = pallas_energies_exact_folded(pipe, tab, N_QUBITS)
+            energies = pallas_energies_exact_folded(pipe, tab, N_QUBITS, precision="high")
             return carry + energies, None
 
         out, _ = jax.lax.scan(step, jnp.zeros(a.shape[0], jnp.float32), jnp.arange(iters))

@@ -51,7 +51,11 @@ import jax.numpy as jnp
 
 from queasars_tpu.genome.packing import PackedPopulation
 from queasars_tpu.optim.nft_math import nft_three_point_update
-from queasars_tpu.optim.objective import objective_operands, population_energies
+from queasars_tpu.optim.objective import (
+    objective_operands,
+    population_energies,
+    slot_kernels_ok as _slot_kernels_ok,
+)
 from queasars_tpu.optim.prefix import prefix_enabled
 
 
@@ -311,7 +315,9 @@ def _nft_slots_scan(
         coords, n_free, active, keys, slot_layer = xs
         prefix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] < slot_layer[:, None])
         suffix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] >= slot_layer[:, None])
-        if use_pallas:
+        if use_pallas and (
+            _slot_kernels_ok(n_qubits) or jax.default_backend() != "tpu"
+        ):
             from queasars_tpu.sim.pallas_kernels import pallas_population_states
 
             prefix_state = pallas_population_states(
@@ -451,7 +457,7 @@ class BatchedNFT:
         a_in = np.asarray(a)
         coords_in = np.asarray(coords)
         initial = operands["initial_state"]
-        if use_prefix and self._in_kernel_sweep_applies(operands):
+        if use_prefix and self._in_kernel_sweep_applies(operands, packed.n_qubits):
             return self._minimize_in_kernel(
                 packed, coords_in, n_free, active, a_in, last_layer, operands
             )
@@ -466,7 +472,18 @@ class BatchedNFT:
                 lm, np.arange(packed.max_layers)[None, :] < ll[:, None]
             )
             prefix_args = (gt, ctrl, prefix_mask, a_in)
-            prefix_mode = "pallas" if operands.get("use_pallas", False) else "jnp"
+            # on TPU the states kernel caps at n=20 (folded probe kernels
+            # reach 22): past it the jnp engine simulates the prefix once
+            # and the probes still run folded
+            states_ok = (
+                _slot_kernels_ok(packed.n_qubits)
+                or jax.default_backend() != "tpu"
+            )
+            prefix_mode = (
+                "pallas"
+                if operands.get("use_pallas", False) and states_ok
+                else "jnp"
+            )
             full_angles = a_in
             gt = np.take_along_axis(gt, ll[:, None, None], axis=1)
             ctrl = np.take_along_axis(ctrl, ll[:, None, None], axis=1)
@@ -643,14 +660,20 @@ class BatchedNFT:
             self.config.n_circuit_evaluations(),
         )
 
-    def _in_kernel_sweep_applies(self, operands) -> bool:
+    def _in_kernel_sweep_applies(self, operands, n_qubits: int = 0, backend: str | None = None) -> bool:
         """The fully-in-kernel last-layer sweep covers the exact diagonal
         Pallas objective (no shots / CVaR / general terms / precision
-        noise / five-point / shared initial state)."""
+        noise / five-point / shared initial state) at the SLOT kernels'
+        sizes — on TPU, past their n=20 cap (the folded probe kernels
+        reach 22) the scan path with a jnp prefix takes over.  Off the
+        TPU the kernels interpret at any size (CPU tests)."""
         flag = self.config.in_kernel_sweep
         if flag is False:
             return False
         if not operands.get("use_pallas", False) and flag is not True:
+            return False
+        backend = jax.default_backend() if backend is None else backend
+        if backend == "tpu" and not _slot_kernels_ok(n_qubits):
             return False
         return (
             not operands["use_shots"]

@@ -94,7 +94,7 @@ def population_energies(
     # (see mxu_fold_enabled).
     mxu_ok = pallas_ok and mxu_fold_enabled(use_mxu, n_qubits)
     if pallas_ok and not mxu_ok and n_qubits > 20:
-        # only the folded kernels reach n=21; without them the slot
+        # only the folded kernels reach n=21-22; without them the slot
         # kernels cap at 20 and the jnp engine takes over
         pallas_ok = False
 
@@ -107,8 +107,12 @@ def population_energies(
         if mxu_ok:
             from queasars_tpu.sim.pallas_fold_kernels import pallas_energies_exact_folded
 
+            # precision="high" (emulated bf16x3): 2.5e-7 full-circuit
+            # state error (40x inside the 1e-5 engine gate) at 1.31x the
+            # HIGHEST rate — measured at n=20/pop-32, docs/performance.md
             energies = pallas_energies_exact_folded(
-                _fold_pipeline(), table, n_qubits, initial=initial_state
+                _fold_pipeline(), table, n_qubits, precision="high",
+                initial=initial_state,
             )
         else:
             from queasars_tpu.sim.pallas_kernels import pallas_energies_exact
@@ -157,7 +161,7 @@ def population_energies(
         from queasars_tpu.sim.pallas_fold_kernels import pallas_population_probs_folded
 
         probs = pallas_population_probs_folded(
-            _fold_pipeline(), n_qubits, initial=initial_state
+            _fold_pipeline(), n_qubits, precision="high", initial=initial_state
         )
     elif pallas_ok:
         from queasars_tpu.sim.pallas_kernels import pallas_population_probs
@@ -191,12 +195,25 @@ def population_energies(
     return _with_precision_noise(energies, keys, precision)
 
 
+def slot_kernels_ok(n_qubits: int) -> bool:
+    """True when the per-slot VMEM kernels (states / in-kernel sweep)
+    support the size on TPU.  ``use_pallas`` operands can be true past
+    the slot kernels' n=20 cap — the folded MXU kernels extend the
+    probes' exact/probs paths to n=22 — so prefix simulation and the
+    in-kernel sweep must check the SLOT kernels' own cap before
+    launching one (past it, the jnp engine simulates the prefix and the
+    probes still run folded)."""
+    from queasars_tpu.sim.pallas_kernels import pallas_supported
+
+    return pallas_supported(n_qubits, "tpu")
+
+
 def mxu_fold_enabled(use_mxu: bool | None, n_qubits: int) -> bool:
     """Resolve the MXU kron-fold knob: explicit ``use_mxu`` wins, else the
     ``QUEASARS_MXU`` env var (default ON — the folded kernels measured
-    1.33x the slot kernel end-to-end at matching 1e-5 accuracy, see
+    1.73x the slot kernel end-to-end at matching 1e-5 accuracy, see
     docs/performance.md); either way the folded kernels must support the
-    size (n in [7, 20]) and platform (TPU)."""
+    size (n in [7, 22]) and platform (TPU)."""
     import os
 
     from queasars_tpu.sim.pallas_fold_kernels import fold_supported

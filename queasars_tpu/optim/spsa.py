@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from queasars_tpu.genome.packing import PackedPopulation
-from queasars_tpu.optim.objective import objective_operands, population_energies
+from queasars_tpu.optim.objective import (
+    objective_operands,
+    population_energies,
+    slot_kernels_ok as _slot_kernels_ok,
+)
 from queasars_tpu.optim.spsa_termination import SPSATerminationChecker
 
 
@@ -205,7 +209,9 @@ def _spsa_slots_scan(
         coords, coord_mask, active, keys, slot_layer = xs
         prefix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] < slot_layer[:, None])
         suffix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] >= slot_layer[:, None])
-        if use_pallas:
+        if use_pallas and (
+            _slot_kernels_ok(n_qubits) or jax.default_backend() != "tpu"
+        ):
             from queasars_tpu.sim.pallas_kernels import pallas_population_states
 
             prefix_state = pallas_population_states(

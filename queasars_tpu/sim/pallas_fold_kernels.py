@@ -48,14 +48,45 @@ from jax.experimental.pallas import tpu as pltpu
 from queasars_tpu.sim.fold_pipeline import FoldPipeline, n_axis_groups
 from queasars_tpu.sim.pallas_kernels import LANE_BITS, LANES, _sample_shots_in_vmem
 
-_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST, "default": None}
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions; "high" is
+    # emulated in _gauss_mm as the same bf16x3 scheme Precision.HIGH
+    # compiles to (split both operands into bf16 limbs, drop lo@lo) —
+    # half the MXU passes of HIGHEST.
+    "high": "bf16x3",
+    "default": None,
+}
+
+# Past this many state rows, whole-state group matmuls would overflow
+# VMEM with their Gauss temporaries (3 full planes); the kernels switch
+# to chunk-bounded application.  Tests shrink these to exercise the
+# chunked paths in interpret mode at small n.
+_WHOLE_STATE_MAX_ROWS = 1 << 14
+_LANE_CHUNK_ROWS = 1 << 12
+_TOP_SUB_CHUNK_ROWS = 1 << 9
+
+
+def _mm_bf16x3(a, b, dims):
+    """Three-pass bf16 matmul (the scheme ``Precision.HIGH`` lowers to):
+    split both operands into bf16 limbs, accumulate hi@hi + hi@lo +
+    lo@hi in f32, drop lo@lo (~2^-16 relative)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mm = lambda x, y: jax.lax.dot_general(x, y, dims, preferred_element_type=jnp.float32)
+    return mm(a_hi, b_hi) + mm(a_hi, b_lo) + mm(a_lo, b_hi)
 
 
 def _gauss_mm(ar, ai, br, bi, dims, precision):
     """Complex matmul via Gauss's 3-multiplication trick."""
-    mm = lambda a, b: jax.lax.dot_general(
-        a, b, dims, preferred_element_type=jnp.float32, precision=precision
-    )
+    if precision == "bf16x3":
+        mm = lambda a, b: _mm_bf16x3(a, b, dims)
+    else:
+        mm = lambda a, b: jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32, precision=precision
+        )
     t1 = mm(ar, br)
     t2 = mm(ai, bi)
     t3 = mm(ar + ai, br + bi)
@@ -111,14 +142,25 @@ def _apply_kron_layer(
     rows = 1 << (n_qubits - LANE_BITS)
     n_groups = n_axis_groups(n_qubits)
 
-    # lane group: contract the lane axis, state @ U^T
+    # lane group: contract the lane axis, state @ U^T.  Past n=21 the
+    # whole-state Gauss temporaries (3 full planes) overflow VMEM, so the
+    # matmul runs over row chunks (each output row depends only on the
+    # same input rows — chunked in-place application is exact)
     @pl.when(group_active_ref[0, k, 0] != 0)
     def _():
         u_re, u_im = _build_group_fold(factors_ref, k, 0, LANE_BITS)
         dims = (((1,), (1,)), ((), ()))
-        re, im = _gauss_mm(state_re[:], state_im[:], u_re, u_im, dims, precision)
-        state_re[:] = re
-        state_im[:] = im
+        if rows <= _WHOLE_STATE_MAX_ROWS:
+            re, im = _gauss_mm(state_re[:], state_im[:], u_re, u_im, dims, precision)
+            state_re[:] = re
+            state_im[:] = im
+        else:
+            chunk = min(_LANE_CHUNK_ROWS, rows)
+            for h in range(rows // chunk):
+                sl = slice(h * chunk, (h + 1) * chunk)
+                re, im = _gauss_mm(state_re[sl, :], state_im[sl, :], u_re, u_im, dims, precision)
+                state_re[sl, :] = re
+                state_im[sl, :] = im
 
     if n_groups >= 2:
         m1 = min(LANE_BITS, n_qubits - LANE_BITS)
@@ -137,16 +179,56 @@ def _apply_kron_layer(
     if n_groups >= 3:
         m2 = n_qubits - 2 * LANE_BITS
         blocks = 1 << m2
+        dims = (((1,), (0,)), ((), ()))
 
-        @pl.when(group_active_ref[0, k, 2] != 0)
-        def _():
-            u_re, u_im = _build_group_fold(factors_ref, k, 2 * LANE_BITS, m2)
-            dims = (((1,), (0,)), ((), ()))
-            xr = state_re[:].reshape(blocks, LANES, LANES)
-            xi = state_im[:].reshape(blocks, LANES, LANES)
-            re, im = _gauss_mm(u_re, u_im, xr, xi, dims, precision)
-            state_re[:] = re.reshape(rows, LANES)
-            state_im[:] = im.reshape(rows, LANES)
+        if blocks * LANES <= _WHOLE_STATE_MAX_ROWS:
+
+            @pl.when(group_active_ref[0, k, 2] != 0)
+            def _():
+                u_re, u_im = _build_group_fold(factors_ref, k, 2 * LANE_BITS, m2)
+                xr = state_re[:].reshape(blocks, LANES, LANES)
+                xi = state_im[:].reshape(blocks, LANES, LANES)
+                re, im = _gauss_mm(u_re, u_im, xr, xi, dims, precision)
+                state_re[:] = re.reshape(rows, LANES)
+                state_im[:] = im.reshape(rows, LANES)
+
+        else:
+            # n=22: the single [2^m2, 2^m2] block contraction spills VMEM
+            # (3 full-plane Gauss temporaries).  The group matrix is itself
+            # a kron product, so split it into two sub-kron contractions —
+            # low block bits (contiguous [sA, 128, 128] chunks) then high
+            # block bits (strided chunks stacked per hi value) — each with
+            # chunk-bounded temporaries.
+            m2a = m2 // 2
+            m2b = m2 - m2a
+            s_a, s_b = 1 << m2a, 1 << m2b
+            inner = s_a * LANES  # rows per high-bits value
+
+            @pl.when(group_active_ref[0, k, 2] != 0)
+            def _():
+                ua_re, ua_im = _build_group_fold(factors_ref, k, 2 * LANE_BITS, m2a)
+                for h in range(s_b):
+                    sl = slice(h * inner, (h + 1) * inner)
+                    xr = state_re[sl, :].reshape(s_a, LANES, LANES)
+                    xi = state_im[sl, :].reshape(s_a, LANES, LANES)
+                    re, im = _gauss_mm(ua_re, ua_im, xr, xi, dims, precision)
+                    state_re[sl, :] = re.reshape(inner, LANES)
+                    state_im[sl, :] = im.reshape(inner, LANES)
+                ub_re, ub_im = _build_group_fold(
+                    factors_ref, k, 2 * LANE_BITS + m2a, m2b
+                )
+                chunk = min(_TOP_SUB_CHUNK_ROWS, inner)
+                for c in range(inner // chunk):
+                    sls = [
+                        slice(h * inner + c * chunk, h * inner + (c + 1) * chunk)
+                        for h in range(s_b)
+                    ]
+                    xr = jnp.stack([state_re[sl, :] for sl in sls])
+                    xi = jnp.stack([state_im[sl, :] for sl in sls])
+                    re, im = _gauss_mm(ub_re, ub_im, xr, xi, dims, precision)
+                    for h, sl in enumerate(sls):
+                        state_re[sl, :] = re[h]
+                        state_im[sl, :] = im[h]
 
 
 def _apply_diag_pass(
@@ -157,33 +239,42 @@ def _apply_diag_pass(
     phase (chosen by the dynamic target bit) multiplies the state where
     the dynamic control bit is 1."""
 
-    def qubit_bit(q):
+    def qubit_bit(q, rids):
         q_lane = jnp.clip(q, 0, LANE_BITS - 1)
         q_row = jnp.clip(q - LANE_BITS, 0, 31)
         lane_bit = (lane_ids >> q_lane) & 1
-        row_bit = (row_ids >> q_row) & 1
+        row_bit = (rids >> q_row) & 1
         return jnp.where(q < LANE_BITS, lane_bit, row_bit)
+
+    rows = row_ids.shape[0]
+    if rows <= _WHOLE_STATE_MAX_ROWS:
+        chunks = [slice(0, rows)]
+    else:
+        # bound the elementwise temporaries (4 full planes otherwise)
+        step = _LANE_CHUNK_ROWS
+        chunks = [slice(h * step, (h + 1) * step) for h in range(rows // step)]
 
     for j in range(d_slots):
         @pl.when(j < count)
         def _():
             c = diag_ctrl_ref[0, k, j]
             t = diag_tgt_ref[0, k, j]
-            cbit = qubit_bit(c)
-            tbit = qubit_bit(t)
             p0r = diag_phase_ref[0, k, j, 0, 0]
             p0i = diag_phase_ref[0, k, j, 0, 1]
             p1r = diag_phase_ref[0, k, j, 1, 0]
             p1i = diag_phase_ref[0, k, j, 1, 1]
-            pr = jnp.where(tbit == 1, p1r, p0r)
-            pi = jnp.where(tbit == 1, p1i, p0i)
-            re = state_re[:]
-            im = state_im[:]
-            new_re = pr * re - pi * im
-            new_im = pr * im + pi * re
-            active = cbit == 1
-            state_re[:] = jnp.where(active, new_re, re)
-            state_im[:] = jnp.where(active, new_im, im)
+            for sl in chunks:
+                cbit = qubit_bit(c, row_ids[sl])
+                tbit = qubit_bit(t, row_ids[sl])
+                pr = jnp.where(tbit == 1, p1r, p0r)
+                pi = jnp.where(tbit == 1, p1i, p0i)
+                re = state_re[sl, :]
+                im = state_im[sl, :]
+                new_re = pr * re - pi * im
+                new_im = pr * im + pi * re
+                active = cbit == 1
+                state_re[sl, :] = jnp.where(active, new_re, re)
+                state_im[sl, :] = jnp.where(active, new_im, im)
 
 
 def _run_circuit_folded(
@@ -246,7 +337,16 @@ def _probs_folded_kernel(
         diag_count_ref, group_active_ref, state_re, state_im,
         n_qubits, n_kron, d_slots, precision, init_ref,
     )
-    state_re[:] = state_re[:] * state_re[:] + state_im[:] * state_im[:]
+    rows = 1 << (n_qubits - LANE_BITS)
+    if rows <= _WHOLE_STATE_MAX_ROWS:
+        state_re[:] = state_re[:] * state_re[:] + state_im[:] * state_im[:]
+    else:
+        step = _LANE_CHUNK_ROWS
+        for h in range(rows // step):
+            sl = slice(h * step, (h + 1) * step)
+            state_re[sl, :] = (
+                state_re[sl, :] * state_re[sl, :] + state_im[sl, :] * state_im[sl, :]
+            )
     copy = pltpu.make_async_copy(state_re, out_ref.at[pl.program_id(0)], dma_sem)
     copy.start()
     copy.wait()
@@ -269,8 +369,19 @@ def _energies_folded_kernel(
         diag_count_ref, group_active_ref, state_re, state_im,
         n_qubits, n_kron, d_slots, precision, init_ref,
     )
-    prod = (state_re[:] * state_re[:] + state_im[:] * state_im[:]) * table_ref[:]
-    out_ref[0, :, :] = jnp.sum(prod.reshape(rows // 8, 8, LANES), axis=0)
+    if rows <= _WHOLE_STATE_MAX_ROWS:
+        prod = (state_re[:] * state_re[:] + state_im[:] * state_im[:]) * table_ref[:]
+        out_ref[0, :, :] = jnp.sum(prod.reshape(rows // 8, 8, LANES), axis=0)
+    else:
+        step = _LANE_CHUNK_ROWS
+        acc = jnp.zeros((8, LANES), jnp.float32)
+        for h in range(rows // step):
+            sl = slice(h * step, (h + 1) * step)
+            prod = (
+                state_re[sl, :] * state_re[sl, :] + state_im[sl, :] * state_im[sl, :]
+            ) * table_ref[sl, :]
+            acc = acc + jnp.sum(prod.reshape(step // 8, 8, LANES), axis=0)
+        out_ref[0, :, :] = acc
 
 
 def _sampled_folded_kernel(
@@ -322,14 +433,17 @@ def fold_supported(n_qubits: int, platform: str, path: str = "exact") -> bool:
     """True when the folded MXU path applies (TPU, state fits VMEM, at
     least one full lane group).
 
-    The exact/probs kernels reach n=21 — one qubit past the slot
-    kernel's cap (measured: probs match the engine to 2e-8 at n=21; at
-    n=22 Mosaic spills ~144 MB of registers around the top-group Gauss
-    matmuls and the compile is rejected at 176 MB of 128 MB VMEM,
-    experiments/exp_fold_n22.py).  The in-VMEM sampler epilogue needs
-    extra CDF scratch and keeps the 20-qubit cap (``path="sampler"``).
+    The exact/probs kernels reach n=22 — two qubits past the slot
+    kernel's cap.  n=21 runs the plain whole-state group matmuls (probs
+    match the engine to 2e-8); n=22 would spill ~144 MB of Gauss
+    temporaries around the full-state matmuls, so its lane group runs
+    row-chunked and its 8-bit top group splits into two sub-kron
+    contractions with chunk-bounded temporaries (see _apply_kron_layer;
+    measured in experiments/exp_fold_n22.py).  The in-VMEM sampler
+    epilogue needs extra CDF scratch and keeps the 20-qubit cap
+    (``path="sampler"``).
     """
-    cap = 20 if path == "sampler" else 21
+    cap = 20 if path == "sampler" else 22
     return platform == "tpu" and LANE_BITS <= n_qubits <= cap
 
 

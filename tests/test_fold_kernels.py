@@ -128,6 +128,44 @@ def test_sampled_shot_energies_match_unfolded_stream():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_chunked_group_matmuls_match_engine(monkeypatch):
+    """Past n=21 the kernels bound their Gauss temporaries: the lane
+    group runs row-chunked and the top group splits into two sub-kron
+    contractions.  Shrinking the thresholds exercises those exact code
+    paths at interpreter-friendly sizes (n=16 -> lane chunks, 2-bit top
+    group split 1+1 with strided sub-chunks)."""
+    from queasars_tpu.sim import pallas_fold_kernels as pfk
+
+    monkeypatch.setattr(pfk, "_WHOLE_STATE_MAX_ROWS", 256)
+    monkeypatch.setattr(pfk, "_LANE_CHUNK_ROWS", 128)
+    monkeypatch.setattr(pfk, "_TOP_SUB_CHUNK_ROWS", 128)
+    n = 16
+    packed, pipe = _workload(n, 2, pop=2, seed=13)
+    got = np.asarray(pallas_population_probs_folded(pipe, n, interpret=True))
+    want = np.asarray(
+        probabilities(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_bf16x3_precision_within_gate():
+    """precision="high" (emulated bf16x3 — Mosaic has no HIGH lowering)
+    must stay well within the 1e-5 engine gate on a full circuit."""
+    n = 12
+    packed, pipe = _workload(n, 3, pop=3, seed=17)
+    got = np.asarray(
+        pallas_population_probs_folded(pipe, n, precision="high", interpret=True)
+    )
+    want = np.asarray(
+        probabilities(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_mxu_fold_enablement_predicate(monkeypatch):
     """The production dispatch (optim/objective.py) engages the folded
     kernels by default but only on a supported platform/size, and both
@@ -153,9 +191,11 @@ def test_fold_supported_ranges():
     assert fold_supported(20, "tpu")
     assert fold_supported(7, "tpu")
     assert not fold_supported(6, "tpu")   # below one lane group
-    # the exact/probs kernels reach one qubit past the slot kernels
+    # the exact/probs kernels reach two qubits past the slot kernels
+    # (chunked group matmuls past n=21, see _apply_kron_layer)
     assert fold_supported(21, "tpu")
-    assert not fold_supported(22, "tpu")  # Mosaic register spill (exp_fold_n22)
+    assert fold_supported(22, "tpu")
+    assert not fold_supported(23, "tpu")  # 2x64 MB planes exceed VMEM
     # the in-VMEM sampler epilogue keeps the 20-qubit cap
     assert fold_supported(20, "tpu", "sampler")
     assert not fold_supported(21, "tpu", "sampler")

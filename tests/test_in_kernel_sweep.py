@@ -143,25 +143,41 @@ def test_in_kernel_sweep_gating():
     from queasars_tpu.optim.objective import objective_operands
 
     assert nft._in_kernel_sweep_applies(
-        objective_operands(StatevectorExpectationEvaluator(op))
+        objective_operands(StatevectorExpectationEvaluator(op)), 6
     )
     assert not nft._in_kernel_sweep_applies(
-        objective_operands(StatevectorExpectationEvaluator(op, alpha=0.5))
+        objective_operands(StatevectorExpectationEvaluator(op, alpha=0.5)), 6
     )
     assert not nft._in_kernel_sweep_applies(
-        objective_operands(SamplerExpectationEvaluator(op, shots=64, seed=0))
+        objective_operands(SamplerExpectationEvaluator(op, shots=64, seed=0)), 6
     )
     assert not nft._in_kernel_sweep_applies(
-        objective_operands(StatevectorExpectationEvaluator(op, precision=0.01, seed=0))
+        objective_operands(StatevectorExpectationEvaluator(op, precision=0.01, seed=0)), 6
     )
     assert not BatchedNFT(
         NFTConfig(in_kernel_sweep=True, five_point=True)
-    )._in_kernel_sweep_applies(objective_operands(StatevectorExpectationEvaluator(op)))
+    )._in_kernel_sweep_applies(objective_operands(StatevectorExpectationEvaluator(op)), 6)
     # default (None) requires the Pallas path — off on CPU evaluators
     assert not BatchedNFT(NFTConfig())._in_kernel_sweep_applies(
-        objective_operands(StatevectorExpectationEvaluator(op))
+        objective_operands(StatevectorExpectationEvaluator(op)), 6
     )
     # explicit False always declines
     assert not BatchedNFT(
         NFTConfig(in_kernel_sweep=False)
-    )._in_kernel_sweep_applies(objective_operands(StatevectorExpectationEvaluator(op)))
+    )._in_kernel_sweep_applies(objective_operands(StatevectorExpectationEvaluator(op)), 6)
+
+
+def test_in_kernel_sweep_declines_past_slot_cap_on_tpu():
+    """n=21/22 set use_pallas=True through the FOLDED kernels, but the
+    in-kernel sweep runs SLOT kernels (cap n=20): on the TPU backend it
+    must decline past the cap so the scan path (jnp prefix + folded
+    probes) takes over; off-TPU (interpret tests) any size applies."""
+    nft = BatchedNFT(NFTConfig(in_kernel_sweep=True))
+    op = _diagonal_operator(6)
+    from queasars_tpu.optim.objective import objective_operands
+
+    operands = objective_operands(StatevectorExpectationEvaluator(op))
+    for n in (21, 22):
+        assert not nft._in_kernel_sweep_applies(operands, n, backend="tpu")
+        assert nft._in_kernel_sweep_applies(operands, n, backend="cpu")
+    assert nft._in_kernel_sweep_applies(operands, 20, backend="tpu")
