@@ -688,13 +688,25 @@ class BatchedNFT:
         self, packed, coords, n_free, active, a_in, last_layer, operands
     ):
         """One kernel launch for the whole last-layer sweep: prefix
-        simulation + pallas_nft_layer_sweep inside a single jit (one host
-        dispatch), merged back into the full angle tensor."""
-        from queasars_tpu.optim.sweep_kernel_launch import nft_layer_sweep_launch
+        simulation + the sweep kernel inside a single jit (one host
+        dispatch), merged back into the full angle tensor.  Uses the
+        folded (MXU) probe kernel when the kron-fold knob resolves on
+        (measured faster than the slot probes, docs/performance.md);
+        the VPU slot kernel otherwise."""
+        from queasars_tpu.optim.objective import mxu_fold_enabled
+        from queasars_tpu.optim.sweep_kernel_launch import (
+            nft_layer_sweep_folded_launch,
+            nft_layer_sweep_launch,
+        )
 
+        launch = (
+            nft_layer_sweep_folded_launch
+            if mxu_fold_enabled(None, packed.n_qubits, path="sweep")
+            else nft_layer_sweep_launch
+        )
         ll = np.asarray(last_layer, np.int32)
         pop = packed.n_individuals
-        out_layer_angles, energies = nft_layer_sweep_launch(
+        out_layer_angles, energies = launch(
             packed.gate_types, packed.controls, a_in, packed.layer_mask,
             ll, coords[:, :, 1:3], np.asarray(n_free), np.asarray(active),
             operands["table"],

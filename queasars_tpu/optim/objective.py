@@ -208,12 +208,18 @@ def slot_kernels_ok(n_qubits: int) -> bool:
     return pallas_supported(n_qubits, "tpu")
 
 
-def mxu_fold_enabled(use_mxu: bool | None, n_qubits: int) -> bool:
+def mxu_fold_enabled(
+    use_mxu: bool | None,
+    n_qubits: int,
+    path: str = "exact",
+    backend: str | None = None,
+) -> bool:
     """Resolve the MXU kron-fold knob: explicit ``use_mxu`` wins, else the
     ``QUEASARS_MXU`` env var (default ON — the folded kernels measured
     1.73x the slot kernel end-to-end at matching 1e-5 accuracy, see
     docs/performance.md); either way the folded kernels must support the
-    size (n in [7, 22]) and platform (TPU)."""
+    ``path`` at the size (exact/probs n in [7, 22]; sampler and the
+    folded in-kernel sweep cap at 20) and platform (TPU)."""
     import os
 
     from queasars_tpu.sim.pallas_fold_kernels import fold_supported
@@ -222,12 +228,13 @@ def mxu_fold_enabled(use_mxu: bool | None, n_qubits: int) -> bool:
         use_mxu = os.environ.get("QUEASARS_MXU", "1") == "1"
     if not use_mxu:
         return False
-    import jax as _jax
+    if backend is None:
+        import jax as _jax
 
-    platform = _jax.default_backend()
+        backend = _jax.default_backend()
     # interpret-mode tests run the folded kernels on CPU explicitly; the
     # enablement predicate only opts production TPU paths in
-    return fold_supported(n_qubits, platform)
+    return fold_supported(n_qubits, backend, path)
 
 
 def _with_precision_noise(energies, keys, precision):

@@ -42,11 +42,18 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from queasars_tpu.sim.fold_pipeline import FoldPipeline, n_axis_groups
-from queasars_tpu.sim.pallas_kernels import LANE_BITS, LANES, _sample_shots_in_vmem
+from queasars_tpu.sim.pallas_kernels import (
+    LANE_BITS,
+    LANES,
+    _kernel_atan2,
+    _sample_shots_in_vmem,
+)
+from queasars_tpu.sim.statevector import GATE_CROT, GATE_ROT
 
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
@@ -441,9 +448,12 @@ def fold_supported(n_qubits: int, platform: str, path: str = "exact") -> bool:
     contractions with chunk-bounded temporaries (see _apply_kron_layer;
     measured in experiments/exp_fold_n22.py).  The in-VMEM sampler
     epilogue needs extra CDF scratch and keeps the 20-qubit cap
-    (``path="sampler"``).
+    (``path="sampler"``).  The folded in-kernel NFT sweep
+    (``path="sweep"``) keeps FOUR state planes resident (prefix + work)
+    plus the table and caps at n=20 (5 x 8 MB + chunk temporaries at
+    n=21 exceeds VMEM alongside the matmul buffers).
     """
-    cap = 20 if path == "sampler" else 22
+    cap = 20 if path in ("sampler", "sweep") else 22
     return platform == "tpu" and LANE_BITS <= n_qubits <= cap
 
 
@@ -589,3 +599,419 @@ def pallas_sampled_shot_energies_folded(
         interpret=interpret,
     )(*operands)
     return out.reshape(pop, shots)
+
+
+def _states_folded_kernel(
+    factors_ref, diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
+    diag_count_ref, group_active_ref,
+    out_ref, state_re, state_im, sem_re, sem_im,
+    *, n_qubits: int, n_kron: int, d_slots: int, precision,
+):
+    _run_circuit_folded(
+        factors_ref, diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
+        diag_count_ref, group_active_ref, state_re, state_im,
+        n_qubits, n_kron, d_slots, precision,
+    )
+    p = pl.program_id(0)
+    copy_re = pltpu.make_async_copy(state_re, out_ref.at[p, 0], sem_re)
+    copy_im = pltpu.make_async_copy(state_im, out_ref.at[p, 1], sem_im)
+    copy_re.start()
+    copy_im.start()
+    copy_re.wait()
+    copy_im.wait()
+
+
+@partial(jax.jit, static_argnames=("n_qubits", "precision", "interpret"))
+def pallas_population_states_folded(
+    pipeline: FoldPipeline,
+    n_qubits: int,
+    precision: str = "high",
+    interpret: bool = False,
+) -> jax.Array:
+    """Statevector re/im planes [P, 2, 2^n] via the folded MXU kernel
+    (contract of ``pallas_population_states``): computes the frozen
+    layer-prefix states of the in-kernel NFT sweep past the slot
+    kernels' n=20 cap, and feeds the folded sweep below at any size."""
+    if n_qubits < LANE_BITS:
+        raise ValueError("the folded kernel requires n_qubits >= 7")
+    pop = pipeline.factors.shape[0]
+    rows = 1 << (n_qubits - LANE_BITS)
+    in_specs, operands, n_kron, d_slots = _pipeline_specs(pipeline)
+    kernel = partial(
+        _states_folded_kernel,
+        n_qubits=n_qubits, n_kron=n_kron, d_slots=d_slots,
+        precision=_PRECISIONS[precision],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(pop,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((pop, 2, rows, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(pop, 2, rows * LANES)
+
+
+def _refresh_layer_slot(
+    fac_s, ph_s, gate_types_ref, slot_of_q_ref, angles_s, q
+):
+    """Recompute the swept layer's fold factors for (dynamic) qubit ``q``
+    from the mutable SMEM angles: the scalar-core form of
+    ``fold_pipeline._slot_factors`` (same eigendecomposition, atan2 via
+    the ~2e-6 kernel polynomial).  Writes the vdag factor to kron slot 0,
+    the main factor to kron slot 1, and (for controlled rotations) the
+    CDiag phases to the qubit's compacted diagonal slot.
+    """
+    gt = gate_types_ref[0, 0, q]
+    theta = angles_s[q, 0]
+    phi = angles_s[q, 1]
+    lam = angles_s[q, 2]
+    is_rot = gt == GATE_ROT
+    is_crot = gt == GATE_CROT
+
+    half = theta * jnp.float32(0.5)
+    s = (phi + lam) * jnp.float32(0.5)
+    a = (phi - lam) * jnp.float32(0.5)
+    cos_half, sin_half = jnp.cos(half), jnp.sin(half)
+    cos_s, sin_s = jnp.cos(s), jnp.sin(s)
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+
+    # U3 entries (qiskit convention), as (re, im) scalar pairs
+    u3 = (
+        ((cos_half, zero), (-jnp.cos(lam) * sin_half, -jnp.sin(lam) * sin_half)),
+        (
+            (jnp.cos(phi) * sin_half, jnp.sin(phi) * sin_half),
+            (jnp.cos(phi + lam) * cos_half, jnp.sin(phi + lam) * cos_half),
+        ),
+    )
+
+    # eigendecomposition U3 = V diag(e^{i(s-d/2)}, e^{i(s+d/2)}) V^dag
+    cos_d2 = cos_half * cos_s
+    mz = cos_half * sin_s
+    my = sin_half * jnp.cos(a)
+    mx = -sin_half * jnp.sin(a)
+    nxy = jnp.sqrt(mx * mx + my * my)
+    sin_d2 = jnp.sqrt(nxy * nxy + mz * mz)
+    d_half = _kernel_atan2(sin_d2, cos_d2)
+    ph0 = s - d_half
+    ph1 = s + d_half
+
+    b_half = _kernel_atan2(nxy, mz) * jnp.float32(0.5)
+    c = _kernel_atan2(my, mx)
+    cos_b, sin_b = jnp.cos(b_half), jnp.sin(b_half)
+    cos_c, sin_c = jnp.cos(c), jnp.sin(c)
+    degenerate = sin_d2 < jnp.float32(1e-7)
+    vd = sin_b * cos_c
+    vo = sin_b * sin_c
+    v00 = (jnp.where(degenerate, one, cos_b), zero)
+    v01 = (jnp.where(degenerate, zero, -vd), jnp.where(degenerate, zero, vo))
+    v10 = (jnp.where(degenerate, zero, vd), jnp.where(degenerate, zero, vo))
+    v11 = (jnp.where(degenerate, one, cos_b), zero)
+    v = ((v00, v01), (v10, v11))
+
+    for i in range(2):
+        for j in range(2):
+            eye_r = one if i == j else zero
+            # main factor (kron slot 1): U3 for ROT, V for CROT, I else
+            fac_s[0, 1, q, 0, i, j] = jnp.where(
+                is_rot, u3[i][j][0], jnp.where(is_crot, v[i][j][0], eye_r)
+            )
+            fac_s[0, 1, q, 1, i, j] = jnp.where(
+                is_rot, u3[i][j][1], jnp.where(is_crot, v[i][j][1], zero)
+            )
+            # vdag factor (kron slot 0): V^dagger for CROT, I else
+            fac_s[0, 0, q, 0, i, j] = jnp.where(is_crot, v[j][i][0], eye_r)
+            fac_s[0, 0, q, 1, i, j] = jnp.where(is_crot, -v[j][i][1], zero)
+
+    slot = slot_of_q_ref[0, 0, q]
+
+    @pl.when(slot >= 0)
+    def _():
+        ph_s[0, 0, slot, 0, 0] = jnp.cos(ph0)
+        ph_s[0, 0, slot, 0, 1] = jnp.sin(ph0)
+        ph_s[0, 0, slot, 1, 0] = jnp.cos(ph1)
+        ph_s[0, 0, slot, 1, 1] = jnp.sin(ph1)
+
+
+def _nft_layer_sweep_folded_kernel(
+    gate_types_ref,   # SMEM [1, 1, n] int32 (the optimized layer's slots)
+    angles_ref,       # SMEM [1, n, 3] f32 (the layer's starting angles)
+    coords_ref,       # SMEM [1, K, 2] int32 (qubit, angle) per free coord
+    meta_ref,         # SMEM [1, 1, 2] int32 (n_free, active)
+    diag_ctrl_ref,    # SMEM [1, 1, D] int32 (compacted CROT controls)
+    diag_tgt_ref,     # SMEM [1, 1, D] int32 (compacted CROT targets)
+    slot_of_q_ref,    # SMEM [1, 1, n] int32 (qubit -> diag slot, -1 if none)
+    diag_count_ref,   # SMEM [1, 1, 1] int32
+    group_active_ref, # SMEM [1, 2, G] int32 (vdag / main kron layer)
+    prefix_ref,       # ANY [P, 2, R, 128] cached prefix states
+    table_ref,        # VMEM [R, 128] diagonal energy table (shared block)
+    out_angles_ref,   # SMEM out [1, n, 3]
+    out_z_ref,        # SMEM out [1, 1, 1]
+    angles_s,         # SMEM scratch (n, 3) current angles
+    z_s,              # SMEM scratch (1,) recycled z0
+    fac_s,            # SMEM scratch (1, 2, n, 2, 2, 2) layer fold factors
+    ph_s,             # SMEM scratch (1, 1, D, 2, 2) CDiag phases
+    prefix_re, prefix_im,  # VMEM scratch planes (resident prefix)
+    work_re, work_im,      # VMEM scratch planes (probe state)
+    sem_re, sem_im,
+    *,
+    n_qubits: int,
+    maxiter: int,
+    reset_interval: int,
+    d_slots: int,
+    precision,
+):
+    """The whole last-layer NFT sweep with FOLDED (MXU) probe evaluation:
+    every probe applies the swept layer as vdag-kron @ CDiag @ main-kron
+    — two group matmuls per active axis group plus a phase pass — instead
+    of ~n per-slot VPU partner exchanges.  The layer's fold factors live
+    in SMEM and are recomputed (one qubit's 2x2s, scalar core) whenever a
+    probe moves an angle.  Update math identical to the slot sweep
+    (``_nft_layer_sweep_kernel``); probe energies carry the fold's
+    bf16x3/atan2-polynomial rounding (~2e-6, docs/performance.md).
+    """
+    rows = 1 << (n_qubits - LANE_BITS)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    p = pl.program_id(0)
+
+    copy_re = pltpu.make_async_copy(prefix_ref.at[p, 0], prefix_re, sem_re)
+    copy_im = pltpu.make_async_copy(prefix_ref.at[p, 1], prefix_im, sem_im)
+    copy_re.start()
+    copy_im.start()
+    for q in range(n_qubits):
+        for a_i in range(3):
+            angles_s[q, a_i] = angles_ref[0, q, a_i]
+    for q in range(n_qubits):
+        _refresh_layer_slot(
+            fac_s, ph_s, gate_types_ref, slot_of_q_ref, angles_s, q
+        )
+    copy_re.wait()
+    copy_im.wait()
+
+    if rows <= _WHOLE_STATE_MAX_ROWS:
+        plane_chunks = [slice(0, rows)]
+    else:
+        step_r = _LANE_CHUNK_ROWS
+        plane_chunks = [
+            slice(h * step_r, (h + 1) * step_r) for h in range(rows // step_r)
+        ]
+
+    def eval_energy():
+        for sl in plane_chunks:
+            work_re[sl, :] = prefix_re[sl, :]
+            work_im[sl, :] = prefix_im[sl, :]
+        _apply_kron_layer(
+            work_re, work_im, fac_s, group_active_ref, 0, n_qubits, precision
+        )
+        count = diag_count_ref[0, 0, 0]
+
+        @pl.when(count > 0)
+        def _():
+            _apply_diag_pass(
+                work_re, work_im, row_ids, lane_ids,
+                diag_ctrl_ref, diag_tgt_ref, ph_s, count, 0, d_slots,
+            )
+
+        _apply_kron_layer(
+            work_re, work_im, fac_s, group_active_ref, 1, n_qubits, precision
+        )
+        acc = jnp.float32(0.0)
+        for sl in plane_chunks:
+            prod = (
+                work_re[sl, :] * work_re[sl, :] + work_im[sl, :] * work_im[sl, :]
+            ) * table_ref[sl, :]
+            acc = acc + jnp.sum(prod)
+        return acc
+
+    z_s[0] = eval_energy()
+
+    n_free = meta_ref[0, 0, 0]
+    apply_updates = jnp.logical_and(meta_ref[0, 0, 1] != 0, n_free > 0)
+
+    def step(k, carry):
+        @pl.when(jnp.logical_and(k % reset_interval == 0, k > 0))
+        def _():
+            z_s[0] = eval_energy()
+
+        idx = k % jnp.maximum(n_free, 1)
+        q = coords_ref[0, idx, 0]
+        a_i = coords_ref[0, idx, 1]
+        theta = angles_s[q, a_i]
+
+        angles_s[q, a_i] = theta + jnp.float32(np.pi / 2)
+        _refresh_layer_slot(fac_s, ph_s, gate_types_ref, slot_of_q_ref, angles_s, q)
+        z1 = eval_energy()
+        angles_s[q, a_i] = theta - jnp.float32(np.pi / 2)
+        _refresh_layer_slot(fac_s, ph_s, gate_types_ref, slot_of_q_ref, angles_s, q)
+        z3 = eval_energy()
+
+        z0 = z_s[0]
+        mid = (z1 + z3) * jnp.float32(0.5)
+        half_diff = (z1 - z3) * jnp.float32(0.5)
+        shift = _kernel_atan2(half_diff, z0 - mid)
+        minimum_value = mid - jnp.sqrt((z0 - mid) * (z0 - mid) + half_diff * half_diff)
+
+        new_theta = theta + shift + jnp.float32(np.pi)
+        angles_s[q, a_i] = jnp.where(apply_updates, new_theta, theta)
+        _refresh_layer_slot(fac_s, ph_s, gate_types_ref, slot_of_q_ref, angles_s, q)
+        z_s[0] = jnp.where(apply_updates, minimum_value, z_s[0])
+        return carry
+
+    jax.lax.fori_loop(0, maxiter, step, 0)
+
+    for q in range(n_qubits):
+        for a_i in range(3):
+            out_angles_ref[0, q, a_i] = angles_s[q, a_i]
+    out_z_ref[0, 0, 0] = z_s[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_qubits", "maxiter", "reset_interval", "precision", "interpret"),
+)
+def pallas_nft_layer_sweep_folded(
+    gate_types: jax.Array,    # [P, n] the optimized layer's slots
+    angles: jax.Array,        # [P, n, 3]
+    coords: jax.Array,        # [P, K, 2] (qubit, angle) free coordinates
+    n_free: jax.Array,        # [P]
+    active: jax.Array,        # [P]
+    prefix: jax.Array,        # [P, 2, 2^n] cached prefix states
+    table: jax.Array,         # [2^n] diagonal energy table
+    diag_ctrl: jax.Array,     # [P, 1, D] compacted CROT controls (-1 pad)
+    diag_tgt: jax.Array,      # [P, 1, D] compacted CROT targets (-1 pad)
+    slot_of_q: jax.Array,     # [P, 1, n] qubit -> diag slot (-1 if none)
+    diag_count: jax.Array,    # [P, 1, 1]
+    group_active: jax.Array,  # [P, 2, G] vdag / main kron-layer activity
+    n_qubits: int,
+    maxiter: int,
+    reset_interval: int,
+    precision: str = "high",
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Whole-population last-layer NFT sweep with folded (MXU) probes in
+    one kernel launch: returns (updated layer angles [P, n, 3], final
+    recycled energies [P]).  Contract of ``pallas_nft_layer_sweep``; the
+    diag/group metadata is host-precomputed from the swept layer's static
+    structure (``fold_sweep_metadata``)."""
+    if n_qubits < LANE_BITS:
+        raise ValueError("the folded kernel requires n_qubits >= 7")
+    pop = gate_types.shape[0]
+    k_max = coords.shape[1]
+    d_slots = diag_ctrl.shape[2]
+    n_groups = group_active.shape[2]
+    rows = 1 << (n_qubits - LANE_BITS)
+
+    kernel = partial(
+        _nft_layer_sweep_folded_kernel,
+        n_qubits=n_qubits, maxiter=maxiter, reset_interval=reset_interval,
+        d_slots=d_slots, precision=_PRECISIONS[precision],
+    )
+    meta = jnp.stack(
+        [jnp.asarray(n_free, jnp.int32), jnp.asarray(active, jnp.int32)], axis=1
+    )[:, None, :]
+    smem = pltpu.SMEM
+    out_angles, out_z = pl.pallas_call(
+        kernel,
+        grid=(pop,),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_qubits), lambda p: (p, 0, 0), memory_space=smem),
+            pl.BlockSpec((1, n_qubits, 3), lambda p: (p, 0, 0), memory_space=smem),
+            pl.BlockSpec((1, k_max, 2), lambda p: (p, 0, 0), memory_space=smem),
+            pl.BlockSpec((1, 1, 2), lambda p: (p, 0, 0), memory_space=smem),
+            pl.BlockSpec((1, 1, d_slots), lambda p: (p, 0, 0), memory_space=smem),
+            pl.BlockSpec((1, 1, d_slots), lambda p: (p, 0, 0), memory_space=smem),
+            pl.BlockSpec((1, 1, n_qubits), lambda p: (p, 0, 0), memory_space=smem),
+            pl.BlockSpec((1, 1, 1), lambda p: (p, 0, 0), memory_space=smem),
+            pl.BlockSpec((1, 2, n_groups), lambda p: (p, 0, 0), memory_space=smem),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows, LANES), lambda p: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_qubits, 3), lambda p: (p, 0, 0), memory_space=smem),
+            pl.BlockSpec((1, 1, 1), lambda p: (p, 0, 0), memory_space=smem),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pop, n_qubits, 3), jnp.float32),
+            jax.ShapeDtypeStruct((pop, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((n_qubits, 3), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1, 2, n_qubits, 2, 2, 2), jnp.float32),
+            pltpu.SMEM((1, 1, d_slots, 2, 2), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        jnp.asarray(gate_types, jnp.int32)[:, None, :],
+        jnp.asarray(angles, jnp.float32),
+        jnp.asarray(coords, jnp.int32),
+        meta,
+        jnp.asarray(diag_ctrl, jnp.int32),
+        jnp.asarray(diag_tgt, jnp.int32),
+        jnp.asarray(slot_of_q, jnp.int32),
+        jnp.asarray(diag_count, jnp.int32),
+        jnp.asarray(group_active, jnp.int32),
+        jnp.asarray(prefix, jnp.float32).reshape(pop, 2, rows, LANES),
+        jnp.asarray(table, jnp.float32).reshape(rows, LANES),
+    )
+    return out_angles, out_z[:, 0, 0]
+
+
+def fold_sweep_metadata(gate_types, controls, n_qubits: int):
+    """Host-side static metadata of a swept layer for the folded sweep:
+    (diag_ctrl [P,1,D], diag_tgt [P,1,D], slot_of_q [P,1,n],
+    diag_count [P,1,1], group_active [P,2,G]).
+
+    The layer's gate STRUCTURE is fixed during a sweep (only angles
+    move), so the CROT compaction (matching ``build_fold_pipeline``'s
+    front-compaction order) and the kron-layer group activity are
+    precomputed once per launch in plain numpy.
+    """
+    gate_types = np.asarray(gate_types)
+    controls = np.asarray(controls)
+    pop, n = gate_types.shape
+    if n != n_qubits:
+        raise ValueError("gate_types last axis must equal n_qubits")
+    d_slots = max(n_qubits // 2, 1)
+    n_groups = n_axis_groups(n_qubits)
+    diag_ctrl = np.full((pop, 1, d_slots), -1, np.int32)
+    diag_tgt = np.full((pop, 1, d_slots), -1, np.int32)
+    slot_of_q = np.full((pop, 1, n), -1, np.int32)
+    diag_count = np.zeros((pop, 1, 1), np.int32)
+    group_active = np.zeros((pop, 2, n_groups), np.int32)
+    is_crot = gate_types == GATE_CROT
+    is_gate = (gate_types == GATE_ROT) | is_crot
+    for p in range(pop):
+        j = 0
+        for q in range(n):
+            if is_crot[p, q]:
+                diag_ctrl[p, 0, j] = controls[p, q]
+                diag_tgt[p, 0, j] = q
+                slot_of_q[p, 0, q] = j
+                j += 1
+        diag_count[p, 0, 0] = j
+    for g in range(n_groups):
+        lo = g * LANE_BITS
+        hi = n_qubits if g == n_groups - 1 else (g + 1) * LANE_BITS
+        # vdag kron layer: non-identity only on CROT targets
+        group_active[:, 0, g] = is_crot[:, lo:hi].any(axis=1)
+        # main kron layer: non-identity on every gated qubit
+        group_active[:, 1, g] = is_gate[:, lo:hi].any(axis=1)
+    return diag_ctrl, diag_tgt, slot_of_q, diag_count, group_active
