@@ -100,12 +100,15 @@ def _gauss_mm(ar, ai, br, bi, dims, precision):
     return t1 - t2, t3 - t1 - t2
 
 
-def _build_group_fold(factors_ref, k, q0, m):
+def _build_group_fold(factors_ref, k, q0, m, exclude_q=None):
     """Expand the [2^m, 2^m] group matrix from SMEM 2x2 factors.
 
     kron entry [i, j] = prod over local qubits jq of A_{q0+jq}[bi, bj]
     with bi/bj = bit jq of i/j (little-endian).  Returns (re, im)
-    [2^m, 2^m] arrays.
+    [2^m, 2^m] arrays.  ``exclude_q`` (dynamic scalar) replaces that
+    qubit's factor with the identity — scalar selects before the
+    broadcast, so exclusion is free (the folded sweep's rest-base
+    factoring).
     """
     size = 1 << m
     i_ids = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
@@ -120,6 +123,21 @@ def _build_group_fold(factors_ref, k, q0, m):
             ]
             for bi in range(2)
         ]
+        if exclude_q is not None:
+            excl = exclude_q == q
+            # identity-matrix RE entries by (bi, bj); IM entries are 0
+            eye_re = ((jnp.float32(1.0), jnp.float32(0.0)),
+                      (jnp.float32(0.0), jnp.float32(1.0)))
+            a = [
+                [
+                    (
+                        jnp.where(excl, eye_re[bi][bj], a[bi][bj][0]),
+                        jnp.where(excl, jnp.float32(0.0), a[bi][bj][1]),
+                    )
+                    for bj in range(2)
+                ]
+                for bi in range(2)
+            ]
         bi = (i_ids >> jq) & 1
         bj = (j_ids >> jq) & 1
         f_re = jnp.where(
@@ -143,9 +161,12 @@ def _build_group_fold(factors_ref, k, q0, m):
 
 
 def _apply_kron_layer(
-    state_re, state_im, factors_ref, group_active_ref, k, n_qubits, precision
+    state_re, state_im, factors_ref, group_active_ref, k, n_qubits, precision,
+    exclude_q=None,
 ):
-    """Apply kron layer ``k``: one (predicated) group matmul per axis group."""
+    """Apply kron layer ``k``: one (predicated) group matmul per axis
+    group.  ``exclude_q`` (dynamic scalar) builds that qubit's factor as
+    the identity (rest-base factoring of the folded sweep)."""
     rows = 1 << (n_qubits - LANE_BITS)
     n_groups = n_axis_groups(n_qubits)
 
@@ -155,7 +176,7 @@ def _apply_kron_layer(
     # same input rows — chunked in-place application is exact)
     @pl.when(group_active_ref[0, k, 0] != 0)
     def _():
-        u_re, u_im = _build_group_fold(factors_ref, k, 0, LANE_BITS)
+        u_re, u_im = _build_group_fold(factors_ref, k, 0, LANE_BITS, exclude_q)
         dims = (((1,), (1,)), ((), ()))
         if rows <= _WHOLE_STATE_MAX_ROWS:
             re, im = _gauss_mm(state_re[:], state_im[:], u_re, u_im, dims, precision)
@@ -175,7 +196,7 @@ def _apply_kron_layer(
 
         @pl.when(group_active_ref[0, k, 1] != 0)
         def _():
-            u_re, u_im = _build_group_fold(factors_ref, k, LANE_BITS, m1)
+            u_re, u_im = _build_group_fold(factors_ref, k, LANE_BITS, m1, exclude_q)
             dims = (((1,), (0,)), ((), ()))
             for h in range(rows // s1):
                 sl = slice(h * s1, (h + 1) * s1)
@@ -192,7 +213,9 @@ def _apply_kron_layer(
 
             @pl.when(group_active_ref[0, k, 2] != 0)
             def _():
-                u_re, u_im = _build_group_fold(factors_ref, k, 2 * LANE_BITS, m2)
+                u_re, u_im = _build_group_fold(
+                    factors_ref, k, 2 * LANE_BITS, m2, exclude_q
+                )
                 xr = state_re[:].reshape(blocks, LANES, LANES)
                 xi = state_im[:].reshape(blocks, LANES, LANES)
                 re, im = _gauss_mm(u_re, u_im, xr, xi, dims, precision)
@@ -213,7 +236,9 @@ def _apply_kron_layer(
 
             @pl.when(group_active_ref[0, k, 2] != 0)
             def _():
-                ua_re, ua_im = _build_group_fold(factors_ref, k, 2 * LANE_BITS, m2a)
+                ua_re, ua_im = _build_group_fold(
+                    factors_ref, k, 2 * LANE_BITS, m2a, exclude_q
+                )
                 for h in range(s_b):
                     sl = slice(h * inner, (h + 1) * inner)
                     xr = state_re[sl, :].reshape(s_a, LANES, LANES)
@@ -222,7 +247,7 @@ def _apply_kron_layer(
                     state_re[sl, :] = re.reshape(inner, LANES)
                     state_im[sl, :] = im.reshape(inner, LANES)
                 ub_re, ub_im = _build_group_fold(
-                    factors_ref, k, 2 * LANE_BITS + m2a, m2b
+                    factors_ref, k, 2 * LANE_BITS + m2a, m2b, exclude_q
                 )
                 chunk = min(_TOP_SUB_CHUNK_ROWS, inner)
                 for c in range(inner // chunk):
@@ -241,10 +266,21 @@ def _apply_kron_layer(
 def _apply_diag_pass(
     state_re, state_im, row_ids, lane_ids,
     diag_ctrl_ref, diag_tgt_ref, diag_phase_ref, count, k, d_slots,
+    exclude_slot=None,
 ):
     """Apply layer ``k``'s controlled-diagonal phases: for each slot the
     phase (chosen by the dynamic target bit) multiplies the state where
-    the dynamic control bit is 1."""
+    the dynamic control bit is 1.
+
+    The slot loop is a ``fori_loop`` over the DYNAMIC count (slots are
+    front-compacted by ``build_fold_pipeline``): a static unroll over
+    all ``d_slots`` with ``pl.when(j < count)`` pays the measured ~7 us
+    per predicated-off visit — at n=20 that wasted more time than the
+    active slots cost (docs/performance.md).  ``exclude_slot`` (dynamic
+    scalar) turns that slot's phase into the identity (rest-base
+    factoring of the folded sweep).
+    """
+    del d_slots  # static capacity; the dynamic count bounds the loop
 
     def qubit_bit(q, rids):
         q_lane = jnp.clip(q, 0, LANE_BITS - 1)
@@ -261,27 +297,35 @@ def _apply_diag_pass(
         step = _LANE_CHUNK_ROWS
         chunks = [slice(h * step, (h + 1) * step) for h in range(rows // step)]
 
-    for j in range(d_slots):
-        @pl.when(j < count)
-        def _():
-            c = diag_ctrl_ref[0, k, j]
-            t = diag_tgt_ref[0, k, j]
-            p0r = diag_phase_ref[0, k, j, 0, 0]
-            p0i = diag_phase_ref[0, k, j, 0, 1]
-            p1r = diag_phase_ref[0, k, j, 1, 0]
-            p1i = diag_phase_ref[0, k, j, 1, 1]
-            for sl in chunks:
-                cbit = qubit_bit(c, row_ids[sl])
-                tbit = qubit_bit(t, row_ids[sl])
-                pr = jnp.where(tbit == 1, p1r, p0r)
-                pi = jnp.where(tbit == 1, p1i, p0i)
-                re = state_re[sl, :]
-                im = state_im[sl, :]
-                new_re = pr * re - pi * im
-                new_im = pr * im + pi * re
-                active = cbit == 1
-                state_re[sl, :] = jnp.where(active, new_re, re)
-                state_im[sl, :] = jnp.where(active, new_im, im)
+    def slot_body(j, carry):
+        c = diag_ctrl_ref[0, k, j]
+        t = diag_tgt_ref[0, k, j]
+        p0r = diag_phase_ref[0, k, j, 0, 0]
+        p0i = diag_phase_ref[0, k, j, 0, 1]
+        p1r = diag_phase_ref[0, k, j, 1, 0]
+        p1i = diag_phase_ref[0, k, j, 1, 1]
+        if exclude_slot is not None:
+            excl = j == exclude_slot
+            one, zero = jnp.float32(1.0), jnp.float32(0.0)
+            p0r = jnp.where(excl, one, p0r)
+            p0i = jnp.where(excl, zero, p0i)
+            p1r = jnp.where(excl, one, p1r)
+            p1i = jnp.where(excl, zero, p1i)
+        for sl in chunks:
+            cbit = qubit_bit(c, row_ids[sl])
+            tbit = qubit_bit(t, row_ids[sl])
+            pr = jnp.where(tbit == 1, p1r, p0r)
+            pi = jnp.where(tbit == 1, p1i, p0i)
+            re = state_re[sl, :]
+            im = state_im[sl, :]
+            new_re = pr * re - pi * im
+            new_im = pr * im + pi * re
+            active = cbit == 1
+            state_re[sl, :] = jnp.where(active, new_re, re)
+            state_im[sl, :] = jnp.where(active, new_im, im)
+        return carry
+
+    jax.lax.fori_loop(0, count, slot_body, 0)
 
 
 def _run_circuit_folded(
