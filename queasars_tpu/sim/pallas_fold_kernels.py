@@ -805,7 +805,9 @@ def _nft_layer_sweep_folded_kernel(
     fac_s,            # SMEM scratch (1, 2, n, 2, 2, 2) layer fold factors
     ph_s,             # SMEM scratch (1, 1, D, 2, 2) CDiag phases
     prefix_re, prefix_im,  # VMEM scratch planes (resident prefix)
-    work_re, work_im,      # VMEM scratch planes (probe state)
+    base_re, base_im,      # VMEM scratch planes (rest-base state)
+    work_re, work_im,      # VMEM scratch planes (partner state / full eval)
+    tp_s,                  # VMEM scratch plane (partner energy table)
     sem_re, sem_im,
     *,
     n_qubits: int,
@@ -814,14 +816,28 @@ def _nft_layer_sweep_folded_kernel(
     d_slots: int,
     precision,
 ):
-    """The whole last-layer NFT sweep with FOLDED (MXU) probe evaluation:
-    every probe applies the swept layer as vdag-kron @ CDiag @ main-kron
-    — two group matmuls per active axis group plus a phase pass — instead
-    of ~n per-slot VPU partner exchanges.  The layer's fold factors live
-    in SMEM and are recomputed (one qubit's 2x2s, scalar core) whenever a
-    probe moves an angle.  Update math identical to the slot sweep
-    (``_nft_layer_sweep_kernel``); probe energies carry the fold's
-    bf16x3/atan2-polynomial rounding (~2e-6, docs/performance.md).
+    """The whole last-layer NFT sweep with rest-base FOLDED probes.
+
+    Within a step, the probed slot's gate ``G(q)`` commutes with the
+    rest of its layer (each qubit holds at most one gate per layer and a
+    control slot is never another gate's target), so
+
+        |psi(angles)> = G(q, angles) . REST . |prefix>
+
+    where REST is the layer with q's factors (and its CDiag slot)
+    replaced by identities.  The kernel builds BASE = REST|prefix> ONCE
+    per step (the fold apply with ``exclude_q``/``exclude_slot``), forms
+    the partner planes ``base[i XOR 2^q]`` / ``table[i XOR 2^q]`` with
+    one permutation matmul per plane, and reduces NINE masked
+    pair-contractions to (8, 128) partial tiles.  Every probe energy —
+    and the z0 reset — is then a pure scalar-coefficient combination of
+    those tiles:
+
+        E(t) = F0 + sum_k c_k(U3 entries at t) F_k
+
+    so z1/z3 cost no plane work at all.  Update math identical to the
+    slot sweep (``_nft_layer_sweep_kernel``); energies carry the fold's
+    bf16x3 rounding (~1e-6, docs/performance.md).
     """
     rows = 1 << (n_qubits - LANE_BITS)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
@@ -842,18 +858,9 @@ def _nft_layer_sweep_folded_kernel(
     copy_re.wait()
     copy_im.wait()
 
-    if rows <= _WHOLE_STATE_MAX_ROWS:
-        plane_chunks = [slice(0, rows)]
-    else:
-        step_r = _LANE_CHUNK_ROWS
-        plane_chunks = [
-            slice(h * step_r, (h + 1) * step_r) for h in range(rows // step_r)
-        ]
-
     def eval_energy():
-        for sl in plane_chunks:
-            work_re[sl, :] = prefix_re[sl, :]
-            work_im[sl, :] = prefix_im[sl, :]
+        work_re[:] = prefix_re[:]
+        work_im[:] = prefix_im[:]
         _apply_kron_layer(
             work_re, work_im, fac_s, group_active_ref, 0, n_qubits, precision
         )
@@ -869,35 +876,191 @@ def _nft_layer_sweep_folded_kernel(
         _apply_kron_layer(
             work_re, work_im, fac_s, group_active_ref, 1, n_qubits, precision
         )
-        acc = jnp.float32(0.0)
-        for sl in plane_chunks:
-            prod = (
-                work_re[sl, :] * work_re[sl, :] + work_im[sl, :] * work_im[sl, :]
-            ) * table_ref[sl, :]
-            acc = acc + jnp.sum(prod)
-        return acc
+        prod = (work_re[:] * work_re[:] + work_im[:] * work_im[:]) * table_ref[:]
+        return jnp.sum(prod)
 
     z_s[0] = eval_energy()
 
     n_free = meta_ref[0, 0, 0]
     apply_updates = jnp.logical_and(meta_ref[0, 0, 1] != 0, n_free > 0)
 
-    def step(k, carry):
-        @pl.when(jnp.logical_and(k % reset_interval == 0, k > 0))
-        def _():
-            z_s[0] = eval_energy()
+    def qubit_bit_plane(qb):
+        q_lane = jnp.clip(qb, 0, LANE_BITS - 1)
+        q_row = jnp.clip(qb - LANE_BITS, 0, 31)
+        lane_bit = (lane_ids >> q_lane) & 1
+        row_bit = (row_ids >> q_row) & 1
+        return jnp.where(qb < LANE_BITS, lane_bit, row_bit)
 
+    def partner_planes(q):
+        """work/tp_s <- base/table permuted by i -> i XOR 2^q (one
+        0/1-permutation matmul per plane; HIGHEST keeps f32 exact)."""
+        hp = jax.lax.Precision.HIGHEST
+
+        @pl.when(q < LANE_BITS)
+        def _():
+            i_ids = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            j_ids = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            perm = ((i_ids ^ j_ids) == (jnp.int32(1) << q)).astype(jnp.float32)
+            dims = (((1,), (0,)), ((), ()))
+            mm = lambda x: jax.lax.dot_general(
+                x, perm, dims, preferred_element_type=jnp.float32, precision=hp
+            )
+            work_re[:] = mm(base_re[:])
+            work_im[:] = mm(base_im[:])
+            tp_s[:] = mm(table_ref[:])
+
+        if n_qubits > LANE_BITS:
+
+            @pl.when(jnp.logical_and(q >= LANE_BITS, q < 2 * LANE_BITS))
+            def _():
+                size = min(LANES, rows)
+                i_ids = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+                j_ids = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+                perm = (
+                    (i_ids ^ j_ids) == (jnp.int32(1) << (q - LANE_BITS))
+                ).astype(jnp.float32)
+                dims = (((1,), (0,)), ((), ()))
+                for h in range(rows // size):
+                    sl = slice(h * size, (h + 1) * size)
+                    for dst, src in (
+                        (work_re, base_re), (work_im, base_im), (tp_s, table_ref)
+                    ):
+                        dst[sl, :] = jax.lax.dot_general(
+                            perm, src[sl, :], dims,
+                            preferred_element_type=jnp.float32, precision=hp,
+                        )
+
+        if n_qubits > 2 * LANE_BITS:
+            m2 = n_qubits - 2 * LANE_BITS
+            blocks = 1 << m2
+
+            @pl.when(q >= 2 * LANE_BITS)
+            def _():
+                i_ids = jax.lax.broadcasted_iota(jnp.int32, (blocks, blocks), 0)
+                j_ids = jax.lax.broadcasted_iota(jnp.int32, (blocks, blocks), 1)
+                perm = (
+                    (i_ids ^ j_ids) == (jnp.int32(1) << (q - 2 * LANE_BITS))
+                ).astype(jnp.float32)
+                dims = (((1,), (0,)), ((), ()))
+                for dst, src in (
+                    (work_re, base_re), (work_im, base_im), (tp_s, table_ref)
+                ):
+                    x = src[:].reshape(blocks, LANES, LANES)
+                    out = jax.lax.dot_general(
+                        perm, x, dims,
+                        preferred_element_type=jnp.float32, precision=hp,
+                    )
+                    dst[:] = out.reshape(rows, LANES)
+
+    def step(k, carry):
         idx = k % jnp.maximum(n_free, 1)
         q = coords_ref[0, idx, 0]
         a_i = coords_ref[0, idx, 1]
         theta = angles_s[q, a_i]
+        gt = gate_types_ref[0, 0, q]
+        is_rot = gt == GATE_ROT
+        is_crot = gt == GATE_CROT
+        slot_j = slot_of_q_ref[0, 0, q]
+        control = diag_ctrl_ref[0, 0, jnp.maximum(slot_j, 0)]
 
-        angles_s[q, a_i] = theta + jnp.float32(np.pi / 2)
-        _refresh_layer_slot(fac_s, ph_s, gate_types_ref, slot_of_q_ref, angles_s, q)
-        z1 = eval_energy()
-        angles_s[q, a_i] = theta - jnp.float32(np.pi / 2)
-        _refresh_layer_slot(fac_s, ph_s, gate_types_ref, slot_of_q_ref, angles_s, q)
-        z3 = eval_energy()
+        # BASE = REST |prefix>: the layer fold with q's gate excluded
+        base_re[:] = prefix_re[:]
+        base_im[:] = prefix_im[:]
+        _apply_kron_layer(
+            base_re, base_im, fac_s, group_active_ref, 0, n_qubits, precision,
+            exclude_q=q,
+        )
+        count = diag_count_ref[0, 0, 0]
+
+        @pl.when(count > 0)
+        def _():
+            _apply_diag_pass(
+                base_re, base_im, row_ids, lane_ids,
+                diag_ctrl_ref, diag_tgt_ref, ph_s, count, 0, d_slots,
+                exclude_slot=slot_j,
+            )
+
+        _apply_kron_layer(
+            base_re, base_im, fac_s, group_active_ref, 1, n_qubits, precision,
+            exclude_q=q,
+        )
+
+        # pair contractions: 9 masked sums reduced to (8, 128) tiles
+        partner_planes(q)
+        m0 = (qubit_bit_plane(q) == 0).astype(jnp.float32)
+        cbit = (qubit_bit_plane(control) == 1).astype(jnp.float32)
+        cm = jnp.where(is_crot, cbit, jnp.float32(1.0))
+        br, bi_ = base_re[:], base_im[:]
+        pr, pi_ = work_re[:], work_im[:]
+        abs_a = br * br + bi_ * bi_
+        abs_b = pr * pr + pi_ * pi_
+        cr = br * pr + bi_ * pi_   # Re(a conj(b))
+        ci = bi_ * pr - br * pi_   # Im(a conj(b))
+        t_a = table_ref[:] * m0 * cm
+        t_b = tp_s[:] * m0 * cm
+
+        if rows >= 8:
+            def tile(x):
+                return jnp.sum(x.reshape(rows // 8, 8, LANES), axis=0)
+        else:
+            # tiny interpret-test sizes: reduce straight to a scalar
+            def tile(x):
+                return jnp.sum(x)
+
+        f0 = tile(table_ref[:] * (jnp.float32(1.0) - cm) * abs_a)
+        f1 = tile(t_a * abs_a)
+        f2 = tile(t_a * abs_b)
+        f3 = tile(t_a * cr)
+        f4 = tile(t_a * ci)
+        f5 = tile(t_b * abs_a)
+        f6 = tile(t_b * abs_b)
+        f7 = tile(t_b * cr)
+        f8 = tile(t_b * ci)
+
+        th0 = angles_s[q, 0]
+        ph0 = angles_s[q, 1]
+        la0 = angles_s[q, 2]
+        gated = jnp.logical_or(is_rot, is_crot)
+
+        def form_energy(t_val):
+            # U3 entries at the probed coordinate's value t_val
+            te = jnp.where(a_i == 0, t_val, th0)
+            pe = jnp.where(a_i == 1, t_val, ph0)
+            le = jnp.where(a_i == 2, t_val, la0)
+            cos_h, sin_h = jnp.cos(te * 0.5), jnp.sin(te * 0.5)
+            one, zero = jnp.float32(1.0), jnp.float32(0.0)
+            u00r = jnp.where(gated, cos_h, one)
+            u00i = zero
+            u01r = jnp.where(gated, -jnp.cos(le) * sin_h, zero)
+            u01i = jnp.where(gated, -jnp.sin(le) * sin_h, zero)
+            u10r = jnp.where(gated, jnp.cos(pe) * sin_h, zero)
+            u10i = jnp.where(gated, jnp.sin(pe) * sin_h, zero)
+            u11r = jnp.where(gated, jnp.cos(pe + le) * cos_h, one)
+            u11i = jnp.where(gated, jnp.sin(pe + le) * cos_h, zero)
+            # T_i |u00 a + u01 b|^2 + T_p |u10 a + u11 b|^2 summed:
+            # cross terms 2 Re(u_x conj(u_y) a conj(b))
+            c1 = u00r * u00r + u00i * u00i
+            c2 = u01r * u01r + u01i * u01i
+            re01 = u00r * u01r + u00i * u01i
+            im01 = u00i * u01r - u00r * u01i
+            c5 = u10r * u10r + u10i * u10i
+            c6 = u11r * u11r + u11i * u11i
+            re11 = u10r * u11r + u10i * u11i
+            im11 = u10i * u11r - u10r * u11i
+            two = jnp.float32(2.0)
+            combo = (
+                f0
+                + c1 * f1 + c2 * f2 + two * re01 * f3 - two * im01 * f4
+                + c5 * f5 + c6 * f6 + two * re11 * f7 - two * im11 * f8
+            )
+            return jnp.sum(combo)
+
+        @pl.when(jnp.logical_and(k % reset_interval == 0, k > 0))
+        def _():
+            z_s[0] = form_energy(theta)
+
+        z1 = form_energy(theta + jnp.float32(np.pi / 2))
+        z3 = form_energy(theta - jnp.float32(np.pi / 2))
 
         z0 = z_s[0]
         mid = (z1 + z3) * jnp.float32(0.5)
@@ -993,10 +1156,13 @@ def pallas_nft_layer_sweep_folded(
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SMEM((1, 2, n_qubits, 2, 2, 2), jnp.float32),
             pltpu.SMEM((1, 1, d_slots, 2, 2), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),  # prefix re
+            pltpu.VMEM((rows, LANES), jnp.float32),  # prefix im
+            pltpu.VMEM((rows, LANES), jnp.float32),  # base re
+            pltpu.VMEM((rows, LANES), jnp.float32),  # base im
+            pltpu.VMEM((rows, LANES), jnp.float32),  # partner re / full eval
+            pltpu.VMEM((rows, LANES), jnp.float32),  # partner im / full eval
+            pltpu.VMEM((rows, LANES), jnp.float32),  # partner table
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
