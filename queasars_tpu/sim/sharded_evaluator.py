@@ -448,6 +448,49 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         body = make_population_energies_body(self.mesh, self.n_qubits)
 
         if prefix:
+            from queasars_tpu.sim.sharded_statevector import (
+                _block_counts,
+                _tree_reduce_last,
+            )
+
+            device_bits = int(np.log2(n_devices))
+            total_blocks, blocks_local = _block_counts(n_devices, self.n_qubits)
+            local_len = 1 << local_bits
+
+            # Rest-base pair-form sweep: within a layer every slot gate
+            # acts on a disjoint qubit set (one role per qubit), so the
+            # probed slot's gate G(q) commutes with the REST of the layer
+            # and |psi> = G(q) . REST . |prefix>.  Each step simulates
+            # BASE = REST|prefix> once (the swept layer with slot q
+            # blanked to identity), builds the XOR-2^q partner of the
+            # base and of the energy table (a local bit-reverse or one
+            # ppermute), and reduces nine masked pair-contractions with
+            # the fixed-block tree order of _blockwise_sum.  Every probe
+            # energy — and the z0 reset — is then a scalar combination
+            # E(t) = F0 + sum_k c_k(U3(t)) F_k: two full layer
+            # applications per step become one, and probes cost no
+            # amplitude work at all.  Identical update math
+            # (nft_three_point_update); energies are the same sums
+            # reordered (~1e-6 f32), and stay bit-identical across
+            # (pop, amp) factorizations because every reduction follows
+            # the fixed-block scheme.
+
+            def _local_partner(x, q):
+                """x[..., i] -> x[..., i XOR 2^q] for a LOCAL bit q
+                (clamped; callers select away the global case)."""
+                fns = []
+                for t in range(local_bits):
+                    high = local_len >> (t + 1)
+                    low = 1 << t
+
+                    def f(xx, high=high, low=low):
+                        shaped = xx.reshape(xx.shape[:-1] + (high, 2, low))
+                        return shaped[..., ::-1, :].reshape(xx.shape)
+
+                    fns.append(f)
+                return jax.lax.switch(
+                    jnp.minimum(jnp.maximum(q, 0), local_bits - 1), fns, x
+                )
 
             def nft(
                 gate_types, controls, prefix_mask, full_angles,
@@ -458,6 +501,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 pop_idx = jnp.arange(pop)
                 device_id = jax.lax.axis_index(AMP_AXIS)
                 ones_mask = jnp.ones((1,), dtype=prefix_mask.dtype)
+                n = gate1.shape[2]
 
                 def simulate_prefix(args):
                     gt, ctrl, ang, lm = args
@@ -470,24 +514,166 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                     simulate_prefix, (gate_types, controls, full_angles, prefix_mask)
                 )  # [P, 2, 2^local]
 
-                from queasars_tpu.sim.sharded_statevector import _blockwise_energy
+                local_idx = jax.lax.broadcasted_iota(jnp.uint32, (1, local_len), 1)[0]
 
-                def objective(a):
-                    def one(args):
+                def amp_bit(b):
+                    """[2^local] bit ``b`` of the global amplitude index
+                    (local bits from the in-shard index, global bits from
+                    the device id — the _control_active convention)."""
+                    bu = jnp.maximum(b, 0).astype(jnp.uint32)
+                    lb = (local_idx >> jnp.minimum(bu, jnp.uint32(local_bits - 1))) & 1
+                    gb = (
+                        (device_id >> jnp.maximum(b - local_bits, 0)) & 1
+                    ).astype(jnp.uint32)
+                    return jnp.where(b < local_bits, lb, gb)
+
+                perms = [
+                    [(i, i ^ (1 << b)) for i in range(n_devices)]
+                    for b in range(device_bits)
+                ]
+
+                def step(carry, k):
+                    angles_c, z0 = carry
+                    idx = jnp.where(n_free > 0, k % jnp.maximum(n_free, 1), 0)
+                    coord = coords[pop_idx, idx]
+                    qv, av = coord[:, 1], coord[:, 2]
+
+                    # BASE = REST|prefix>: blank the probed slot to identity
+                    slot_ids = jnp.arange(n)[None, None, :]
+                    gt_rest = jnp.where(slot_ids == qv[:, None, None], 0, gate1)
+
+                    def simulate_base(args):
                         start, gt, ctrl, ang = args
-                        state = _simulate_local(
+                        return _simulate_local(
                             gt, ctrl, ang, ones_mask, device_id, local_bits,
                             n_devices, self.n_qubits, initial_local=start,
                         )
-                        probs = state[0] ** 2 + state[1] ** 2
-                        return _blockwise_energy(probs, table_local, n_devices, self.n_qubits)
 
-                    return jax.lax.map(one, (prefix_local, gate1, ctrl1, a))
+                    base = jax.lax.map(
+                        simulate_base, (prefix_local, gt_rest, ctrl1, angles_c)
+                    )  # [P, 2, 2^local]
 
-                return _nft_scan_body(
-                    objective, angles, coords, n_free, active, pop, pop_idx,
-                    maxiter, reset_interval,
-                )
+                    # global-bit partner variants, batched (uniform collectives)
+                    if device_bits:
+                        gparts = jnp.stack(
+                            [jax.lax.ppermute(base, AMP_AXIS, perm) for perm in perms]
+                        )  # [B, P, 2, L]
+                        tparts = jnp.stack(
+                            [
+                                jax.lax.ppermute(table_local, AMP_AXIS, perm)
+                                for perm in perms
+                            ]
+                        )  # [B, L]
+                        gparts_pi = jnp.moveaxis(gparts, 0, 1)  # [P, B, 2, L]
+
+                    gate_q = gate1[pop_idx, 0, qv]
+                    ctrl_q = ctrl1[pop_idx, 0, qv]
+
+                    def per_individual(args):
+                        if device_bits:
+                            base_i, q, gq, cq, gpart_i = args
+                        else:
+                            base_i, q, gq, cq = args
+                        lp = _local_partner(base_i, q)
+                        tp_l = _local_partner(table_local, q)
+                        if device_bits:
+                            gi = jnp.clip(q - local_bits, 0, device_bits - 1)
+                            gp = jax.lax.dynamic_index_in_dim(gpart_i, gi, keepdims=False)
+                            tp_g = jax.lax.dynamic_index_in_dim(tparts, gi, keepdims=False)
+                            is_local = q < local_bits
+                            partner = jnp.where(is_local, lp, gp)
+                            tpart = jnp.where(is_local, tp_l, tp_g)
+                        else:
+                            partner, tpart = lp, tp_l
+                        m0 = amp_bit(q) == 0
+                        is_crot = gq == 3
+                        cbit = amp_bit(cq) == 1
+                        cm = jnp.where(is_crot, cbit, True)
+                        mask_pair = jnp.logical_and(m0, cm).astype(jnp.float32)
+                        mask_f0 = jnp.logical_not(cm).astype(jnp.float32)
+                        a_re, a_im = base_i[0], base_i[1]
+                        b_re, b_im = partner[0], partner[1]
+                        abs_a = a_re * a_re + a_im * a_im
+                        abs_b = b_re * b_re + b_im * b_im
+                        c_re = a_re * b_re + a_im * b_im
+                        c_im = a_im * b_re - a_re * b_im
+                        t_a = table_local * mask_pair
+                        t_b = tpart * mask_pair
+                        planes = jnp.stack(
+                            [
+                                table_local * mask_f0 * abs_a,
+                                t_a * abs_a, t_a * abs_b, t_a * c_re, t_a * c_im,
+                                t_b * abs_a, t_b * abs_b, t_b * c_re, t_b * c_im,
+                            ]
+                        )  # [9, 2^local]
+                        blocks = jax.lax.optimization_barrier(planes).reshape(
+                            9, blocks_local, -1
+                        )
+                        return _tree_reduce_last(blocks)  # [9, blocks_local]
+
+                    map_args = (base, qv, gate_q, ctrl_q)
+                    if device_bits:
+                        map_args = map_args + (gparts_pi,)
+                    partials = jax.lax.map(per_individual, map_args)  # [P, 9, bl]
+                    gathered = jax.lax.all_gather(partials, AMP_AXIS)  # [A, P, 9, bl]
+                    per_pk = jnp.moveaxis(gathered, 0, 2).reshape(pop, 9, total_blocks)
+                    F = _tree_reduce_last(per_pk)  # [P, 9], replicated over amp
+
+                    th0 = angles_c[pop_idx, 0, qv, 0]
+                    ph_0 = angles_c[pop_idx, 0, qv, 1]
+                    la0 = angles_c[pop_idx, 0, qv, 2]
+                    theta = angles_c[pop_idx, 0, qv, av]
+                    gated = jnp.logical_or(gate_q == 1, gate_q == 3)
+
+                    def form(tval):
+                        te = jnp.where(av == 0, tval, th0)
+                        pe = jnp.where(av == 1, tval, ph_0)
+                        le = jnp.where(av == 2, tval, la0)
+                        cos_h, sin_h = jnp.cos(te * 0.5), jnp.sin(te * 0.5)
+                        one = jnp.ones_like(tval)
+                        zero = jnp.zeros_like(tval)
+                        u00r = jnp.where(gated, cos_h, one)
+                        u01r = jnp.where(gated, -jnp.cos(le) * sin_h, zero)
+                        u01i = jnp.where(gated, -jnp.sin(le) * sin_h, zero)
+                        u10r = jnp.where(gated, jnp.cos(pe) * sin_h, zero)
+                        u10i = jnp.where(gated, jnp.sin(pe) * sin_h, zero)
+                        u11r = jnp.where(gated, jnp.cos(pe + le) * cos_h, one)
+                        u11i = jnp.where(gated, jnp.sin(pe + le) * cos_h, zero)
+                        two = jnp.float32(2.0)
+                        c1 = u00r * u00r
+                        c2 = u01r * u01r + u01i * u01i
+                        re01 = u00r * u01r
+                        im01 = -u00r * u01i
+                        c5 = u10r * u10r + u10i * u10i
+                        c6 = u11r * u11r + u11i * u11i
+                        re11 = u10r * u11r + u10i * u11i
+                        im11 = u10i * u11r - u10r * u11i
+                        e = F[:, 0]
+                        e = e + c1 * F[:, 1]
+                        e = e + c2 * F[:, 2]
+                        e = e + two * re01 * F[:, 3]
+                        e = e - two * im01 * F[:, 4]
+                        e = e + c5 * F[:, 5]
+                        e = e + c6 * F[:, 6]
+                        e = e + two * re11 * F[:, 7]
+                        e = e - two * im11 * F[:, 8]
+                        return e
+
+                    z0 = jax.lax.cond(
+                        (k % reset_interval) == 0, lambda: form(theta), lambda: z0
+                    )
+                    z1 = form(theta + jnp.pi / 2)
+                    z3 = form(theta - jnp.pi / 2)
+                    shift, minimum_value = nft_three_point_update(z0, z1, z3)
+                    updated = angles_c.at[pop_idx, 0, qv, av].add(shift + jnp.pi)
+                    apply = jnp.logical_and(active, n_free > 0)
+                    angles_c = jnp.where(apply[:, None, None, None], updated, angles_c)
+                    z0 = jnp.where(apply, minimum_value, z0)
+                    return (angles_c, z0), None
+
+                init = (angles, jnp.zeros(pop, jnp.float32))
+                (angles_final, z0), _ = jax.lax.scan(step, init, jnp.arange(maxiter))
+                return angles_final, z0
 
             in_specs, out_specs = self._nft_specs(10, prefix=True)
         else:
