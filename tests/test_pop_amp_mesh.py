@@ -99,6 +99,52 @@ def test_device_nft_sweep_bit_identical_across_factorizations():
         np.testing.assert_array_equal(outcomes[0][1], energies)
 
 
+def test_prefix_sweep_bit_identical_across_factorizations():
+    """The rest-base prefix sweep: blanked-slot base simulation, the
+    XOR-partner exchange (LOCAL bit-reverse and GLOBAL ppermute branches
+    both exercised — at (1, 8) qubits 5-7 are device bits), and the
+    fixed-block pair contractions must reproduce bit-identical
+    trajectories for every (pop, amp) factorization."""
+    from queasars_tpu.optim.nft import BatchedNFT, NFTConfig
+    from queasars_tpu.sim.evaluators import StatevectorExpectationEvaluator
+
+    packed = _population(n_qubits=8, pop=6, layers=3, seed=9)
+    operator = _chain(packed.n_qubits)
+    real_layers = packed.layer_mask.sum(axis=1).astype(np.int32)
+    last_layer = real_layers - 1
+    coords_list = [
+        packed.layer_param_coordinates(i, -1) for i in range(packed.n_individuals)
+    ]
+    k_max = max(c.shape[0] for c in coords_list)
+    coords = np.zeros((packed.n_individuals, k_max, 3), np.int32)
+    n_free = np.zeros(packed.n_individuals, np.int32)
+    for i, c in enumerate(coords_list):
+        coords[i, : c.shape[0]] = c
+        n_free[i] = c.shape[0]
+    active = n_free > 0
+    optimizer = BatchedNFT(NFTConfig(maxiter=8, cache_prefix=True))
+    outcomes = []
+    for n_pop, n_amp in FACTORIZATIONS:
+        evaluator = AmplitudeShardedExpectationEvaluator(
+            operator, mesh=pop_amp_mesh(n_pop, n_amp)
+        )
+        angles, energies, _ = optimizer.minimize(
+            evaluator, packed, coords, n_free, active, seed=0, last_layer=last_layer
+        )
+        outcomes.append((np.asarray(angles), np.asarray(energies)))
+    for angles, energies in outcomes[1:]:
+        np.testing.assert_array_equal(outcomes[0][0], angles)
+        np.testing.assert_array_equal(outcomes[0][1], energies)
+    # and the outcome agrees with the single-chip engine through the
+    # evaluator (probe energies are the same sums reordered, ~1e-6)
+    single = StatevectorExpectationEvaluator(operator)
+    np.testing.assert_allclose(
+        np.asarray(single.evaluate_packed(packed, angles=outcomes[0][0])),
+        outcomes[0][1],
+        atol=2e-4,
+    )
+
+
 def test_full_solve_bit_identical_across_factorizations():
     """Whole EVQE solve trajectories (every generation's expectation
     values) are bit-identical for every (pop, amp) factorization — the
