@@ -11,6 +11,7 @@ evaluations of the entire population, not P independent host loops.
 from queasars_tpu.optim.nft import BatchedNFT, NFTConfig
 from queasars_tpu.optim.spsa import BatchedSPSA, SPSAConfig
 from queasars_tpu.optim.cobyla import ScipyCobyla
+from queasars_tpu.optim.gradient import BatchedGradientDescent, GradientDescentConfig
 from queasars_tpu.optim.spsa_termination import SPSATerminationChecker
 
 __all__ = [
@@ -19,5 +20,7 @@ __all__ = [
     "BatchedSPSA",
     "SPSAConfig",
     "ScipyCobyla",
+    "BatchedGradientDescent",
+    "GradientDescentConfig",
     "SPSATerminationChecker",
 ]

@@ -1,0 +1,252 @@
+"""Batched gradient-descent (Adam/SGD) optimizer via adjoint autodiff.
+
+Beyond-reference capability: the reference's optimizer surface is the
+gradient-free qiskit-algorithms trio (NFT/SPSA/COBYLA, consumed at
+mutation.py:77-81) because its simulator is an opaque RPC endpoint.
+Here the simulator is a differentiable JAX program, so exact analytic
+gradients of <psi(theta)|H|psi(theta)> come from one adjoint
+(reverse-mode) pass — no parameter-shift probes, no stochastic
+perturbation.  The whole population descends in lock-step under one
+``lax.scan``; the free-parameter subset per individual is the same
+[P, K, 3] coordinate table the NFT/SPSA batchers use.
+
+Scope: differentiable objectives only — the exact estimator path
+(diagonal or general Pauli sums, optionally with the CVaR tail and/or
+Gaussian precision noise, whose gradient contribution is exactly zero).
+Shot-sampled objectives are not differentiable; ``minimize`` raises and
+points at :class:`~queasars_tpu.optim.spsa.BatchedSPSA`.  The objective
+always runs on the jnp engine (the fused Pallas kernels define no VJP);
+the layer-prefix cache is still available for last-layer sweeps.
+
+Evaluation-ledger accounting: one Adam step costs a forward plus an
+adjoint pass; the ledger charges 2 reference-equivalent evaluations per
+step (``GradientDescentConfig.n_circuit_evaluations``), mirroring the
+2-evaluations-per-step convention of the SPSA ledger.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.optim.objective import objective_operands, population_energies
+
+
+@dataclass(frozen=True)
+class GradientDescentConfig:
+    """Adam/SGD hyperparameters.
+
+    :param maxiter: gradient steps (each one forward + one adjoint pass)
+    :param learning_rate: step size (Adam default 0.05 suits the
+        [0, 2pi) angle scale of U3/CU3 parameters)
+    :param b1 / b2 / eps: Adam moment decays and denominator floor
+        (ignored for ``method="sgd"``)
+    :param method: ``"adam"`` or ``"sgd"``
+    :param cache_prefix: layer-prefix cache for last-layer-only sweeps
+        (same semantics as :class:`~queasars_tpu.optim.nft.NFTConfig`)
+    """
+
+    maxiter: int = 100
+    learning_rate: float = 0.05
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    method: str = "adam"
+    cache_prefix: Optional[bool] = None
+
+    def __post_init__(self):
+        if self.method not in ("adam", "sgd"):
+            raise ValueError(f"method must be 'adam' or 'sgd', got {self.method!r}")
+        if self.maxiter < 1:
+            raise ValueError("maxiter must be >= 1")
+        if self.learning_rate <= 0.0:
+            raise ValueError("learning_rate must be positive")
+
+    def n_circuit_evaluations(self) -> int:
+        return 2 * self.maxiter
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_qubits", "maxiter", "use_cvar", "use_general", "method"),
+)
+def _gradient_scan(
+    gate_types, controls, layer_mask, angles, coords, coord_mask, active,
+    table, sorted_energies, energy_order, alpha, pop_keys, initial_state,
+    lr, b1, b2, eps,
+    precision=None,
+    *, n_qubits, maxiter, use_cvar, use_general, method,
+):
+    """Adam/SGD over a per-individual free-parameter vector theta [P, K].
+
+    ``theta`` accumulates the total shift applied at each individual's
+    coordinate table; differentiating with respect to theta (rather than
+    the full angle tensor) keeps padded coordinate slots inert — their
+    mask zeroes both the forward contribution and the gradient.
+    """
+    pop = gate_types.shape[0]
+    pop_idx = jnp.arange(pop)[:, None]
+    l, q, a_i = coords[..., 0], coords[..., 1], coords[..., 2]
+    act = active.astype(jnp.float32)[:, None] * coord_mask
+
+    def energies(a, keys):
+        return population_energies(
+            gate_types, controls, a, layer_mask, table, sorted_energies,
+            energy_order, alpha, keys, n_qubits=n_qubits, shots=0,
+            use_cvar=use_cvar, use_shots=False, initial_state=initial_state,
+            use_pallas=False, use_general=use_general, precision=precision,
+        )
+
+    def loss(theta, keys):
+        shifted = angles.at[pop_idx, l, q, a_i].add(theta * coord_mask)
+        return jnp.sum(energies(shifted, keys))
+
+    grad_fn = jax.grad(loss)
+
+    def step(carry, k):
+        theta, m, v = carry
+        keys = jax.vmap(lambda pk: jax.random.fold_in(pk, k))(pop_keys)
+        g = grad_fn(theta, keys) * act
+        if method == "adam":
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            t = (k + 1).astype(jnp.float32)
+            m_hat = m / (1.0 - jnp.power(b1, t))
+            v_hat = v / (1.0 - jnp.power(b2, t))
+            update = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+        else:
+            update = lr * g
+        theta = theta - update * act
+        return (theta, m, v), None
+
+    zeros = jnp.zeros(coords.shape[:2], jnp.float32)
+    (theta, _, _), _ = jax.lax.scan(step, (zeros, zeros, zeros), jnp.arange(maxiter))
+
+    out = angles.at[pop_idx, l, q, a_i].add(theta * coord_mask)
+    out = jnp.where(active[:, None, None, None], out, angles)
+    final_keys = jax.vmap(lambda pk: jax.random.fold_in(pk, 0x7FFFFFFF))(pop_keys)
+    return out, energies(out, final_keys)
+
+
+class BatchedGradientDescent:
+    """Population-lock-step Adam/SGD against a differentiable evaluator."""
+
+    def __init__(self, config: GradientDescentConfig = GradientDescentConfig()):
+        self.config = config
+
+    def publishes_exact_energies(self, evaluator) -> bool:
+        """The returned energies are a jnp-engine forward at the final
+        angles; production evaluators may route Pallas/MXU kernels whose
+        floats differ at the 1e-7 level, so selection must re-evaluate."""
+        return False
+
+    def minimize(
+        self,
+        evaluator,
+        packed: PackedPopulation,
+        coords: np.ndarray,
+        n_free: np.ndarray,
+        active: np.ndarray,
+        angles: Optional[np.ndarray] = None,
+        seed: int = 0,
+        last_layer: Optional[np.ndarray] = None,
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """Run Adam/SGD over the selected free parameters.
+
+        Same contract as :meth:`~queasars_tpu.optim.nft.BatchedNFT.minimize`.
+        """
+        cfg = self.config
+        a = packed.angles if angles is None else angles
+        if coords.shape[1] == 0 or not np.any(np.logical_and(active, n_free > 0)):
+            return np.asarray(a), np.asarray(evaluator.evaluate_packed(packed, angles=a)), 0
+        try:
+            operands = objective_operands(evaluator)
+        except TypeError as exc:
+            raise ValueError(
+                "BatchedGradientDescent needs a differentiable device objective "
+                "(StatevectorExpectationEvaluator); black-box bitstring objectives "
+                "have no gradient — use BatchedNFT or BatchedSPSA"
+            ) from exc
+        if operands["use_shots"]:
+            raise ValueError(
+                "shot-sampled objectives are not differentiable; use BatchedSPSA "
+                "(stochastic approximation) or an exact estimator evaluator"
+            )
+        # the fused kernels define no VJP — the gradient objective always
+        # runs the jnp engine (prefix simulation below follows suit)
+        operands = {**operands, "use_pallas": False}
+
+        coord_mask = (
+            np.arange(coords.shape[1])[None, :] < np.asarray(n_free)[:, None]
+        ).astype(np.float32)
+        pop_keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), packed.n_individuals))
+        precision = operands.get("precision")
+        mesh = getattr(evaluator, "mesh", None)
+
+        from queasars_tpu.optim.prefix import build_prefix_transform, prefix_enabled
+
+        use_prefix = prefix_enabled(cfg.cache_prefix, operands, mesh, last_layer)
+        a_in = np.asarray(a)
+        coords_in = np.asarray(coords)
+        initial = operands["initial_state"]
+        if use_prefix:
+            transform = build_prefix_transform(packed, a_in, coords_in, operands, last_layer)
+            a_in = transform.angles
+            coords_in = transform.coords
+            initial = transform.initial_state
+            structure = (transform.gate_types, transform.controls, transform.layer_mask)
+        else:
+            structure = (packed.gate_types, packed.controls, packed.layer_mask)
+
+        common = dict(
+            n_qubits=packed.n_qubits,
+            maxiter=cfg.maxiter,
+            use_cvar=operands["use_cvar"],
+            use_general=operands.get("use_general", False),
+            method=cfg.method,
+        )
+        hyper = (
+            jnp.float32(cfg.learning_rate), jnp.float32(cfg.b1),
+            jnp.float32(cfg.b2), jnp.float32(cfg.eps),
+        )
+
+        def fn(pop_args, rep_args):
+            gt, ctrl, lm, ang, crd, cm, act, keys = pop_args
+            tab, se, eo, alpha_v, init, prec = rep_args
+            return _gradient_scan(
+                gt, ctrl, lm, ang, crd, cm, act, tab, se, eo, alpha_v, keys, init,
+                *hyper, prec, **common,
+            )
+
+        pop_args = (
+            *structure, a_in, coords_in, coord_mask, np.asarray(active), pop_keys,
+        )
+        rep_args = (
+            operands["table"], operands["sorted_energies"], operands["energy_order"],
+            operands["alpha"], initial, precision,
+        )
+        if mesh is None:
+            out_angles, energies = fn(pop_args, rep_args)
+        else:
+            from queasars_tpu.parallel.mesh import (
+                pad_population_axis,
+                population_pad_multiple,
+                run_population_sharded,
+            )
+
+            multiple = population_pad_multiple(mesh)
+            padded = tuple(pad_population_axis(np.asarray(arr), multiple) for arr in pop_args)
+            out = run_population_sharded(mesh, fn, padded, rep_args)
+            out_angles, energies = (o[: packed.n_individuals] for o in out)
+
+        out_angles = np.asarray(out_angles)
+        if use_prefix:
+            out_angles = transform.merge(out_angles)
+        return out_angles, np.asarray(energies), self.config.n_circuit_evaluations()
