@@ -135,6 +135,93 @@ def _gradient_scan(
     return out, energies(out, final_keys)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_qubits", "maxiter", "use_cvar", "use_general", "method"),
+)
+def _gradient_slots_scan(
+    gate_types, controls, layer_mask, angles,
+    coords_ps, coord_mask_ps, active_ps, slot_layer_ps, pop_keys_ps,
+    table, sorted_energies, energy_order, alpha, initial_state,
+    lr, b1, b2, eps,
+    precision=None,
+    *, n_qubits, maxiter, use_cvar, use_general, method,
+):
+    """Fused multi-slot Adam/SGD (the EVQEParameterSearch shape): scan over
+    layer slots; each slot descends from its cached layer-prefix state with
+    adjoint gradients flowing through the suffix layers only.  Slot arrays
+    are [P, S, ...] (pop on axis 0 for population-mesh sharding) — see
+    :func:`~queasars_tpu.optim.nft._nft_slots_scan`."""
+    from queasars_tpu.sim.statevector import simulate_circuits
+
+    pop = gate_types.shape[0]
+    pop_idx = jnp.arange(pop)[:, None]
+    max_layers = gate_types.shape[1]
+    layer_idx = jnp.arange(max_layers)
+
+    def slot_body(angles_s, xs):
+        coords, coord_mask, active, keys, slot_layer = xs
+        prefix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] < slot_layer[:, None])
+        suffix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] >= slot_layer[:, None])
+        prefix_state = simulate_circuits(
+            gate_types, controls, angles_s, prefix_mask, n_qubits, initial_state
+        )
+
+        l, q, a_i = coords[..., 0], coords[..., 1], coords[..., 2]
+        act = active.astype(jnp.float32)[:, None] * coord_mask
+
+        def energies(a, ks):
+            return population_energies(
+                gate_types, controls, a, suffix_mask, table, sorted_energies,
+                energy_order, alpha, ks, n_qubits=n_qubits, shots=0,
+                use_cvar=use_cvar, use_shots=False, initial_state=prefix_state,
+                use_pallas=False, use_general=use_general, precision=precision,
+            )
+
+        def loss(theta, ks):
+            shifted = angles_s.at[pop_idx, l, q, a_i].add(theta * coord_mask)
+            return jnp.sum(energies(shifted, ks))
+
+        grad_fn = jax.grad(loss)
+
+        def step(carry, k):
+            theta, m, v = carry
+            ks = jax.vmap(lambda pk: jax.random.fold_in(pk, k))(keys)
+            g = grad_fn(theta, ks) * act
+            if method == "adam":
+                m_n = b1 * m + (1.0 - b1) * g
+                v_n = b2 * v + (1.0 - b2) * g * g
+                t = (k + 1).astype(jnp.float32)
+                update = lr * (m_n / (1.0 - jnp.power(b1, t))) / (
+                    jnp.sqrt(v_n / (1.0 - jnp.power(b2, t))) + eps
+                )
+            else:
+                m_n, v_n = m, v
+                update = lr * g
+            return (theta - update * act, m_n, v_n), None
+
+        zeros = jnp.zeros(coords.shape[:2], jnp.float32)
+        (theta, _, _), _ = jax.lax.scan(step, (zeros, zeros, zeros), jnp.arange(maxiter))
+        return angles_s.at[pop_idx, l, q, a_i].add(theta * act), None
+
+    xs = (
+        jnp.swapaxes(coords_ps, 0, 1),
+        jnp.swapaxes(coord_mask_ps, 0, 1),
+        jnp.swapaxes(active_ps, 0, 1),
+        jnp.swapaxes(pop_keys_ps, 0, 1),
+        jnp.swapaxes(slot_layer_ps, 0, 1),
+    )
+    angles, _ = jax.lax.scan(slot_body, angles, xs)
+    final_keys = jax.vmap(lambda pk: jax.random.fold_in(pk, 0x7FFFFFFF))(pop_keys_ps[:, -1])
+    final = population_energies(
+        gate_types, controls, angles, layer_mask, table, sorted_energies, energy_order,
+        alpha, final_keys, n_qubits=n_qubits, shots=0, use_cvar=use_cvar,
+        use_shots=False, initial_state=initial_state, use_pallas=False,
+        use_general=use_general, precision=precision,
+    )
+    return angles, final
+
+
 class BatchedGradientDescent:
     """Population-lock-step Adam/SGD against a differentiable evaluator."""
 
@@ -250,3 +337,95 @@ class BatchedGradientDescent:
         if use_prefix:
             out_angles = transform.merge(out_angles)
         return out_angles, np.asarray(energies), self.config.n_circuit_evaluations()
+
+    def minimize_slots(
+        self,
+        evaluator,
+        packed: PackedPopulation,
+        coords: np.ndarray,
+        n_free: np.ndarray,
+        active: np.ndarray,
+        slot_layers: np.ndarray,
+        angles: Optional[np.ndarray] = None,
+        seeds: Optional[np.ndarray] = None,
+    ) -> Optional[tuple[np.ndarray, np.ndarray, int]]:
+        """Fused multi-slot parameter search — same contract as
+        :meth:`~queasars_tpu.optim.nft.BatchedNFT.minimize_slots` (one
+        compiled scan over all layer slots, per-slot prefix states,
+        adjoint gradients through the suffix only; returns None when the
+        fused path does not apply and the per-slot loop should run).
+        Enabled by ``cache_prefix=True`` or, by default, exactly when the
+        production Pallas path is active (the CPU/jnp default keeps the
+        per-slot loop — the committed-fixture invariant every fused path
+        honors)."""
+        if getattr(evaluator, "nft_minimize", None) is not None:
+            return None
+        try:
+            operands = objective_operands(evaluator)
+        except TypeError:
+            return None
+        if operands["use_shots"]:
+            return None  # the per-slot path raises the informative error
+        flag = self.config.cache_prefix
+        enabled = operands.get("use_pallas", False) if flag is None else bool(flag)
+        if not enabled:
+            return None
+        operands = {**operands, "use_pallas": False}
+
+        cfg = self.config
+        a_in = np.asarray(packed.angles if angles is None else angles)
+        pop, n_slots = n_free.shape
+        seeds = np.zeros(n_slots, np.int64) if seeds is None else np.asarray(seeds)
+        keys = np.stack(
+            [np.asarray(jax.random.split(jax.random.PRNGKey(int(s)), pop)) for s in seeds],
+            axis=1,
+        )  # [P, S, 2]
+        coord_mask = (
+            np.arange(coords.shape[2])[None, None, :] < np.asarray(n_free)[:, :, None]
+        ).astype(np.float32)
+
+        static_kwargs = dict(
+            n_qubits=packed.n_qubits,
+            maxiter=cfg.maxiter,
+            use_cvar=operands["use_cvar"],
+            use_general=operands.get("use_general", False),
+            method=cfg.method,
+        )
+        hyper = (
+            jnp.float32(cfg.learning_rate), jnp.float32(cfg.b1),
+            jnp.float32(cfg.b2), jnp.float32(cfg.eps),
+        )
+        pop_args = (
+            packed.gate_types, packed.controls, packed.layer_mask, a_in,
+            np.asarray(coords), coord_mask, np.asarray(active),
+            np.asarray(slot_layers, np.int32), keys,
+        )
+        rep_args = (
+            operands["table"], operands["sorted_energies"], operands["energy_order"],
+            operands["alpha"], operands["initial_state"], operands.get("precision"),
+        )
+
+        def fn(pa, ra):
+            gt, ctrl, lm, ang, crd, cm, act, sl, ks = pa
+            tab, se, eo, alpha_v, init, prec = ra
+            return _gradient_slots_scan(
+                gt, ctrl, lm, ang, crd, cm, act, sl, ks, tab, se, eo, alpha_v, init,
+                *hyper, prec, **static_kwargs,
+            )
+
+        mesh = getattr(evaluator, "mesh", None)
+        if mesh is None:
+            out_angles, energies = fn(pop_args, rep_args)
+        else:
+            from queasars_tpu.parallel.mesh import (
+                pad_population_axis,
+                population_pad_multiple,
+                run_population_sharded,
+            )
+
+            multiple = population_pad_multiple(mesh)
+            padded = tuple(pad_population_axis(arr, multiple) for arr in pop_args)
+            out_angles, energies = run_population_sharded(mesh, fn, padded, rep_args)
+            out_angles = out_angles[: packed.n_individuals]
+            energies = energies[: packed.n_individuals]
+        return np.asarray(out_angles), np.asarray(energies), cfg.n_circuit_evaluations()

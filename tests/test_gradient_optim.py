@@ -169,3 +169,81 @@ def test_solver_accepts_gradient_optimizer():
     result = EVQEMinimumEigensolver(configuration).compute_minimum_eigenvalue(operator)
     assert result.eigenvalue is not None
     assert result.eigenvalue < 0.0
+
+
+# ---------------------------------------------------------------------------
+# fused multi-slot parameter search (minimize_slots)
+# ---------------------------------------------------------------------------
+
+from tests.test_slot_fusion import _diagonal_operator, _slot_problem
+
+
+def test_gradient_fused_slots_matches_sequential():
+    """The fused scan runs the same Adam trajectory per slot as the
+    sequential per-slot loop; only prefix-split float rounding differs."""
+    packed, coords, n_free, active, slot_layers, seeds = _slot_problem()
+    op = _diagonal_operator(packed.n_qubits)
+    config = GradientDescentConfig(maxiter=8, learning_rate=0.1)
+
+    angles = packed.angles
+    for s in range(n_free.shape[1]):
+        angles, _, _ = BatchedGradientDescent(config).minimize(
+            StatevectorExpectationEvaluator(op), packed,
+            coords[:, s], n_free[:, s], active[:, s],
+            angles=angles, seed=int(seeds[s]),
+        )
+    a_seq = np.asarray(angles)
+
+    result = BatchedGradientDescent(
+        GradientDescentConfig(maxiter=8, learning_rate=0.1, cache_prefix=True)
+    ).minimize_slots(
+        StatevectorExpectationEvaluator(op), packed, coords, n_free, active,
+        slot_layers, seeds=seeds,
+    )
+    assert result is not None
+    a_fused, e_fused, nfev = result
+    assert nfev == config.n_circuit_evaluations()
+    evaluator = StatevectorExpectationEvaluator(op)
+    seq_e = np.asarray(evaluator.evaluate_packed(packed, angles=a_seq))
+    fused_e = np.asarray(evaluator.evaluate_packed(packed, angles=a_fused))
+    np.testing.assert_allclose(fused_e, seq_e, rtol=1e-3, atol=1e-3)
+    # the returned energies are a fresh forward at the final angles
+    np.testing.assert_allclose(e_fused, fused_e, atol=1e-5)
+
+
+def test_gradient_fused_slots_default_resolution():
+    """flag None -> fused only under the production Pallas path (the
+    committed-fixture invariant); shot objectives decline fusion."""
+    packed, coords, n_free, active, slot_layers, seeds = _slot_problem()
+    op = _diagonal_operator(packed.n_qubits)
+    assert (
+        BatchedGradientDescent(GradientDescentConfig(maxiter=3)).minimize_slots(
+            StatevectorExpectationEvaluator(op), packed, coords, n_free, active,
+            slot_layers, seeds=seeds,
+        )
+        is None
+    )
+    shot_eval = SamplerExpectationEvaluator(op, shots=64, seed=1)
+    assert (
+        BatchedGradientDescent(
+            GradientDescentConfig(maxiter=3, cache_prefix=True)
+        ).minimize_slots(
+            shot_eval, packed, coords, n_free, active, slot_layers, seeds=seeds,
+        )
+        is None
+    )
+
+
+def test_gradient_fused_slots_mesh_bit_identity():
+    packed, coords, n_free, active, slot_layers, seeds = _slot_problem(pop=8)
+    op = _diagonal_operator(packed.n_qubits)
+    config = GradientDescentConfig(maxiter=5, learning_rate=0.1, cache_prefix=True)
+    results = {}
+    for n_devices in (1, 8):
+        evaluator = StatevectorExpectationEvaluator(op)
+        evaluator.set_mesh(population_mesh(n_devices))
+        results[n_devices] = BatchedGradientDescent(config).minimize_slots(
+            evaluator, packed, coords, n_free, active, slot_layers, seeds=seeds,
+        )
+    np.testing.assert_array_equal(results[1][0], results[8][0])
+    np.testing.assert_array_equal(results[1][1], results[8][1])
