@@ -51,6 +51,11 @@ class GradientDescentConfig:
     :param method: ``"adam"`` or ``"sgd"``
     :param cache_prefix: layer-prefix cache for last-layer-only sweeps
         (same semantics as :class:`~queasars_tpu.optim.nft.NFTConfig`)
+    :param use_fold: route the differentiable objective through the
+        kron-fold applier (``sim/fold_pipeline.py::simulate_circuits_folded``
+        — MXU group matmuls for both the forward and the adjoint pass,
+        instead of per-slot elementwise passes).  None = auto: on for
+        supported sizes on TPU (the ``QUEASARS_MXU`` knob), off on CPU.
     """
 
     maxiter: int = 100
@@ -60,6 +65,7 @@ class GradientDescentConfig:
     eps: float = 1e-8
     method: str = "adam"
     cache_prefix: Optional[bool] = None
+    use_fold: Optional[bool] = None
 
     def __post_init__(self):
         if self.method not in ("adam", "sgd"):
@@ -75,14 +81,14 @@ class GradientDescentConfig:
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "use_cvar", "use_general", "method"),
+    static_argnames=("n_qubits", "maxiter", "use_cvar", "use_general", "method", "fold_jnp"),
 )
 def _gradient_scan(
     gate_types, controls, layer_mask, angles, coords, coord_mask, active,
     table, sorted_energies, energy_order, alpha, pop_keys, initial_state,
     lr, b1, b2, eps,
     precision=None,
-    *, n_qubits, maxiter, use_cvar, use_general, method,
+    *, n_qubits, maxiter, use_cvar, use_general, method, fold_jnp=False,
 ):
     """Adam/SGD over a per-individual free-parameter vector theta [P, K].
 
@@ -96,24 +102,38 @@ def _gradient_scan(
     l, q, a_i = coords[..., 0], coords[..., 1], coords[..., 2]
     act = active.astype(jnp.float32)[:, None] * coord_mask
 
-    def energies(a, keys):
+    def energies(a, keys, fold=fold_jnp):
         return population_energies(
             gate_types, controls, a, layer_mask, table, sorted_energies,
             energy_order, alpha, keys, n_qubits=n_qubits, shots=0,
             use_cvar=use_cvar, use_shots=False, initial_state=initial_state,
             use_pallas=False, use_general=use_general, precision=precision,
+            fold_jnp=fold,
         )
 
-    def loss(theta, keys):
-        shifted = angles.at[pop_idx, l, q, a_i].add(theta * coord_mask)
-        return jnp.sum(energies(shifted, keys))
+    def make_grad(fold):
+        def loss(theta, keys):
+            shifted = angles.at[pop_idx, l, q, a_i].add(theta * coord_mask)
+            return jnp.sum(energies(shifted, keys, fold))
 
-    grad_fn = jax.grad(loss)
+        return jax.grad(loss)
+
+    grad_fn = make_grad(fold_jnp)
+    # the eigendecomposed fold has no derivative at exactly degenerate
+    # CROT angles (a freshly grown layer's zeros: the V/CDiag factors
+    # carry kinks that cancel only in the composite), so the FIRST step
+    # of a folded descent differentiates through the per-slot engine —
+    # one true-gradient step moves every coordinate off the kink, after
+    # which the folded adjoint is exact (tests/test_fold_gradient.py).
+    grad_warm = make_grad(False) if fold_jnp else grad_fn
 
     def step(carry, k):
         theta, m, v = carry
         keys = jax.vmap(lambda pk: jax.random.fold_in(pk, k))(pop_keys)
-        g = grad_fn(theta, keys) * act
+        if fold_jnp:
+            g = jax.lax.cond(k == 0, grad_warm, grad_fn, theta, keys) * act
+        else:
+            g = grad_fn(theta, keys) * act
         if method == "adam":
             m = b1 * m + (1.0 - b1) * g
             v = b2 * v + (1.0 - b2) * g * g
@@ -137,7 +157,7 @@ def _gradient_scan(
 
 @partial(
     jax.jit,
-    static_argnames=("n_qubits", "maxiter", "use_cvar", "use_general", "method"),
+    static_argnames=("n_qubits", "maxiter", "use_cvar", "use_general", "method", "fold_jnp"),
 )
 def _gradient_slots_scan(
     gate_types, controls, layer_mask, angles,
@@ -145,15 +165,17 @@ def _gradient_slots_scan(
     table, sorted_energies, energy_order, alpha, initial_state,
     lr, b1, b2, eps,
     precision=None,
-    *, n_qubits, maxiter, use_cvar, use_general, method,
+    *, n_qubits, maxiter, use_cvar, use_general, method, fold_jnp=False,
 ):
     """Fused multi-slot Adam/SGD (the EVQEParameterSearch shape): scan over
     layer slots; each slot descends from its cached layer-prefix state with
     adjoint gradients flowing through the suffix layers only.  Slot arrays
     are [P, S, ...] (pop on axis 0 for population-mesh sharding) — see
     :func:`~queasars_tpu.optim.nft._nft_slots_scan`."""
+    from queasars_tpu.sim.fold_pipeline import simulate_circuits_folded
     from queasars_tpu.sim.statevector import simulate_circuits
 
+    simulate = simulate_circuits_folded if fold_jnp else simulate_circuits
     pop = gate_types.shape[0]
     pop_idx = jnp.arange(pop)[:, None]
     max_layers = gate_types.shape[1]
@@ -163,31 +185,39 @@ def _gradient_slots_scan(
         coords, coord_mask, active, keys, slot_layer = xs
         prefix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] < slot_layer[:, None])
         suffix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] >= slot_layer[:, None])
-        prefix_state = simulate_circuits(
+        prefix_state = simulate(
             gate_types, controls, angles_s, prefix_mask, n_qubits, initial_state
         )
 
         l, q, a_i = coords[..., 0], coords[..., 1], coords[..., 2]
         act = active.astype(jnp.float32)[:, None] * coord_mask
 
-        def energies(a, ks):
+        def energies(a, ks, fold=fold_jnp):
             return population_energies(
                 gate_types, controls, a, suffix_mask, table, sorted_energies,
                 energy_order, alpha, ks, n_qubits=n_qubits, shots=0,
                 use_cvar=use_cvar, use_shots=False, initial_state=prefix_state,
                 use_pallas=False, use_general=use_general, precision=precision,
+                fold_jnp=fold,
             )
 
-        def loss(theta, ks):
-            shifted = angles_s.at[pop_idx, l, q, a_i].add(theta * coord_mask)
-            return jnp.sum(energies(shifted, ks))
+        def make_grad(fold):
+            def loss(theta, ks):
+                shifted = angles_s.at[pop_idx, l, q, a_i].add(theta * coord_mask)
+                return jnp.sum(energies(shifted, ks, fold))
 
-        grad_fn = jax.grad(loss)
+            return jax.grad(loss)
+
+        grad_fn = make_grad(fold_jnp)
+        grad_warm = make_grad(False) if fold_jnp else grad_fn  # kink warmup
 
         def step(carry, k):
             theta, m, v = carry
             ks = jax.vmap(lambda pk: jax.random.fold_in(pk, k))(keys)
-            g = grad_fn(theta, ks) * act
+            if fold_jnp:
+                g = jax.lax.cond(k == 0, grad_warm, grad_fn, theta, ks) * act
+            else:
+                g = grad_fn(theta, ks) * act
             if method == "adam":
                 m_n = b1 * m + (1.0 - b1) * g
                 v_n = b2 * v + (1.0 - b2) * g * g
@@ -217,7 +247,7 @@ def _gradient_slots_scan(
         gate_types, controls, angles, layer_mask, table, sorted_energies, energy_order,
         alpha, final_keys, n_qubits=n_qubits, shots=0, use_cvar=use_cvar,
         use_shots=False, initial_state=initial_state, use_pallas=False,
-        use_general=use_general, precision=precision,
+        use_general=use_general, precision=precision, fold_jnp=fold_jnp,
     )
     return angles, final
 
@@ -227,6 +257,15 @@ class BatchedGradientDescent:
 
     def __init__(self, config: GradientDescentConfig = GradientDescentConfig()):
         self.config = config
+
+    def _fold_jnp(self, n_qubits: int) -> bool:
+        """Resolve the kron-fold objective knob (config wins, else the
+        production MXU enablement predicate — TPU sizes 7..22)."""
+        if self.config.use_fold is not None:
+            return bool(self.config.use_fold)
+        from queasars_tpu.optim.objective import mxu_fold_enabled
+
+        return mxu_fold_enabled(None, n_qubits)
 
     def publishes_exact_energies(self, evaluator) -> bool:
         """The returned energies are a jnp-engine forward at the final
@@ -298,6 +337,7 @@ class BatchedGradientDescent:
             use_cvar=operands["use_cvar"],
             use_general=operands.get("use_general", False),
             method=cfg.method,
+            fold_jnp=self._fold_jnp(packed.n_qubits),
         )
         hyper = (
             jnp.float32(cfg.learning_rate), jnp.float32(cfg.b1),
@@ -390,6 +430,7 @@ class BatchedGradientDescent:
             use_cvar=operands["use_cvar"],
             use_general=operands.get("use_general", False),
             method=cfg.method,
+            fold_jnp=self._fold_jnp(packed.n_qubits),
         )
         hyper = (
             jnp.float32(cfg.learning_rate), jnp.float32(cfg.b1),

@@ -40,6 +40,7 @@ def population_energies(
     precision=None,
     fast_shots=None,
     use_mxu: bool | None = None,
+    fold_jnp: bool = False,
 ):
     """Energies [P] for the population at the given angle tensor.
 
@@ -55,17 +56,27 @@ def population_energies(
     ``(coeffs_re, coeffs_im, z_masks, x_masks)``.  ``precision`` (a traced
     scalar, or None to disable at trace time) adds per-individual Gaussian
     noise of that standard deviation — the estimator-precision semantics of
-    the reference (circuit_evaluation.py:210-213).
+    the reference (circuit_evaluation.py:210-213).  ``fold_jnp`` routes the
+    non-Pallas simulation through the differentiable kron-fold applier
+    (``simulate_circuits_folded`` — MXU group matmuls instead of per-slot
+    passes; the adjoint-gradient optimizer's production engine).
     """
-    if use_general:
-        from queasars_tpu.sim.statevector import simulate_circuits
 
+    def _simulate(a, mask, init):
+        from queasars_tpu.sim.fold_pipeline import simulate_circuits_folded
+        from queasars_tpu.sim.statevector import simulate_circuits as _sim
+
+        if fold_jnp:
+            return simulate_circuits_folded(gate_types, controls, a, mask, n_qubits, init)
+        return _sim(gate_types, controls, a, mask, n_qubits, init)
+
+    if use_general:
         if len(table) == 2:
             # dense Hermitian matvec (MXU) — see _energies_dense;
             # precision=HIGHEST: the TPU default's single-bf16-pass f32
             # matmul is ~4e-3 relative, far outside the engine gates
             h_re, h_im = table
-            states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+            states = _simulate(angles, layer_mask, initial_state)
             ar, ai = states[:, 0, :], states[:, 1, :]
             mm = lambda a, b: jnp.dot(
                 a, b, preferred_element_type=jnp.float32,
@@ -78,7 +89,7 @@ def population_energies(
             from queasars_tpu.sim.expectation import general_pauli_expectation_real
 
             coeffs_re, coeffs_im, z_masks, x_masks = table
-            states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
+            states = _simulate(angles, layer_mask, initial_state)
             fn = lambda s: general_pauli_expectation_real(s, coeffs_re, coeffs_im, z_masks, x_masks)
             # lax.map keeps per-individual reductions shape-independent —
             # required for bit-identical trajectories across mesh sizes
@@ -169,6 +180,9 @@ def population_energies(
         probs = pallas_population_probs(
             gate_types, controls, angles, layer_mask, n_qubits, initial=initial_state
         )
+    elif fold_jnp:
+        states = _simulate(angles, layer_mask, initial_state)
+        probs = states[:, 0, :] ** 2 + states[:, 1, :] ** 2
     else:
         probs = probabilities(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
     if fast_path:

@@ -131,8 +131,20 @@ def _slot_factors(gate_type, angles):
     mz = cos_half * sin_s
     my = sin_half * jnp.cos(a)
     mx = -sin_half * jnp.sin(a)
-    nxy = jnp.sqrt(mx * mx + my * my)
-    sin_d2 = jnp.sqrt(nxy * nxy + mz * mz)
+    # the sqrt/arctan2 chain is guarded for reverse-mode AD (the
+    # adjoint-gradient optimizer differentiates through the fold): at
+    # degenerate angles — e.g. a freshly grown CROT with theta=0 — the
+    # radicands are exact zeros whose sqrt/arctan2 cotangents are
+    # 0/0 = NaN, and jnp.where alone does not stop NaNs from the dead
+    # branch.  Every guarded expression evaluates FORWARD to the exact
+    # same float as the unguarded one (sqrt(0) = 0, arctan2(0, 1) =
+    # arctan2(0, 0) = 0), so fold outputs stay bit-identical.
+    xy_sq = mx * mx + my * my
+    xy_zero = xy_sq == 0.0
+    nxy = jnp.where(xy_zero, 0.0, jnp.sqrt(jnp.where(xy_zero, 1.0, xy_sq)))
+    s_sq = nxy * nxy + mz * mz
+    s_zero = s_sq == 0.0
+    sin_d2 = jnp.where(s_zero, 0.0, jnp.sqrt(jnp.where(s_zero, 1.0, s_sq)))
     d_half = jnp.arctan2(sin_d2, cos_d2)
 
     ph0_ang = s - d_half
@@ -146,8 +158,11 @@ def _slot_factors(gate_type, angles):
 
     # V rotates z onto n: V = [[cos(b/2), -sin(b/2) e^{-ic}],
     #                          [sin(b/2) e^{ic}, cos(b/2)]]
-    b_half = jnp.arctan2(nxy, mz) * 0.5  # atan2 is scale-invariant in m
-    c = jnp.arctan2(my, mx)
+    mz_b = jnp.where(jnp.logical_and(xy_zero, mz == 0.0), 1.0, mz)
+    b_half = jnp.arctan2(nxy, mz_b) * 0.5  # atan2 is scale-invariant in m
+    c = jnp.arctan2(
+        jnp.where(xy_zero, 0.0, my), jnp.where(xy_zero, 1.0, mx)
+    )
     cos_b, sin_b = jnp.cos(b_half), jnp.sin(b_half)
     cos_c, sin_c = jnp.cos(c), jnp.sin(c)
     zero = jnp.zeros_like(cos_b)
@@ -270,6 +285,80 @@ def cu3_slot_factors_reference(theta, phi, lam):
     v = np.asarray(main_re) + 1j * np.asarray(main_im)
     ph = np.asarray(ph)
     return v, complex(ph[0, 0], ph[0, 1]), complex(ph[1, 0], ph[1, 1])
+
+
+@partial(jax.jit, static_argnames=("n_qubits", "folded_bits"))
+def simulate_circuits_folded(
+    gate_types: jax.Array,
+    controls: jax.Array,
+    angles: jax.Array,
+    layer_mask: jax.Array,
+    n_qubits: int,
+    initial_state: jax.Array | None = None,
+    folded_bits: int | None = None,
+) -> jax.Array:
+    """Population-batched folded simulation on one device: [B, L, n]
+    genome tensors -> [B, 2, 2^n] states through the kron-fold transform
+    (dense group matmuls at HIGHEST precision + diagonal phase passes)
+    instead of the per-slot engine.
+
+    Differentiable end-to-end — built for the adjoint-gradient optimizer
+    (optim/gradient.py): the matmul formulation gives the forward AND the
+    reverse pass MXU shape (the VJP of a group matmul is a group matmul
+    with the transposed factors), and per-kron-layer rematerialization
+    bounds the residual memory exactly like ``apply_circuit_real``.
+    Forward floats match the sharded folded engine's single-shard case
+    (same ``_apply_kron_layer_sharded`` expressions) and the jnp slot
+    engine to the fold transform's f32 rounding (~1e-6).
+    """
+    from queasars_tpu.sim.sharded_fold import (
+        _apply_diag_pass_sharded,
+        _apply_kron_layer_sharded,
+    )
+
+    if folded_bits is None:
+        folded_bits = min(2 * LANE_BITS, n_qubits)
+    if not LANE_BITS <= folded_bits <= n_qubits:
+        raise ValueError(
+            f"folded_bits must lie in [{LANE_BITS}, n_qubits]; the folded "
+            f"applier needs at least the 7 lane qubits (got n_qubits="
+            f"{n_qubits}, folded_bits={folded_bits})"
+        )
+    pipe = build_fold_pipeline(gate_types, controls, angles, layer_mask, n_qubits)
+    device_id = jnp.int32(0)
+
+    def one(factors, d_ctrl, d_tgt, d_phase, init):
+        if init is None:
+            local = jnp.zeros((2, 1 << n_qubits), jnp.float32).at[0, 0].set(1.0)
+        else:
+            local = init.astype(jnp.float32)
+
+        def step(carry, xs):
+            f_k, c_k, t_k, p_k = xs
+            new = _apply_kron_layer_sharded(
+                carry, f_k, device_id, n_qubits, 1, n_qubits, folded_bits
+            )
+            new = _apply_diag_pass_sharded(new, c_k, t_k, p_k, device_id, n_qubits)
+            return new, None
+
+        local, _ = jax.lax.scan(
+            jax.checkpoint(step),
+            local,
+            (factors[:-1], d_ctrl, d_tgt, d_phase),
+        )
+        return _apply_kron_layer_sharded(
+            local, factors[-1], device_id, n_qubits, 1, n_qubits, folded_bits
+        )
+
+    if initial_state is not None and initial_state.ndim == 3:
+        return jax.vmap(one)(
+            pipe.factors, pipe.diag_ctrl, pipe.diag_tgt, pipe.diag_phase,
+            initial_state.astype(jnp.float32),
+        )
+    shared = initial_state
+    return jax.vmap(lambda f, c, t, p: one(f, c, t, p, shared))(
+        pipe.factors, pipe.diag_ctrl, pipe.diag_tgt, pipe.diag_phase
+    )
 
 
 # ---------------------------------------------------------------------------

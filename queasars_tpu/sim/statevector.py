@@ -164,7 +164,14 @@ def apply_circuit_real(
             new = _apply_slot(new, q, types_l[q], controls_l[q], angles_l[q], n_qubits)
         return jnp.where(mask_l, new, carry), None
 
-    state, _ = jax.lax.scan(layer_step, state, (gate_types, controls, angles, layer_mask))
+    # rematerialize per layer under reverse-mode AD (the adjoint-gradient
+    # optimizer): only layer-boundary states are saved for backward, the
+    # n per-slot intermediates inside a layer are recomputed — without
+    # this, one 20-qubit pop-32 gradient wants ~30 GB of residuals.
+    # Forward-only execution is unaffected (checkpoint is an AD construct).
+    state, _ = jax.lax.scan(
+        jax.checkpoint(layer_step), state, (gate_types, controls, angles, layer_mask)
+    )
     return state
 
 
