@@ -202,13 +202,16 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         array); ``"host"`` builds it on the host with f64 accumulation
         (for small n where the exponential JSSP weights need the extra
         carry) and ships each device only its shard
-    :param use_fold: route the exact diagonal estimator path through the
+    :param use_fold: route every diagonal-operator simulation through the
         kron-fold application (sim/sharded_fold.py: group matmuls for the
         shard-local low qubits + per-qubit combines above, instead of one
-        barriered pass per genome slot).  Default (None) = on, unless
-        ``QUEASARS_SHARD_FOLD=0``; results stay bit-identical across
-        (pop, amp) factorizations either way, but the fold's float
-        stream differs from the per-gate path's (~1e-6 on energies)
+        barriered pass per genome slot) — the exact estimator path, the
+        distributed shot-sampling path, and the exact-CVaR quantile
+        bisection.  Default (None) = on, unless ``QUEASARS_SHARD_FOLD=0``;
+        results stay bit-identical across (pop, amp) factorizations
+        either way, but the fold's float stream differs from the per-gate
+        path's (~1e-6 on probabilities/energies, which can also steer an
+        occasional boundary shot sample)
     """
 
     def __init__(
@@ -272,10 +275,11 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             self._table = None
 
         self._initial = self._prepare_initial_sharded(initial_state)
-        # fold applies to the exact diagonal estimator path; other paths
-        # (CVaR, shots, general operators) keep the per-gate engine.  The
-        # enablement must never depend on the device count (the mesh
-        # bit-identity invariant) — it reads only the knob/env
+        # fold applies to every diagonal-operator path (exact estimator,
+        # distributed shot sampling, exact CVaR); the general-operator
+        # matrix-free path keeps the per-gate engine.  The enablement must
+        # never depend on the device count (the mesh bit-identity
+        # invariant) — it reads only the knob/env
         self._use_fold = (
             (
                 (_fold_default() and self.n_qubits >= 10)
@@ -408,6 +412,68 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 with_initial=self._initial is not None,
             )
         return self._fns[key]
+
+    def _map_local_states(self):
+        """Per-shard population map for shard_map bodies: returns
+        ``map_states(gate_types, controls, angles, layer_mask, device_id,
+        extras, per_state, initial_local=None)`` which simulates each
+        individual's local amplitude shard — with the kron-fold engine
+        (``self._use_fold``: group matmuls + diagonal phase passes) or the
+        per-gate engine — and stacks ``per_state(state, *extras_i)``.
+        Both engines keep the fixed-tree reduction contract, so callers
+        stay bit-identical across (pop, amp) factorizations."""
+        n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
+        n_qubits = self.n_qubits
+        if self._use_fold:
+            from queasars_tpu.sim.sharded_fold import (
+                _simulate_local_folded,
+                check_folded_bits,
+                default_folded_bits,
+            )
+            from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
+
+            folded_bits = default_folded_bits(n_qubits)
+            check_folded_bits(self.mesh, n_qubits, folded_bits)
+
+            def map_states(gate_types, controls, angles, layer_mask, device_id,
+                           extras, per_state, initial_local=None):
+                pipe = build_fold_pipeline(
+                    gate_types, controls, angles, layer_mask, n_qubits
+                )
+
+                def one(args):
+                    factors, d_ctrl, d_tgt, d_phase = args[:4]
+                    state = _simulate_local_folded(
+                        factors, d_ctrl, d_tgt, d_phase,
+                        device_id, local_bits, n_devices, n_qubits, folded_bits,
+                        initial_local=initial_local,
+                    )
+                    return per_state(state, *args[4:])
+
+                return jax.lax.map(
+                    one,
+                    (pipe.factors, pipe.diag_ctrl, pipe.diag_tgt, pipe.diag_phase,
+                     *extras),
+                )
+
+        else:
+            from queasars_tpu.sim.sharded_statevector import _simulate_local
+
+            def map_states(gate_types, controls, angles, layer_mask, device_id,
+                           extras, per_state, initial_local=None):
+                def one(args):
+                    gt, ctrl, ang, lm = args[:4]
+                    state = _simulate_local(
+                        gt, ctrl, ang, lm, device_id, local_bits, n_devices,
+                        n_qubits, initial_local=initial_local,
+                    )
+                    return per_state(state, *args[4:])
+
+                return jax.lax.map(
+                    one, (gate_types, controls, angles, layer_mask, *extras)
+                )
+
+        return map_states
 
     def _next_keys(self, pop: int) -> np.ndarray:
         self._counter += 1
@@ -903,20 +969,14 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             return self._fns[key]
 
         from queasars_tpu.sim.expectation import cvar_expectation_from_shot_energies
-        from queasars_tpu.sim.sharded_statevector import _simulate_local
 
-        n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
+        map_states = self._map_local_states()
 
         def sampled(gate_types, controls, angles, layer_mask, keys, alpha, table_local,
                     initial_local=None):
             device_id = jax.lax.axis_index(AMP_AXIS)
 
-            def one(args):
-                gt, ctrl, ang, lm, k = args
-                state = _simulate_local(
-                    gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits,
-                    initial_local=initial_local,
-                )
+            def per_state(state, k):
                 local_probs = state[0] ** 2 + state[1] ** 2
                 local_cdf = jnp.cumsum(local_probs)
                 # every shard computes the same offsets vector from the
@@ -932,8 +992,9 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 contrib = jnp.where(in_shard, table_local[pos], 0.0)
                 return jax.lax.psum(contrib, AMP_AXIS)  # [shots]
 
-            shot_energies = jax.lax.map(
-                one, (gate_types, controls, angles, layer_mask, keys)
+            shot_energies = map_states(
+                gate_types, controls, angles, layer_mask, device_id, (keys,),
+                per_state, initial_local=initial_local,
             )  # [P, shots]
             if use_cvar:
                 return cvar_expectation_from_shot_energies(shot_energies, alpha)
@@ -982,23 +1043,18 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         if key in self._fns:
             return self._fns[key]
 
-        from queasars_tpu.sim.sharded_statevector import _blockwise_sum, _simulate_local
+        from queasars_tpu.sim.sharded_statevector import _blockwise_sum
 
-        n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
         n_amp = self.n_amp_devices
         n_qubits = self.n_qubits
         bound = np.float32(self._energy_bound)
+        map_states = self._map_local_states()
 
         def exact_cvar(gate_types, controls, angles, layer_mask, alpha, table_local,
                        initial_local=None):
             device_id = jax.lax.axis_index(AMP_AXIS)
 
-            def one(args):
-                gt, ctrl, ang, lm = args
-                state = _simulate_local(
-                    gt, ctrl, ang, lm, device_id, local_bits, n_devices, n_qubits,
-                    initial_local=initial_local,
-                )
+            def per_state(state):
                 p = state[0] ** 2 + state[1] ** 2
 
                 def mass_below(tau):
@@ -1027,7 +1083,10 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 )
                 return (s_below + (alpha - m_below) * lo) / alpha
 
-            return jax.lax.map(one, (gate_types, controls, angles, layer_mask))
+            return map_states(
+                gate_types, controls, angles, layer_mask, device_id, (),
+                per_state, initial_local=initial_local,
+            )
 
         initial_spec = (P(None, AMP_AXIS),) if self._initial is not None else ()
         mapped = jax.jit(

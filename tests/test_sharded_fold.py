@@ -104,6 +104,74 @@ def test_default_folded_bits_and_validation():
     check_folded_bits(mesh, 10, 7)
 
 
+def _diagonal_operator(n, k=12, seed=1):
+    from queasars_tpu.paulis import PauliSum
+
+    rng = np.random.default_rng(seed)
+    return PauliSum(
+        n_qubits=n,
+        coeffs=rng.normal(size=k).astype(np.complex128),
+        z=rng.integers(0, 1 << n, size=(k, 1)).astype(np.uint64),
+        x=np.zeros((k, 1), np.uint64),
+    )
+
+
+def test_sampler_path_folds_and_stays_factorization_identical():
+    """The distributed shot-sampling path simulates through the fold when
+    use_fold is on: per-(pop, amp) factorization the shot energies are
+    BITWISE identical, and the sampled expectation sits within sampling
+    error of the exact energy.  (Fold and per-gate probabilities differ
+    ~1e-6, so an occasional boundary draw may flip between engines — the
+    contract against the per-gate path is statistical, not bitwise.)"""
+    from queasars_tpu.paulis import diagonal_energy_table
+    from queasars_tpu.sim.sharded_evaluator import AmplitudeShardedExpectationEvaluator
+
+    n = 10
+    shots = 512
+    packed, _ = _workload(n, pop=8, seed=9)
+    operator = _diagonal_operator(n)
+    table = diagonal_energy_table(operator, dtype=np.float64)
+    exact = np.asarray(
+        probabilities(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n
+        )
+    ).astype(np.float64) @ table
+    results = []
+    for shape in [(8, 1), (2, 4), (1, 8)]:
+        ev = AmplitudeShardedExpectationEvaluator(
+            operator, _mesh(shape), shots=shots, seed=11
+        )
+        assert ev._use_fold
+        results.append(ev.evaluate_packed(packed))
+    for out in results[1:]:
+        assert np.array_equal(out, results[0])
+    # 5-sigma envelope on the per-individual shot mean (bounded spread)
+    spread = float(np.abs(table).max() - table.min())
+    assert np.all(np.abs(results[0] - exact) < 5.0 * spread / np.sqrt(shots))
+
+
+def test_exact_cvar_folds_and_matches_per_gate():
+    """The exact-CVaR quantile bisection simulates through the fold when
+    use_fold is on: values match the per-gate engine to fold rounding and
+    stay bitwise identical across factorizations."""
+    from queasars_tpu.sim.sharded_evaluator import AmplitudeShardedExpectationEvaluator
+
+    n = 10
+    packed, _ = _workload(n, pop=8, seed=3)
+    operator = _diagonal_operator(n, seed=5)
+    want = AmplitudeShardedExpectationEvaluator(
+        operator, _mesh((2, 4)), alpha=0.2, use_fold=False
+    ).evaluate_packed(packed)
+    results = []
+    for shape in [(8, 1), (2, 4), (1, 8)]:
+        ev = AmplitudeShardedExpectationEvaluator(operator, _mesh(shape), alpha=0.2)
+        assert ev._use_fold
+        results.append(ev.evaluate_packed(packed))
+    for out in results[1:]:
+        assert np.array_equal(out, results[0])
+    np.testing.assert_allclose(results[0], want, atol=1e-4)
+
+
 def test_evaluator_uses_fold_by_default():
     """The amp-sharded evaluator's exact estimator path routes through the
     folded application (and matches the per-gate path numerically)."""
