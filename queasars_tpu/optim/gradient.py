@@ -54,8 +54,11 @@ class GradientDescentConfig:
     :param use_fold: route the differentiable objective through the
         kron-fold applier (``sim/fold_pipeline.py::simulate_circuits_folded``
         — MXU group matmuls for both the forward and the adjoint pass,
-        instead of per-slot elementwise passes).  None = auto: on for
-        supported sizes on TPU (the ``QUEASARS_MXU`` knob), off on CPU.
+        instead of per-slot elementwise passes).  None = off: measured
+        1.27x SLOWER than the slot adjoint at the bench shape (the
+        per-step fold rebuild differentiates the eigendecomposition
+        chain, which XLA cannot amortize — adjoint-vs-NFT table in
+        docs/performance.md), so the fold objective is opt-in.
     """
 
     maxiter: int = 100
@@ -259,13 +262,15 @@ class BatchedGradientDescent:
         self.config = config
 
     def _fold_jnp(self, n_qubits: int) -> bool:
-        """Resolve the kron-fold objective knob (config wins, else the
-        production MXU enablement predicate — TPU sizes 7..22)."""
+        """Resolve the kron-fold objective knob.  Default OFF: measured
+        slower than the slot adjoint at the bench shape (the per-step
+        fold rebuild's differentiated eigendecomposition chain costs
+        more than the group matmuls save — docs/performance.md,
+        adjoint-vs-NFT table), so the fold objective is explicit opt-in
+        unlike the forward-only MXU kernels."""
         if self.config.use_fold is not None:
             return bool(self.config.use_fold)
-        from queasars_tpu.optim.objective import mxu_fold_enabled
-
-        return mxu_fold_enabled(None, n_qubits)
+        return False
 
     def publishes_exact_energies(self, evaluator) -> bool:
         """The returned energies are a jnp-engine forward at the final
