@@ -36,8 +36,29 @@ def nft_three_point_update(z0, z1, z3, xp=jnp):
     :return: ``(shift, minimum_value)`` — add ``shift + pi`` to the
         current angle to land on the fitted minimum, whose fitted value is
         ``minimum_value`` (recycled as the next step's ``z0``)
+
+    The jax path pins the fit's float stream behind optimization
+    barriers: XLA contracts/rewrites the ``d*d + e*e`` chain differently
+    depending on the operand shapes it compiles for (FMA vs mul-add,
+    observed on the CPU backend between a [1]- and a [4]-wide pop
+    shard), so the sharded sweeps — which compile once per (pop, amp)
+    factorization — would otherwise see 1-ulp ``minimum_value``
+    differences across factorizations; the recycled ``z0`` then feeds
+    ``arctan2`` where one ulp near a branch point becomes a ±pi shift
+    jump (observed at n=10 in the fused-slot sweep).  Barriers around
+    ``(d, e)`` and the square sum force identical rounding in every
+    compilation, keeping the mesh bit-identity invariant
+    value-independent (fuzzed over 20k triples at widths 1/3/4/8).
     """
     mid = (z1 + z3) / 2
-    shift = xp.arctan2((z1 - z3) / 2, z0 - mid)
-    minimum_value = mid - xp.sqrt((z0 - mid) ** 2 + ((z1 - z3) / 2) ** 2)
+    if xp is jnp:
+        import jax
+
+        d, e = jax.lax.optimization_barrier((z0 - mid, (z1 - z3) / 2))
+        square_sum = jax.lax.optimization_barrier(d * d + e * e)
+    else:
+        d, e = z0 - mid, (z1 - z3) / 2
+        square_sum = d * d + e * e
+    shift = xp.arctan2(e, d)
+    minimum_value = mid - xp.sqrt(square_sum)
     return shift, minimum_value

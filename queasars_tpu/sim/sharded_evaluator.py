@@ -74,7 +74,6 @@ from queasars_tpu.sim.sharded_statevector import (
     _mesh_bits,
     group_general_terms,
     build_device_table,
-    make_population_energies_body,
     make_sharded_general_energies_fn,
     make_sharded_population_energies_fn,
     make_sharded_population_probs_fn,
@@ -206,8 +205,10 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         kron-fold application (sim/sharded_fold.py: group matmuls for the
         shard-local low qubits + per-qubit combines above, instead of one
         barriered pass per genome slot) — the exact estimator path, the
-        distributed shot-sampling path, and the exact-CVaR quantile
-        bisection.  Default (None) = on, unless ``QUEASARS_SHARD_FOLD=0``;
+        distributed shot-sampling path, the exact-CVaR quantile
+        bisection, and the device NFT sweeps (plain, rest-base prefix,
+        fused multi-slot: prefix/base/suffix states all fold).
+        Default (None) = on, unless ``QUEASARS_SHARD_FOLD=0``;
         results stay bit-identical across (pop, amp) factorizations
         either way, but the fold's float stream differs from the per-gate
         path's (~1e-6 on probabilities/energies, which can also steer an
@@ -276,8 +277,9 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
 
         self._initial = self._prepare_initial_sharded(initial_state)
         # fold applies to every diagonal-operator path (exact estimator,
-        # distributed shot sampling, exact CVaR); the general-operator
-        # matrix-free path keeps the per-gate engine.  The enablement must
+        # distributed shot sampling, exact CVaR, device NFT sweeps); the
+        # general-operator matrix-free path keeps the per-gate engine.
+        # The enablement must
         # never depend on the device count (the mesh bit-identity
         # invariant) — it reads only the knob/env
         self._use_fold = (
@@ -416,12 +418,16 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
     def _map_local_states(self):
         """Per-shard population map for shard_map bodies: returns
         ``map_states(gate_types, controls, angles, layer_mask, device_id,
-        extras, per_state, initial_local=None)`` which simulates each
-        individual's local amplitude shard — with the kron-fold engine
-        (``self._use_fold``: group matmuls + diagonal phase passes) or the
-        per-gate engine — and stacks ``per_state(state, *extras_i)``.
-        Both engines keep the fixed-tree reduction contract, so callers
-        stay bit-identical across (pop, amp) factorizations."""
+        extras, per_state, initial_local=None, initial_stack=None)`` which
+        simulates each individual's local amplitude shard — with the
+        kron-fold engine (``self._use_fold``: group matmuls + diagonal
+        phase passes) or the per-gate engine — and stacks
+        ``per_state(state, *extras_i)``.  ``initial_local`` is one shard
+        state shared by every individual; ``initial_stack`` [P, 2,
+        2^local] gives each individual its own start (the device sweeps'
+        cached layer-prefix states).  Both engines keep the fixed-tree
+        reduction contract, so callers stay bit-identical across
+        (pop, amp) factorizations."""
         n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
         n_qubits = self.n_qubits
         if self._use_fold:
@@ -436,41 +442,48 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             check_folded_bits(self.mesh, n_qubits, folded_bits)
 
             def map_states(gate_types, controls, angles, layer_mask, device_id,
-                           extras, per_state, initial_local=None):
+                           extras, per_state, initial_local=None,
+                           initial_stack=None):
                 pipe = build_fold_pipeline(
                     gate_types, controls, angles, layer_mask, n_qubits
                 )
+                starts = () if initial_stack is None else (initial_stack,)
 
                 def one(args):
                     factors, d_ctrl, d_tgt, d_phase = args[:4]
+                    start = args[4] if initial_stack is not None else initial_local
                     state = _simulate_local_folded(
                         factors, d_ctrl, d_tgt, d_phase,
                         device_id, local_bits, n_devices, n_qubits, folded_bits,
-                        initial_local=initial_local,
+                        initial_local=start,
                     )
-                    return per_state(state, *args[4:])
+                    return per_state(state, *args[4 + len(starts):])
 
                 return jax.lax.map(
                     one,
                     (pipe.factors, pipe.diag_ctrl, pipe.diag_tgt, pipe.diag_phase,
-                     *extras),
+                     *starts, *extras),
                 )
 
         else:
             from queasars_tpu.sim.sharded_statevector import _simulate_local
 
             def map_states(gate_types, controls, angles, layer_mask, device_id,
-                           extras, per_state, initial_local=None):
+                           extras, per_state, initial_local=None,
+                           initial_stack=None):
+                starts = () if initial_stack is None else (initial_stack,)
+
                 def one(args):
                     gt, ctrl, ang, lm = args[:4]
+                    start = args[4] if initial_stack is not None else initial_local
                     state = _simulate_local(
                         gt, ctrl, ang, lm, device_id, local_bits, n_devices,
-                        n_qubits, initial_local=initial_local,
+                        n_qubits, initial_local=start,
                     )
-                    return per_state(state, *args[4:])
+                    return per_state(state, *args[4 + len(starts):])
 
                 return jax.lax.map(
-                    one, (gate_types, controls, angles, layer_mask, *extras)
+                    one, (gate_types, controls, angles, layer_mask, *starts, *extras)
                 )
 
         return map_states
@@ -508,10 +521,8 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         if key in self._fns:
             return self._fns[key]
 
-        from queasars_tpu.sim.sharded_statevector import _simulate_local
-
         n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
-        body = make_population_energies_body(self.mesh, self.n_qubits)
+        map_states = self._map_local_states()
 
         if prefix:
             from queasars_tpu.sim.sharded_statevector import (
@@ -566,18 +577,12 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 pop = gate_types.shape[0]
                 pop_idx = jnp.arange(pop)
                 device_id = jax.lax.axis_index(AMP_AXIS)
-                ones_mask = jnp.ones((1,), dtype=prefix_mask.dtype)
+                ones_mask = jnp.ones((pop, 1), dtype=prefix_mask.dtype)
                 n = gate1.shape[2]
 
-                def simulate_prefix(args):
-                    gt, ctrl, ang, lm = args
-                    return _simulate_local(
-                        gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits,
-                        initial_local=initial_local,
-                    )
-
-                prefix_local = jax.lax.map(
-                    simulate_prefix, (gate_types, controls, full_angles, prefix_mask)
+                prefix_local = map_states(
+                    gate_types, controls, full_angles, prefix_mask, device_id,
+                    (), lambda s: s, initial_local=initial_local,
                 )  # [P, 2, 2^local]
 
                 local_idx = jax.lax.broadcasted_iota(jnp.uint32, (1, local_len), 1)[0]
@@ -608,15 +613,9 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                     slot_ids = jnp.arange(n)[None, None, :]
                     gt_rest = jnp.where(slot_ids == qv[:, None, None], 0, gate1)
 
-                    def simulate_base(args):
-                        start, gt, ctrl, ang = args
-                        return _simulate_local(
-                            gt, ctrl, ang, ones_mask, device_id, local_bits,
-                            n_devices, self.n_qubits, initial_local=start,
-                        )
-
-                    base = jax.lax.map(
-                        simulate_base, (prefix_local, gt_rest, ctrl1, angles_c)
+                    base = map_states(
+                        gt_rest, ctrl1, angles_c, ones_mask, device_id,
+                        (), lambda s: s, initial_stack=prefix_local,
                     )  # [P, 2, 2^local]
 
                     # global-bit partner variants, batched (uniform collectives)
@@ -744,15 +743,27 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             in_specs, out_specs = self._nft_specs(10, prefix=True)
         else:
 
+            from queasars_tpu.sim.sharded_statevector import _blockwise_energy
+
             def nft(
                 gate_types, controls, angles, layer_mask, coords, n_free, active,
                 table_local, initial_local=None,
             ):
                 pop = gate_types.shape[0]
                 pop_idx = jnp.arange(pop)
+                device_id = jax.lax.axis_index(AMP_AXIS)
+
+                def per_state(state):
+                    probs = state[0] ** 2 + state[1] ** 2
+                    return _blockwise_energy(
+                        probs, table_local, n_devices, self.n_qubits
+                    )
 
                 def objective(a):
-                    return body(gate_types, controls, a, layer_mask, table_local, initial_local)
+                    return map_states(
+                        gate_types, controls, a, layer_mask, device_id, (),
+                        per_state, initial_local=initial_local,
+                    )
 
                 return _nft_scan_body(
                     objective, angles, coords, n_free, active, pop, pop_idx,
@@ -781,9 +792,10 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         if key in self._fns:
             return self._fns[key]
 
-        from queasars_tpu.sim.sharded_statevector import _blockwise_energy, _simulate_local
+        from queasars_tpu.sim.sharded_statevector import _blockwise_energy
 
         n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
+        map_states = self._map_local_states()
 
         def nft(
             gate_types, controls, angles, layer_mask, coords_ps, n_free_ps,
@@ -795,6 +807,10 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             layer_idx = jnp.arange(max_layers)
             device_id = jax.lax.axis_index(AMP_AXIS)
 
+            def per_state_energy(state):
+                probs = state[0] ** 2 + state[1] ** 2
+                return _blockwise_energy(probs, table_local, n_devices, self.n_qubits)
+
             def slot_body(angles_c, xs):
                 coords, n_free, active, slot_layer = xs
                 prefix_mask = jnp.logical_and(
@@ -804,29 +820,15 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                     layer_mask, layer_idx[None, :] >= slot_layer[:, None]
                 )
 
-                def simulate_prefix(args):
-                    gt, ctrl, ang, lm = args
-                    return _simulate_local(
-                        gt, ctrl, ang, lm, device_id, local_bits, n_devices, self.n_qubits,
-                        initial_local=initial_local,
-                    )
-
-                prefix_local = jax.lax.map(
-                    simulate_prefix, (gate_types, controls, angles_c, prefix_mask)
+                prefix_local = map_states(
+                    gate_types, controls, angles_c, prefix_mask, device_id,
+                    (), lambda s: s, initial_local=initial_local,
                 )  # [P, 2, 2^local]
 
                 def objective(a):
-                    def one(args):
-                        start, gt, ctrl, ang, sm = args
-                        state = _simulate_local(
-                            gt, ctrl, ang, sm, device_id, local_bits,
-                            n_devices, self.n_qubits, initial_local=start,
-                        )
-                        probs = state[0] ** 2 + state[1] ** 2
-                        return _blockwise_energy(probs, table_local, n_devices, self.n_qubits)
-
-                    return jax.lax.map(
-                        one, (prefix_local, gate_types, controls, a, suffix_mask)
+                    return map_states(
+                        gate_types, controls, a, suffix_mask, device_id, (),
+                        per_state_energy, initial_stack=prefix_local,
                     )
 
                 return _nft_scan_body(

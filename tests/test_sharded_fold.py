@@ -214,3 +214,160 @@ def test_evaluator_uses_fold_by_default():
             os.environ.pop("QUEASARS_SHARD_FOLD", None)
         else:
             os.environ["QUEASARS_SHARD_FOLD"] = old
+
+
+# ---------------------------------------------------------------------------
+# device NFT sweeps through the fold (plain, rest-base prefix, fused slots)
+# ---------------------------------------------------------------------------
+
+
+def _sweep_problem(n, pop=6, layers=3, seed=9):
+    from queasars_tpu.paulis import PauliSum, pauli_z_string
+
+    population = EVQEPopulation.random_population(n, layers, pop, True, random_seed=seed)
+    packed = PackedPopulation.pack(list(population.individuals))
+    operator = PauliSum.sum(
+        [pauli_z_string(q, n) for q in range(n)]
+        + [PauliSum.from_label("Z" * 2 + "I" * (n - 2), 0.5)]
+    )
+    return packed, operator
+
+
+def _all_coords(packed):
+    coords = np.stack(
+        [
+            np.pad(
+                packed.param_coordinates(i),
+                ((0, int(packed.n_params.max()) - packed.n_params[i]), (0, 0)),
+            )
+            for i in range(packed.n_individuals)
+        ]
+    )
+    return coords
+
+
+def test_plain_device_sweep_folds(n=10):
+    """The full-circuit device NFT sweep simulates through the fold when
+    use_fold is on: bitwise identical across (pop, amp) factorizations,
+    and within fold rounding of the per-gate sweep trajectory."""
+    from queasars_tpu.optim.nft import BatchedNFT, NFTConfig
+    from queasars_tpu.sim.sharded_evaluator import AmplitudeShardedExpectationEvaluator
+
+    packed, operator = _sweep_problem(n)
+    coords = _all_coords(packed)
+    active = np.ones(packed.n_individuals, bool)
+    optimizer = BatchedNFT(NFTConfig(maxiter=8, cache_prefix=False))
+    outcomes = []
+    for shape in [(8, 1), (2, 4), (1, 8)]:
+        ev = AmplitudeShardedExpectationEvaluator(operator, _mesh(shape))
+        assert ev._use_fold
+        angles, energies, _ = optimizer.minimize(
+            ev, packed, coords, packed.n_params, active, seed=0
+        )
+        outcomes.append((np.asarray(angles), np.asarray(energies)))
+    for angles, energies in outcomes[1:]:
+        assert np.array_equal(outcomes[0][0], angles)
+        assert np.array_equal(outcomes[0][1], energies)
+    ev_gate = AmplitudeShardedExpectationEvaluator(operator, _mesh((2, 4)), use_fold=False)
+    _, energies_gate, _ = optimizer.minimize(
+        ev_gate, packed, coords, packed.n_params, active, seed=0
+    )
+    np.testing.assert_allclose(outcomes[0][1], energies_gate, atol=1e-3)
+
+
+def test_prefix_device_sweep_folds(n=10):
+    """The rest-base prefix sweep's prefix AND blanked-slot base states
+    simulate through the fold when use_fold is on."""
+    from queasars_tpu.optim.nft import BatchedNFT, NFTConfig
+    from queasars_tpu.sim.sharded_evaluator import AmplitudeShardedExpectationEvaluator
+
+    packed, operator = _sweep_problem(n, seed=12)
+    real_layers = packed.layer_mask.sum(axis=1).astype(np.int32)
+    last_layer = real_layers - 1
+    coords_list = [
+        packed.layer_param_coordinates(i, -1) for i in range(packed.n_individuals)
+    ]
+    k_max = max(c.shape[0] for c in coords_list)
+    coords = np.zeros((packed.n_individuals, k_max, 3), np.int32)
+    n_free = np.zeros(packed.n_individuals, np.int32)
+    for i, c in enumerate(coords_list):
+        coords[i, : c.shape[0]] = c
+        n_free[i] = c.shape[0]
+    active = n_free > 0
+    optimizer = BatchedNFT(NFTConfig(maxiter=8, cache_prefix=True))
+    outcomes = []
+    for shape in [(8, 1), (2, 4), (1, 8)]:
+        ev = AmplitudeShardedExpectationEvaluator(operator, _mesh(shape))
+        assert ev._use_fold
+        angles, energies, _ = optimizer.minimize(
+            ev, packed, coords, n_free, active, seed=0, last_layer=last_layer
+        )
+        outcomes.append((np.asarray(angles), np.asarray(energies)))
+    for angles, energies in outcomes[1:]:
+        assert np.array_equal(outcomes[0][0], angles)
+        assert np.array_equal(outcomes[0][1], energies)
+    ev_gate = AmplitudeShardedExpectationEvaluator(operator, _mesh((2, 4)), use_fold=False)
+    _, energies_gate, _ = optimizer.minimize(
+        ev_gate, packed, coords, n_free, active, seed=0, last_layer=last_layer
+    )
+    np.testing.assert_allclose(outcomes[0][1], energies_gate, atol=1e-3)
+
+
+def test_slots_device_sweep_folds(n=10):
+    """The fused multi-slot sweep's per-slot prefix and suffix states
+    simulate through the fold when use_fold is on."""
+    from queasars_tpu.optim.nft import BatchedNFT, NFTConfig
+    from queasars_tpu.sim.sharded_evaluator import AmplitudeShardedExpectationEvaluator
+
+    packed, operator = _sweep_problem(n, seed=3)
+    pop = packed.n_individuals
+    real_layers = packed.layer_mask.sum(axis=1).astype(np.int32)
+    max_layers = packed.gate_types.shape[1]
+    n_slots = int(real_layers.max())
+    coords_ps = []
+    n_free_ps = []
+    active_ps = []
+    slot_layer_ps = []
+    for s in range(n_slots):
+        coords_list = [
+            packed.layer_param_coordinates(i, s) if s < real_layers[i] else np.zeros((0, 3), np.int32)
+            for i in range(pop)
+        ]
+        k_max = max(max(c.shape[0] for c in coords_list), 1)
+        coords = np.zeros((pop, k_max, 3), np.int32)
+        n_free = np.zeros(pop, np.int32)
+        for i, c in enumerate(coords_list):
+            coords[i, : c.shape[0]] = c
+            n_free[i] = c.shape[0]
+        coords_ps.append(coords)
+        n_free_ps.append(n_free)
+        active_ps.append(n_free > 0)
+        slot_layer_ps.append(np.where(s < real_layers, s, max_layers).astype(np.int32))
+    k_all = max(c.shape[1] for c in coords_ps)
+    coords_ps = np.stack(
+        [np.pad(c, ((0, 0), (0, k_all - c.shape[1]), (0, 0))) for c in coords_ps], axis=1
+    )  # [P, S, K, 3]
+    n_free_ps = np.stack(n_free_ps, axis=1)
+    active_ps = np.stack(active_ps, axis=1)
+    slot_layer_ps = np.stack(slot_layer_ps, axis=1)
+    config = NFTConfig(maxiter=6, cache_prefix=True)
+
+    outcomes = []
+    for shape in [(8, 1), (2, 4), (1, 8)]:
+        ev = AmplitudeShardedExpectationEvaluator(operator, _mesh(shape))
+        assert ev._use_fold
+        out = ev.nft_minimize_slots(
+            packed, coords_ps, n_free_ps, active_ps, slot_layer_ps,
+            packed.angles, config, seed=0,
+        )
+        assert out is not None
+        outcomes.append(out)
+    for angles, energies in outcomes[1:]:
+        assert np.array_equal(outcomes[0][0], angles)
+        assert np.array_equal(outcomes[0][1], energies)
+    ev_gate = AmplitudeShardedExpectationEvaluator(operator, _mesh((2, 4)), use_fold=False)
+    out_gate = ev_gate.nft_minimize_slots(
+        packed, coords_ps, n_free_ps, active_ps, slot_layer_ps,
+        packed.angles, config, seed=0,
+    )
+    np.testing.assert_allclose(outcomes[0][1], out_gate[1], atol=1e-3)
