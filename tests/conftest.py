@@ -22,3 +22,22 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The suite has grown enough that the accumulated live XLA CPU
+    executables (hundreds of sharded/scan programs) eventually segfault
+    a later compile inside LLVM (observed twice around the 68% mark, in
+    two different programs, while standalone runs of the same files
+    pass).  Per-module cache clearing keeps the compiler's heap small;
+    within-module caching — where nearly all reuse happens — is
+    untouched.
+    """
+    yield
+    jax.clear_caches()
