@@ -56,7 +56,11 @@ from queasars_tpu.optim.objective import (
     population_energies,
     slot_kernels_ok as _slot_kernels_ok,
 )
-from queasars_tpu.optim.prefix import prefix_enabled
+from queasars_tpu.optim.prefix import (
+    choose_prefix_engine,
+    prefix_enabled,
+    simulate_prefix_states,
+)
 
 
 @dataclass(frozen=True)
@@ -159,20 +163,14 @@ def _nft_scan(
         # layer-prefix cache, fused into the sweep's compiled program:
         # simulate the frozen prefix once, then every probe re-enters the
         # cached per-individual states (initial_state here may carry a
-        # SHARED start state, which folds into the prefix)
+        # SHARED start state, which folds into the prefix on the jnp mode;
+        # the kernel modes — "pallas" slot states to n=20, "fold" MXU
+        # states to n=22 — run without one by construction)
         full_gt, full_ctrl, prefix_mask, full_angles = prefix_args
-        if prefix_mode == "pallas":
-            from queasars_tpu.sim.pallas_kernels import pallas_population_states
-
-            initial_state = pallas_population_states(
-                full_gt, full_ctrl, full_angles, prefix_mask, n_qubits
-            )
-        else:
-            from queasars_tpu.sim.statevector import simulate_circuits
-
-            initial_state = simulate_circuits(
-                full_gt, full_ctrl, full_angles, prefix_mask, n_qubits, initial_state
-            )
+        initial_state = simulate_prefix_states(
+            full_gt, full_ctrl, full_angles, prefix_mask, n_qubits,
+            initial_state=initial_state, mode=prefix_mode,
+        )
 
     def objective(a, k):
         return population_energies(
@@ -315,20 +313,11 @@ def _nft_slots_scan(
         coords, n_free, active, keys, slot_layer = xs
         prefix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] < slot_layer[:, None])
         suffix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] >= slot_layer[:, None])
-        if use_pallas and (
-            _slot_kernels_ok(n_qubits) or jax.default_backend() != "tpu"
-        ):
-            from queasars_tpu.sim.pallas_kernels import pallas_population_states
-
-            prefix_state = pallas_population_states(
-                gate_types, controls, angles_c, prefix_mask, n_qubits
-            )
-        else:
-            from queasars_tpu.sim.statevector import simulate_circuits
-
-            prefix_state = simulate_circuits(
-                gate_types, controls, angles_c, prefix_mask, n_qubits, initial_state
-            )
+        prefix_state = simulate_prefix_states(
+            gate_types, controls, angles_c, prefix_mask, n_qubits,
+            initial_state=initial_state,
+            mode=choose_prefix_engine(use_pallas, n_qubits),
+        )
 
         def objective(a, k):
             return population_energies(
@@ -472,17 +461,10 @@ class BatchedNFT:
                 lm, np.arange(packed.max_layers)[None, :] < ll[:, None]
             )
             prefix_args = (gt, ctrl, prefix_mask, a_in)
-            # on TPU the states kernel caps at n=20 (folded probe kernels
-            # reach 22): past it the jnp engine simulates the prefix once
-            # and the probes still run folded
-            states_ok = (
-                _slot_kernels_ok(packed.n_qubits)
-                or jax.default_backend() != "tpu"
-            )
-            prefix_mode = (
-                "pallas"
-                if operands.get("use_pallas", False) and states_ok
-                else "jnp"
+            # engine choice: slot states kernel to its n=20 TPU cap, the
+            # folded MXU states kernel to n=22 past it, jnp otherwise
+            prefix_mode = choose_prefix_engine(
+                operands.get("use_pallas", False), packed.n_qubits
             )
             full_angles = a_in
             gt = np.take_along_axis(gt, ll[:, None, None], axis=1)

@@ -50,6 +50,61 @@ def prefix_enabled(cache_flag, operands, mesh, last_layer) -> bool:
     return bool(operands.get("use_pallas", False))
 
 
+def choose_prefix_engine(use_pallas: bool, n_qubits: int, backend=None) -> str:
+    """Pick the engine for frozen-prefix simulation (a trace-time choice).
+
+    - ``"pallas"``: the per-slot VMEM states kernel — within its n<=20
+      TPU cap, or at any size in the interpreter off the TPU;
+    - ``"fold"``: the folded MXU states kernel
+      (``pallas_population_states_folded``, n<=22) — past the slot cap
+      this is 1.5-2x the jnp engine the fallback previously used, and it
+      keeps SPSA/gradient prefix caches from launching an unsupported
+      slot kernel at n=21-22;
+    - ``"jnp"``: everything else (CPU defaults, fold opted out).
+    """
+    if not use_pallas:
+        return "jnp"
+    import jax
+
+    from queasars_tpu.optim.objective import mxu_fold_enabled, slot_kernels_ok
+
+    backend = jax.default_backend() if backend is None else backend
+    if slot_kernels_ok(n_qubits) or backend != "tpu":
+        return "pallas"
+    if mxu_fold_enabled(None, n_qubits, path="exact", backend=backend):
+        return "fold"
+    return "jnp"
+
+
+def simulate_prefix_states(
+    gate_types, controls, angles, prefix_mask, n_qubits,
+    initial_state=None, mode: str = "jnp",
+):
+    """Simulate the frozen-prefix states on the chosen engine (see
+    :func:`choose_prefix_engine`).  The kernel engines handle no shared
+    initial state — ``use_pallas`` operands already imply it is None
+    (objective.py) — so a non-None ``initial_state`` always routes to
+    the jnp engine, which folds it into the prefix."""
+    if mode == "pallas" and initial_state is None:
+        from queasars_tpu.sim.pallas_kernels import pallas_population_states
+
+        return pallas_population_states(gate_types, controls, angles, prefix_mask, n_qubits)
+    if mode == "fold" and initial_state is None:
+        import jax
+
+        from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
+        from queasars_tpu.sim.pallas_fold_kernels import pallas_population_states_folded
+
+        pipeline = build_fold_pipeline(gate_types, controls, angles, prefix_mask, n_qubits)
+        return pallas_population_states_folded(
+            pipeline, n_qubits, precision="high",
+            interpret=jax.default_backend() != "tpu",
+        )
+    from queasars_tpu.sim.statevector import simulate_circuits
+
+    return simulate_circuits(gate_types, controls, angles, prefix_mask, n_qubits, initial_state)
+
+
 def build_prefix_transform(packed, angles, coords, operands, last_layer) -> PrefixTransform:
     """Simulate the frozen prefix states and rewrite the sweep operands.
 
@@ -60,16 +115,11 @@ def build_prefix_transform(packed, angles, coords, operands, last_layer) -> Pref
     a_full = np.asarray(angles)
     ll = np.asarray(last_layer, np.int32)
     prefix_mask = np.logical_and(lm, np.arange(packed.max_layers)[None, :] < ll[:, None])
-    if operands.get("use_pallas", False):
-        from queasars_tpu.sim.pallas_kernels import pallas_population_states
-
-        prefix = pallas_population_states(gt, ctrl, a_full, prefix_mask, packed.n_qubits)
-    else:
-        from queasars_tpu.sim.statevector import simulate_circuits
-
-        prefix = simulate_circuits(
-            gt, ctrl, a_full, prefix_mask, packed.n_qubits, operands["initial_state"]
-        )
+    mode = choose_prefix_engine(operands.get("use_pallas", False), packed.n_qubits)
+    prefix = simulate_prefix_states(
+        gt, ctrl, a_full, prefix_mask, packed.n_qubits,
+        initial_state=operands["initial_state"], mode=mode,
+    )
     coords1 = np.asarray(coords).copy()
     coords1[:, :, 0] = 0
     return PrefixTransform(

@@ -24,11 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from queasars_tpu.genome.packing import PackedPopulation
-from queasars_tpu.optim.objective import (
-    objective_operands,
-    population_energies,
-    slot_kernels_ok as _slot_kernels_ok,
-)
+from queasars_tpu.optim.objective import objective_operands, population_energies
+from queasars_tpu.optim.prefix import choose_prefix_engine, simulate_prefix_states
 from queasars_tpu.optim.spsa_termination import SPSATerminationChecker
 
 
@@ -209,20 +206,11 @@ def _spsa_slots_scan(
         coords, coord_mask, active, keys, slot_layer = xs
         prefix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] < slot_layer[:, None])
         suffix_mask = jnp.logical_and(layer_mask, layer_idx[None, :] >= slot_layer[:, None])
-        if use_pallas and (
-            _slot_kernels_ok(n_qubits) or jax.default_backend() != "tpu"
-        ):
-            from queasars_tpu.sim.pallas_kernels import pallas_population_states
-
-            prefix_state = pallas_population_states(
-                gate_types, controls, angles_s, prefix_mask, n_qubits
-            )
-        else:
-            from queasars_tpu.sim.statevector import simulate_circuits
-
-            prefix_state = simulate_circuits(
-                gate_types, controls, angles_s, prefix_mask, n_qubits, initial_state
-            )
+        prefix_state = simulate_prefix_states(
+            gate_types, controls, angles_s, prefix_mask, n_qubits,
+            initial_state=initial_state,
+            mode=choose_prefix_engine(use_pallas, n_qubits),
+        )
 
         def objective(a, k):
             return population_energies(

@@ -73,6 +73,13 @@ _WHOLE_STATE_MAX_ROWS = 1 << 14
 _LANE_CHUNK_ROWS = 1 << 12
 _TOP_SUB_CHUNK_ROWS = 1 << 9
 
+# Scoped-VMEM budget for the fold kernels (default limit: 16 MB; v5e
+# physical VMEM: 128 MB).  101 MB is the measured requirement of the
+# n=21 energies kernel with a prefix initial state (2 scratch planes +
+# 2 init input planes + the table + Gauss temporaries), which the former
+# 100 MB limit rejected by 1 MB.
+_VMEM_LIMIT = 112 * 1024 * 1024
+
 
 def _mm_bf16x3(a, b, dims):
     """Three-pass bf16 matmul (the scheme ``Precision.HIGH`` lowers to):
@@ -539,7 +546,7 @@ def pallas_population_probs_folded(
             pltpu.VMEM((rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
     return out.reshape(pop, rows * LANES)
@@ -591,7 +598,7 @@ def pallas_energies_exact_folded(
             pltpu.VMEM((rows, LANES), jnp.float32),
             pltpu.VMEM((rows, LANES), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
     return jnp.sum(partials, axis=(-2, -1))
@@ -639,7 +646,7 @@ def pallas_sampled_shot_energies_folded(
             pltpu.VMEM((rows, LANES), jnp.float32),
             pltpu.VMEM((rows, LANES), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
     return out.reshape(pop, shots)
@@ -698,7 +705,7 @@ def pallas_population_states_folded(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
     return out.reshape(pop, 2, rows * LANES)

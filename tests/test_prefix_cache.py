@@ -288,3 +288,119 @@ def test_amplitude_sharded_prefix_cache_matches_full_sweep():
     np.testing.assert_allclose(
         np.asarray(single.evaluate_packed(packed, angles=a_cached)), e_cached, atol=2e-4
     )
+
+
+def test_choose_prefix_engine_routing(monkeypatch):
+    """The prefix engine chooser: slot kernel within its n=20 TPU cap,
+    the folded MXU states kernel at n=21-22 (SPSA/gradient prefix caches
+    previously launched an unsupported slot kernel there), jnp past the
+    fold's ceiling or with the fold opted out."""
+    from queasars_tpu.optim.prefix import choose_prefix_engine
+
+    monkeypatch.delenv("QUEASARS_MXU", raising=False)
+    assert choose_prefix_engine(False, 20, backend="tpu") == "jnp"
+    assert choose_prefix_engine(True, 20, backend="tpu") == "pallas"
+    assert choose_prefix_engine(True, 12, backend="cpu") == "pallas"
+    assert choose_prefix_engine(True, 21, backend="tpu") == "fold"
+    assert choose_prefix_engine(True, 22, backend="tpu") == "fold"
+    assert choose_prefix_engine(True, 23, backend="tpu") == "jnp"
+    monkeypatch.setenv("QUEASARS_MXU", "0")
+    assert choose_prefix_engine(True, 21, backend="tpu") == "jnp"
+
+
+def test_fold_prefix_states_match_engine():
+    """simulate_prefix_states(mode="fold") — the folded MXU states kernel
+    (interpreted on CPU) — must reproduce the jnp engine's prefix states."""
+    from queasars_tpu.optim.prefix import simulate_prefix_states
+
+    n_qubits = 8
+    population = EVQEPopulation.random_population(n_qubits, 3, 3, True, random_seed=5)
+    packed = PackedPopulation.pack(list(population.individuals))
+    prefix_mask = np.logical_and(
+        packed.layer_mask, np.arange(packed.max_layers)[None, :] < 2
+    )
+    got = np.asarray(
+        simulate_prefix_states(
+            packed.gate_types, packed.controls, packed.angles, prefix_mask,
+            n_qubits, mode="fold",
+        )
+    )
+    want = np.asarray(
+        simulate_prefix_states(
+            packed.gate_types, packed.controls, packed.angles, prefix_mask,
+            n_qubits, mode="jnp",
+        )
+    )
+    assert got.shape == want.shape == (packed.n_individuals, 2, 1 << n_qubits)
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_fold_prefix_mode_sweep_matches_jnp_prefix(monkeypatch):
+    """A cached last-layer sweep whose prefix runs through the folded MXU
+    states kernel (the n=21-22 TPU route, interpreted here) must reach the
+    same outcome as the jnp-prefix sweep."""
+    import queasars_tpu.optim.nft as nft_mod
+
+    operator = _diagonal_operator(8, seed=3)
+    problem = dict(zip(
+        ("packed", "coords", "n_free", "active", "last_layer"),
+        _problem(n_qubits=8, pop=3, layers=2),
+    ))
+    evaluator = StatevectorExpectationEvaluator(operator)
+    optimizer = BatchedNFT(NFTConfig(maxiter=6, cache_prefix=True))
+
+    def run():
+        return optimizer.minimize(
+            evaluator, problem["packed"], problem["coords"], problem["n_free"],
+            problem["active"], seed=0, last_layer=problem["last_layer"],
+        )
+
+    a_jnp, e_jnp, _ = run()
+    monkeypatch.setattr(nft_mod, "choose_prefix_engine", lambda *a, **k: "fold")
+    a_fold, e_fold, _ = run()
+    np.testing.assert_allclose(e_fold, e_jnp, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(evaluator.evaluate_packed(problem["packed"], angles=a_fold)),
+        np.asarray(evaluator.evaluate_packed(problem["packed"], angles=a_jnp)),
+        atol=1e-4,
+    )
+
+
+def test_fold_prefix_mode_fused_slots_matches_jnp_prefix(monkeypatch):
+    """The fused multi-slot sweep with folded-kernel prefixes (the
+    n=21-22 TPU route, interpreted here) must match the jnp-prefix run."""
+    import queasars_tpu.optim.nft as nft_mod
+
+    operator = _diagonal_operator(8, seed=9)
+    packed, coords, n_free, active, last_layer = _problem(n_qubits=8, pop=3, layers=2)
+    evaluator = StatevectorExpectationEvaluator(operator)
+    optimizer = BatchedNFT(NFTConfig(maxiter=4, cache_prefix=True))
+
+    slot_args = (
+        coords[:, None, :, :],
+        n_free[:, None],
+        active[:, None],
+        last_layer[:, None].astype(np.int32),
+    )
+
+    jnp_result = optimizer.minimize_slots(evaluator, packed, *slot_args)
+    assert jnp_result is not None
+    monkeypatch.setattr(nft_mod, "choose_prefix_engine", lambda *a, **k: "fold")
+    # the engine choice happens inside _nft_slots_scan's traced body (in
+    # production it is constant per static signature); drop the cached
+    # trace so the monkeypatched chooser is actually consulted
+    nft_mod._nft_slots_scan.clear_cache()
+    try:
+        fold_result = optimizer.minimize_slots(evaluator, packed, *slot_args)
+    finally:
+        # drop the fold-prefix trace too, or later tests with the same
+        # static signature would silently reuse it
+        monkeypatch.undo()
+        nft_mod._nft_slots_scan.clear_cache()
+    assert fold_result is not None
+    np.testing.assert_allclose(fold_result[1], jnp_result[1], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(evaluator.evaluate_packed(packed, angles=fold_result[0])),
+        np.asarray(evaluator.evaluate_packed(packed, angles=jnp_result[0])),
+        atol=1e-4,
+    )
