@@ -103,7 +103,7 @@ class EVQECircuitLayerDecoder(JSONDecoder):
                 qubit_index=object_dict["evqe_qubit_index"],
                 control_qubit_index=object_dict["evqe_control_qubit_index"],
             )
-        raise ValueError(f"Encountered an unknown, serialized, evqe gate: {object_dict}!")
+        raise ValueError(f"cannot decode gate record (unrecognized tag): {object_dict}!")
 
 
 class EVQEPopulationJSONEncoder(JSONEncoder):

@@ -20,7 +20,7 @@ def pauli_identity_string(n_qubits: int) -> PauliSum:
     Reference: queasars/utility/pauli_strings.py:7-18.
     """
     if n_qubits < 1:
-        raise ValueError("n_qubits must be at least one!")
+        raise ValueError("need n_qubits >= 1")
     return PauliSum.identity(n_qubits)
 
 
@@ -30,9 +30,9 @@ def pauli_z_string(qubit_index: int, n_qubits: int) -> PauliSum:
     Reference: queasars/utility/pauli_strings.py:21-41.
     """
     if n_qubits < 1:
-        raise ValueError("n_qubits must be at least one!")
+        raise ValueError("need n_qubits >= 1")
     if not 0 <= qubit_index < n_qubits:
-        raise ValueError("The qubit index is invalid!")
+        raise ValueError("qubit index out of range for this operator width")
     w = _n_words(n_qubits)
     return PauliSum(
         n_qubits,

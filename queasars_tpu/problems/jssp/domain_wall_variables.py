@@ -28,10 +28,10 @@ class DomainWallVariable(Generic[T]):
         self._qubit_start_index = qubit_start_index
         self._values = values
         if len(self._values) < 1:
-            raise ValueError("The domain wall variable must at least have one value!")
+            raise ValueError("a domain-wall variable needs a non-empty value set")
         self._value_indices = {value: i for i, value in enumerate(self._values)}
         if len(self._values) != len(self._value_indices):
-            raise ValueError("All values of a domain wall variable must be unique!")
+            raise ValueError("domain-wall variable values contain duplicates")
         self._n_qubits = len(values) - 1
 
     @property
@@ -53,7 +53,7 @@ class DomainWallVariable(Generic[T]):
         Reference: domain_wall_variables.py:43-62.
         """
         if i < -1 or i > self._n_qubits:
-            raise ValueError("The index is out of the bounds of the domain wall variable!")
+            raise ValueError("value index exceeds this domain-wall variable")
         if i == -1:
             return pauli_identity_string(circuit_n_qubits) * -1.0
         if i == self._n_qubits:
@@ -89,7 +89,7 @@ class DomainWallVariable(Generic[T]):
         ``(Z'_i - Z'_{i-1}) / 2`` for the value's index i.
         """
         if value not in self._value_indices:
-            raise ValueError("The domain wall variable can never assume this value!")
+            raise ValueError("value is not in this domain-wall variable")
         if self._n_qubits == 0:
             return pauli_identity_string(quantum_circuit_n_qubits)
         i = self._value_indices[value]
@@ -110,7 +110,7 @@ class DomainWallVariable(Generic[T]):
                 wall_index = i
                 break
             if bit != 1:
-                raise ValueError("The bit_list must only contain 0 or 1 values!")
+                raise ValueError("bit_list entries must be 0 or 1")
         if sum(segment[wall_index:]) != 0:
             return None
         return self._values[wall_index]

@@ -108,13 +108,13 @@ class JSSPDomainWallHamiltonianEncoder:
         (domain_wall_hamiltonian_encoder.py:121).
         """
         if len(bitstring) != self.n_qubits:
-            raise ValueError("The bitstring length does not match the problem size!")
+            raise ValueError("bitstring length differs from the encoding qubit count")
         if not self._encoding_prepared:
             self._prepare_encoding()
 
         reversed_bits = bitstring[::-1]
         if any(ch not in "01" for ch in reversed_bits):
-            raise ValueError("The bitstring may not contain any value apart from 1 or 0!")
+            raise ValueError("bitstring characters must all be '0' or '1'")
         bit_list = [1 if ch == "1" else 0 for ch in reversed_bits]
         return self.translate_result_bitlist(bit_list)
 
@@ -153,9 +153,8 @@ class JSSPDomainWallHamiltonianEncoder:
             end_offset = sum(op.processing_duration for op in job.operations)
             if end_offset > self.makespan_limit:
                 raise ValueError(
-                    f"There is no feasible solution for the given makespan_limit {self.makespan_limit}!\n"
-                    + f"This is due to the length of all operations in job {job.name} which\n"
-                    + f"is {end_offset} and is longer than the makespan_limit!"
+                    f"makespan_limit {self.makespan_limit} is infeasible: job "
+                    f"{job.name}'s operations alone take {end_offset} time steps"
                 )
             for operation in job.operations:
                 self._machine_operations.setdefault(operation.machine, []).append(operation)

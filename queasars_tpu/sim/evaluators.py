@@ -278,7 +278,7 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
     ):
         super().__init__(operator.n_qubits)
         if not 0 < alpha <= 1:
-            raise ValueError("alpha must be in the range (0, 1]!")
+            raise ValueError("alpha (the CVaR tail fraction) lies outside (0, 1]")
         if precision < 0:
             raise ValueError("precision must be non-negative")
         self.operator = operator
@@ -411,7 +411,7 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
         super().__init__(operator.n_qubits)
         self._use_pallas = _pallas_requested(use_pallas)
         if not 0 < alpha <= 1:
-            raise ValueError("alpha must be in the range (0, 1]!")
+            raise ValueError("alpha (the CVaR tail fraction) lies outside (0, 1]")
         if not operator.is_diagonal:
             raise CircuitEvaluatorException(
                 "The operator must be diagonal when using the sampler path "
@@ -496,7 +496,7 @@ class BitstringFunctionEvaluator(BaseCircuitEvaluator):
     ):
         super().__init__(bitstring_evaluator.input_length)
         if not 0 < alpha <= 1:
-            raise ValueError("alpha must be in the range (0, 1]!")
+            raise ValueError("alpha (the CVaR tail fraction) lies outside (0, 1]")
         if shots < 1:
             raise ValueError("shots must be at least 1")
         self.bitstring_evaluator = bitstring_evaluator

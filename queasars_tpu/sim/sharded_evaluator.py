@@ -230,7 +230,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
     ):
         super().__init__(operator.n_qubits)
         if not 0 < alpha <= 1:
-            raise ValueError("alpha must be in the range (0, 1]!")
+            raise ValueError("alpha (the CVaR tail fraction) lies outside (0, 1]")
         if precision < 0:
             raise ValueError("precision must be non-negative")
         if table_mode not in ("device", "host"):

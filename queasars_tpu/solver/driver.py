@@ -391,10 +391,12 @@ class EvolvingAnsatzMinimumEigensolver:
                 current_best_expectation_value = evaluation_result.best_expectation_value
 
             self.logger.info("Results for generation: %d", n_generations)
-            self.logger.info("Current best expectation value: %f", evaluation_result.best_expectation_value)
+            self.logger.info(
+                "generation best expectation value: %f", evaluation_result.best_expectation_value
+            )
             filtered = [v for v in evaluation_result.expectation_values if v is not None]
-            self.logger.info("Current median expectation value: %f", median(filtered))
-            self.logger.info("Current average expectation value: %f", mean(filtered))
+            self.logger.info("generation median expectation value: %f", median(filtered))
+            self.logger.info("generation mean expectation value: %f", mean(filtered))
 
             n_generations += 1
 
