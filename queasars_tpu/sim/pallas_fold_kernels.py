@@ -107,11 +107,13 @@ def _gauss_mm(ar, ai, br, bi, dims, precision):
     return t1 - t2, t3 - t1 - t2
 
 
-def _build_group_fold(factors_ref, k, q0, m, exclude_q=None):
+def _build_group_fold(fac, k, q0, m, exclude_q=None):
     """Expand the [2^m, 2^m] group matrix from SMEM 2x2 factors.
 
     kron entry [i, j] = prod over local qubits jq of A_{q0+jq}[bi, bj]
-    with bi/bj = bit jq of i/j (little-endian).  Returns (re, im)
+    with bi/bj = bit jq of i/j (little-endian).  ``fac`` is a scalar
+    accessor ``fac(k, q, c, bi, bj)`` over the factor storage (flat
+    packed SMEM operand or the sweep's 6-D scratch).  Returns (re, im)
     [2^m, 2^m] arrays.  ``exclude_q`` (dynamic scalar) replaces that
     qubit's factor with the identity — scalar selects before the
     broadcast, so exclusion is free (the folded sweep's rest-base
@@ -124,10 +126,7 @@ def _build_group_fold(factors_ref, k, q0, m, exclude_q=None):
     for jq in range(m):
         q = q0 + jq
         a = [
-            [
-                (factors_ref[0, k, q, 0, bi, bj], factors_ref[0, k, q, 1, bi, bj])
-                for bj in range(2)
-            ]
+            [(fac(k, q, 0, bi, bj), fac(k, q, 1, bi, bj)) for bj in range(2)]
             for bi in range(2)
         ]
         if exclude_q is not None:
@@ -168,12 +167,14 @@ def _build_group_fold(factors_ref, k, q0, m, exclude_q=None):
 
 
 def _apply_kron_layer(
-    state_re, state_im, factors_ref, group_active_ref, k, n_qubits, precision,
+    state_re, state_im, fac, ga, k, n_qubits, precision,
     exclude_q=None,
 ):
     """Apply kron layer ``k``: one (predicated) group matmul per axis
-    group.  ``exclude_q`` (dynamic scalar) builds that qubit's factor as
-    the identity (rest-base factoring of the folded sweep)."""
+    group.  ``fac(k, q, c, bi, bj)`` / ``ga(k, g)`` are scalar accessors
+    over the factor / group-activity storage.  ``exclude_q`` (dynamic
+    scalar) builds that qubit's factor as the identity (rest-base
+    factoring of the folded sweep)."""
     rows = 1 << (n_qubits - LANE_BITS)
     n_groups = n_axis_groups(n_qubits)
 
@@ -181,9 +182,9 @@ def _apply_kron_layer(
     # whole-state Gauss temporaries (3 full planes) overflow VMEM, so the
     # matmul runs over row chunks (each output row depends only on the
     # same input rows — chunked in-place application is exact)
-    @pl.when(group_active_ref[0, k, 0] != 0)
+    @pl.when(ga(k, 0) != 0)
     def _():
-        u_re, u_im = _build_group_fold(factors_ref, k, 0, LANE_BITS, exclude_q)
+        u_re, u_im = _build_group_fold(fac, k, 0, LANE_BITS, exclude_q)
         dims = (((1,), (1,)), ((), ()))
         if rows <= _WHOLE_STATE_MAX_ROWS:
             re, im = _gauss_mm(state_re[:], state_im[:], u_re, u_im, dims, precision)
@@ -201,9 +202,9 @@ def _apply_kron_layer(
         m1 = min(LANE_BITS, n_qubits - LANE_BITS)
         s1 = 1 << m1
 
-        @pl.when(group_active_ref[0, k, 1] != 0)
+        @pl.when(ga(k, 1) != 0)
         def _():
-            u_re, u_im = _build_group_fold(factors_ref, k, LANE_BITS, m1, exclude_q)
+            u_re, u_im = _build_group_fold(fac, k, LANE_BITS, m1, exclude_q)
             dims = (((1,), (0,)), ((), ()))
             for h in range(rows // s1):
                 sl = slice(h * s1, (h + 1) * s1)
@@ -218,10 +219,10 @@ def _apply_kron_layer(
 
         if blocks * LANES <= _WHOLE_STATE_MAX_ROWS:
 
-            @pl.when(group_active_ref[0, k, 2] != 0)
+            @pl.when(ga(k, 2) != 0)
             def _():
                 u_re, u_im = _build_group_fold(
-                    factors_ref, k, 2 * LANE_BITS, m2, exclude_q
+                    fac, k, 2 * LANE_BITS, m2, exclude_q
                 )
                 xr = state_re[:].reshape(blocks, LANES, LANES)
                 xi = state_im[:].reshape(blocks, LANES, LANES)
@@ -241,10 +242,10 @@ def _apply_kron_layer(
             s_a, s_b = 1 << m2a, 1 << m2b
             inner = s_a * LANES  # rows per high-bits value
 
-            @pl.when(group_active_ref[0, k, 2] != 0)
+            @pl.when(ga(k, 2) != 0)
             def _():
                 ua_re, ua_im = _build_group_fold(
-                    factors_ref, k, 2 * LANE_BITS, m2a, exclude_q
+                    fac, k, 2 * LANE_BITS, m2a, exclude_q
                 )
                 for h in range(s_b):
                     sl = slice(h * inner, (h + 1) * inner)
@@ -254,7 +255,7 @@ def _apply_kron_layer(
                     state_re[sl, :] = re.reshape(inner, LANES)
                     state_im[sl, :] = im.reshape(inner, LANES)
                 ub_re, ub_im = _build_group_fold(
-                    factors_ref, k, 2 * LANE_BITS + m2a, m2b, exclude_q
+                    fac, k, 2 * LANE_BITS + m2a, m2b, exclude_q
                 )
                 chunk = min(_TOP_SUB_CHUNK_ROWS, inner)
                 for c in range(inner // chunk):
@@ -272,13 +273,15 @@ def _apply_kron_layer(
 
 def _apply_diag_pass(
     state_re, state_im, row_ids, lane_ids,
-    diag_ctrl_ref, diag_tgt_ref, diag_phase_ref, count, k, d_slots,
+    ctrl, tgt, ph, count, k, d_slots,
     exclude_slot=None,
 ):
     """Apply layer ``k``'s controlled-diagonal phases: for each slot the
     phase (chosen by the dynamic target bit) multiplies the state where
     the dynamic control bit is 1.
 
+    ``ctrl(k, j)`` / ``tgt(k, j)`` / ``ph(k, j, tbit, reim)`` are scalar
+    accessors over the diagonal-slot storage.
     The slot loop is a ``fori_loop`` over the DYNAMIC count (slots are
     front-compacted by ``build_fold_pipeline``): a static unroll over
     all ``d_slots`` with ``pl.when(j < count)`` pays the measured ~7 us
@@ -305,12 +308,12 @@ def _apply_diag_pass(
         chunks = [slice(h * step, (h + 1) * step) for h in range(rows // step)]
 
     def slot_body(j, carry):
-        c = diag_ctrl_ref[0, k, j]
-        t = diag_tgt_ref[0, k, j]
-        p0r = diag_phase_ref[0, k, j, 0, 0]
-        p0i = diag_phase_ref[0, k, j, 0, 1]
-        p1r = diag_phase_ref[0, k, j, 1, 0]
-        p1i = diag_phase_ref[0, k, j, 1, 1]
+        c = ctrl(k, j)
+        t = tgt(k, j)
+        p0r = ph(k, j, 0, 0)
+        p0i = ph(k, j, 0, 1)
+        p1r = ph(k, j, 1, 0)
+        p1i = ph(k, j, 1, 1)
         if exclude_slot is not None:
             excl = j == exclude_slot
             one, zero = jnp.float32(1.0), jnp.float32(0.0)
@@ -335,13 +338,79 @@ def _apply_diag_pass(
     jax.lax.fori_loop(0, count, slot_body, 0)
 
 
+def _packed_layout(n_qubits: int, n_kron: int, d_slots: int):
+    """Static layout of the two packed pipeline operands.
+
+    ``_pipeline_specs`` ships the six FoldPipeline tensors to the kernel
+    as TWO dense SMEM operands shaped [1, 8, W] — one f32 (factors then
+    diagonal phases), one int32 (diag controls, targets, counts, then
+    group activity).  Dense [*, 8, W] windows transfer unpadded where
+    the natural [..., 2, 2]-minor forms tile-pad ~16x (a whole-array
+    6-D factors window for n=20/pop-32 allocates 7.9 MB of SMEM for a
+    123 KB array); end-to-end the launch is MXU/VPU-bound so the rate
+    is unchanged, but the packed form also halves the operand count and
+    keeps every window inside the 1 MB SMEM budget at n=22
+    (docs/performance.md "fold kernel cost decomposition").
+
+    Returns (f_len, i_len, offsets) with offsets = (ph_off, tgt_off,
+    cnt_off, ga_off); f/i lengths are pre-padding logical lengths.
+    """
+    n_layers = n_kron - 1
+    n_groups = n_axis_groups(n_qubits)
+    ph_off = n_kron * n_qubits * 8
+    f_len = ph_off + n_layers * d_slots * 4
+    tgt_off = n_layers * d_slots
+    cnt_off = 2 * n_layers * d_slots
+    ga_off = cnt_off + n_layers
+    i_len = ga_off + n_kron * n_groups
+    return f_len, i_len, (ph_off, tgt_off, cnt_off, ga_off)
+
+
+def _packed_width(length: int) -> int:
+    """SMEM row width of a [1, 8, W] packed operand (ceil(len / 8))."""
+    return -(-length // 8)
+
+
+def _packed_accessors(fdata_ref, idata_ref, n_qubits, n_kron, d_slots):
+    """Scalar accessors over the two packed SMEM operands (flat logical
+    index -> [0, i // W, i % W]; static indices fold at trace time)."""
+    f_len, i_len, (ph_off, tgt_off, cnt_off, ga_off) = _packed_layout(
+        n_qubits, n_kron, d_slots
+    )
+    wf = _packed_width(f_len)
+    wi = _packed_width(i_len)
+    n_groups = n_axis_groups(n_qubits)
+
+    def fget(i):
+        return fdata_ref[0, i // wf, i % wf]
+
+    def iget(i):
+        return idata_ref[0, i // wi, i % wi]
+
+    def fac(k, q, c, bi, bj):
+        return fget((((k * n_qubits + q) * 2 + c) * 2 + bi) * 2 + bj)
+
+    def ph(k, j, tb, ri):
+        return fget(ph_off + ((k * d_slots + j) * 2 + tb) * 2 + ri)
+
+    def ctrl(k, j):
+        return iget(k * d_slots + j)
+
+    def tgt(k, j):
+        return iget(tgt_off + k * d_slots + j)
+
+    def cnt(k):
+        return iget(cnt_off + k)
+
+    def ga(k, g):
+        return iget(ga_off + k * n_groups + g)
+
+    return fac, ph, ctrl, tgt, cnt, ga
+
+
 def _run_circuit_folded(
-    factors_ref,       # SMEM [1, K, n, 2, 2, 2] f32 (K = n_layers + 1)
-    diag_ctrl_ref,     # SMEM [1, L, D] int32
-    diag_tgt_ref,      # SMEM [1, L, D] int32
-    diag_phase_ref,    # SMEM [1, L, D, 2, 2] f32
-    diag_count_ref,    # SMEM [1, L, 1] int32 (trailing 1 for SMEM shape)
-    group_active_ref,  # SMEM [1, K, G] int32
+    fdata_ref,  # SMEM [1, 8, WF] f32: packed factors + diagonal phases
+    idata_ref,  # SMEM [1, 8, WI] int32: packed ctrl/tgt/count/activity
     state_re, state_im,
     n_qubits: int,
     n_kron: int,
@@ -353,6 +422,9 @@ def _run_circuit_folded(
     rows = 1 << (n_qubits - LANE_BITS)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    fac, ph, ctrl, tgt, cnt, ga = _packed_accessors(
+        fdata_ref, idata_ref, n_qubits, n_kron, d_slots
+    )
 
     if init_ref is not None:
         state_re[:] = init_ref[0, 0]
@@ -365,23 +437,21 @@ def _run_circuit_folded(
 
     for k in range(n_kron):
         _apply_kron_layer(
-            state_re, state_im, factors_ref, group_active_ref, k, n_qubits, precision
+            state_re, state_im, fac, ga, k, n_qubits, precision
         )
         if k < n_kron - 1:
-            count = diag_count_ref[0, k, 0]
+            count = cnt(k)
 
             @pl.when(count > 0)
             def _():
                 _apply_diag_pass(
                     state_re, state_im, row_ids, lane_ids,
-                    diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
-                    count, k, d_slots,
+                    ctrl, tgt, ph, count, k, d_slots,
                 )
 
 
 def _probs_folded_kernel(
-    factors_ref, diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
-    diag_count_ref, group_active_ref,
+    fdata_ref, idata_ref,
     *rest,
     n_qubits: int, n_kron: int, d_slots: int, precision, has_init: bool,
 ):
@@ -391,8 +461,7 @@ def _probs_folded_kernel(
         out_ref, state_re, state_im, dma_sem = rest
         init_ref = None
     _run_circuit_folded(
-        factors_ref, diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
-        diag_count_ref, group_active_ref, state_re, state_im,
+        fdata_ref, idata_ref, state_re, state_im,
         n_qubits, n_kron, d_slots, precision, init_ref,
     )
     rows = 1 << (n_qubits - LANE_BITS)
@@ -411,8 +480,7 @@ def _probs_folded_kernel(
 
 
 def _energies_folded_kernel(
-    factors_ref, diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
-    diag_count_ref, group_active_ref, table_ref,
+    fdata_ref, idata_ref, table_ref,
     *rest,
     n_qubits: int, n_kron: int, d_slots: int, precision, has_init: bool,
 ):
@@ -423,8 +491,7 @@ def _energies_folded_kernel(
         init_ref = None
     rows = 1 << (n_qubits - LANE_BITS)
     _run_circuit_folded(
-        factors_ref, diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
-        diag_count_ref, group_active_ref, state_re, state_im,
+        fdata_ref, idata_ref, state_re, state_im,
         n_qubits, n_kron, d_slots, precision, init_ref,
     )
     if rows <= _WHOLE_STATE_MAX_ROWS:
@@ -443,8 +510,7 @@ def _energies_folded_kernel(
 
 
 def _sampled_folded_kernel(
-    factors_ref, diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
-    diag_count_ref, group_active_ref, frac_ref, table_ref,
+    fdata_ref, idata_ref, frac_ref, table_ref,
     *rest,
     n_qubits: int, n_kron: int, d_slots: int, shots: int, precision, has_init: bool,
 ):
@@ -454,37 +520,59 @@ def _sampled_folded_kernel(
         out_ref, state_re, state_im = rest
         init_ref = None
     _run_circuit_folded(
-        factors_ref, diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
-        diag_count_ref, group_active_ref, state_re, state_im,
+        fdata_ref, idata_ref, state_re, state_im,
         n_qubits, n_kron, d_slots, precision, init_ref,
     )
     _sample_shots_in_vmem(state_re, state_im, frac_ref, table_ref, out_ref, n_qubits, shots)
 
 
+def _pad_pack8(flat):
+    """[P, len] -> [P, 8, ceil(len/8)] (zero-padded), the dense SMEM
+    window shape (see ``_packed_layout``)."""
+    pop, length = flat.shape
+    width = _packed_width(length)
+    pad = width * 8 - length
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    return flat.reshape(pop, 8, width)
+
+
 def _pipeline_specs(pipeline: FoldPipeline):
-    """(in_specs, operands) for the pipeline SMEM blocks."""
+    """(in_specs, operands) for the packed pipeline SMEM blocks.
+
+    The six pipeline tensors ship as TWO dense [1, 8, W] SMEM windows
+    (see ``_packed_layout`` for why: the natural [..., 2, 2]-minor
+    layouts tile-pad ~16x and pay a slow per-iteration XLA relayout at
+    the custom-call boundary whenever the pipeline is rebuilt inside a
+    compiled scan — the production shape)."""
     pop, n_kron, n = pipeline.factors.shape[:3]
-    n_layers = n_kron - 1
     d_slots = pipeline.diag_ctrl.shape[2]
-    n_groups = pipeline.group_active.shape[2]
+    fdata = _pad_pack8(
+        jnp.concatenate(
+            [
+                pipeline.factors.reshape(pop, -1),
+                pipeline.diag_phase.reshape(pop, -1),
+            ],
+            axis=1,
+        )
+    )
+    idata = _pad_pack8(
+        jnp.concatenate(
+            [
+                pipeline.diag_ctrl.reshape(pop, -1),
+                pipeline.diag_tgt.reshape(pop, -1),
+                pipeline.diag_count.reshape(pop, -1),
+                pipeline.group_active.reshape(pop, -1),
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+    )
     smem = pltpu.SMEM
     in_specs = [
-        pl.BlockSpec((1, n_kron, n, 2, 2, 2), lambda p: (p, 0, 0, 0, 0, 0), memory_space=smem),
-        pl.BlockSpec((1, n_layers, d_slots), lambda p: (p, 0, 0), memory_space=smem),
-        pl.BlockSpec((1, n_layers, d_slots), lambda p: (p, 0, 0), memory_space=smem),
-        pl.BlockSpec((1, n_layers, d_slots, 2, 2), lambda p: (p, 0, 0, 0, 0), memory_space=smem),
-        pl.BlockSpec((1, n_layers, 1), lambda p: (p, 0, 0), memory_space=smem),
-        pl.BlockSpec((1, n_kron, n_groups), lambda p: (p, 0, 0), memory_space=smem),
+        pl.BlockSpec((1, 8, fdata.shape[2]), lambda p: (p, 0, 0), memory_space=smem),
+        pl.BlockSpec((1, 8, idata.shape[2]), lambda p: (p, 0, 0), memory_space=smem),
     ]
-    operands = [
-        pipeline.factors,
-        pipeline.diag_ctrl,
-        pipeline.diag_tgt,
-        pipeline.diag_phase,
-        pipeline.diag_count[:, :, None],
-        pipeline.group_active,
-    ]
-    return in_specs, operands, n_kron, d_slots
+    return in_specs, [fdata, idata], n_kron, d_slots
 
 
 def fold_supported(n_qubits: int, platform: str, path: str = "exact") -> bool:
@@ -653,14 +741,12 @@ def pallas_sampled_shot_energies_folded(
 
 
 def _states_folded_kernel(
-    factors_ref, diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
-    diag_count_ref, group_active_ref,
+    fdata_ref, idata_ref,
     out_ref, state_re, state_im, sem_re, sem_im,
     *, n_qubits: int, n_kron: int, d_slots: int, precision,
 ):
     _run_circuit_folded(
-        factors_ref, diag_ctrl_ref, diag_tgt_ref, diag_phase_ref,
-        diag_count_ref, group_active_ref, state_re, state_im,
+        fdata_ref, idata_ref, state_re, state_im,
         n_qubits, n_kron, d_slots, precision,
     )
     p = pl.program_id(0)
@@ -865,11 +951,19 @@ def _nft_layer_sweep_folded_kernel(
     copy_re.wait()
     copy_im.wait()
 
+    # scalar accessors over the sweep's own storage (6-D scratch factors,
+    # single-layer diag operands) for the shared kron/diag helpers
+    fac = lambda k, q, c, bi, bj: fac_s[0, k, q, c, bi, bj]
+    ga = lambda k, g: group_active_ref[0, k, g]
+    ctrl = lambda k, j: diag_ctrl_ref[0, 0, j]
+    tgt = lambda k, j: diag_tgt_ref[0, 0, j]
+    ph = lambda k, j, tb, ri: ph_s[0, 0, j, tb, ri]
+
     def eval_energy():
         work_re[:] = prefix_re[:]
         work_im[:] = prefix_im[:]
         _apply_kron_layer(
-            work_re, work_im, fac_s, group_active_ref, 0, n_qubits, precision
+            work_re, work_im, fac, ga, 0, n_qubits, precision
         )
         count = diag_count_ref[0, 0, 0]
 
@@ -877,11 +971,11 @@ def _nft_layer_sweep_folded_kernel(
         def _():
             _apply_diag_pass(
                 work_re, work_im, row_ids, lane_ids,
-                diag_ctrl_ref, diag_tgt_ref, ph_s, count, 0, d_slots,
+                ctrl, tgt, ph, count, 0, d_slots,
             )
 
         _apply_kron_layer(
-            work_re, work_im, fac_s, group_active_ref, 1, n_qubits, precision
+            work_re, work_im, fac, ga, 1, n_qubits, precision
         )
         prod = (work_re[:] * work_re[:] + work_im[:] * work_im[:]) * table_ref[:]
         return jnp.sum(prod)
@@ -974,7 +1068,7 @@ def _nft_layer_sweep_folded_kernel(
         base_re[:] = prefix_re[:]
         base_im[:] = prefix_im[:]
         _apply_kron_layer(
-            base_re, base_im, fac_s, group_active_ref, 0, n_qubits, precision,
+            base_re, base_im, fac, ga, 0, n_qubits, precision,
             exclude_q=q,
         )
         count = diag_count_ref[0, 0, 0]
@@ -983,12 +1077,12 @@ def _nft_layer_sweep_folded_kernel(
         def _():
             _apply_diag_pass(
                 base_re, base_im, row_ids, lane_ids,
-                diag_ctrl_ref, diag_tgt_ref, ph_s, count, 0, d_slots,
+                ctrl, tgt, ph, count, 0, d_slots,
                 exclude_slot=slot_j,
             )
 
         _apply_kron_layer(
-            base_re, base_im, fac_s, group_active_ref, 1, n_qubits, precision,
+            base_re, base_im, fac, ga, 1, n_qubits, precision,
             exclude_q=q,
         )
 
