@@ -116,7 +116,8 @@ def fold_correctness_check(packed) -> None:
     from queasars_tpu.sim.statevector import probabilities
 
     pipe = build_fold_pipeline(
-        packed.gate_types, packed.controls, packed.angles, packed.layer_mask, N_QUBITS
+        packed.gate_types, packed.controls, packed.angles, packed.layer_mask, N_QUBITS,
+        absorb_diag=True,
     )
     got = np.asarray(pallas_population_probs_folded(pipe, N_QUBITS, precision="high"))
     want = np.asarray(
@@ -149,7 +150,9 @@ def measure_fold_rate(packed, table, repeats: int = 3, scan_iters: int = 40) -> 
     @_partial(jax.jit, static_argnames=("iters",))
     def scan_evals(gt, c, a, lm, tab, iters):
         def step(carry, k):
-            pipe = build_fold_pipeline(gt, c, a + 0.001 * k.astype(jnp.float32), lm, N_QUBITS)
+            pipe = build_fold_pipeline(
+                gt, c, a + 0.001 * k.astype(jnp.float32), lm, N_QUBITS, absorb_diag=True
+            )
             energies = pallas_energies_exact_folded(pipe, tab, N_QUBITS, precision="high")
             return carry + energies, None
 

@@ -112,7 +112,13 @@ def population_energies(
     def _fold_pipeline():
         from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
 
-        return build_fold_pipeline(gate_types, controls, angles, layer_mask, n_qubits)
+        # absorb_diag: same-group controlled-diagonal phases row-scale
+        # their group matmul instead of running full-state passes
+        # (~30% of CROT pairs at n=20; measured in
+        # experiments/exp_fold_absorb.py, docs/performance.md)
+        return build_fold_pipeline(
+            gate_types, controls, angles, layer_mask, n_qubits, absorb_diag=True
+        )
 
     if pallas_ok and not use_cvar and not use_shots:
         if mxu_ok:

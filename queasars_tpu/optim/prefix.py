@@ -95,7 +95,9 @@ def simulate_prefix_states(
         from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
         from queasars_tpu.sim.pallas_fold_kernels import pallas_population_states_folded
 
-        pipeline = build_fold_pipeline(gate_types, controls, angles, prefix_mask, n_qubits)
+        pipeline = build_fold_pipeline(
+            gate_types, controls, angles, prefix_mask, n_qubits, absorb_diag=True
+        )
         return pallas_population_states_folded(
             pipeline, n_qubits, precision="high",
             interpret=jax.default_backend() != "tpu",

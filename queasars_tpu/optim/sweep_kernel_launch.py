@@ -94,7 +94,7 @@ def _launch_folded(
     )
 
     pipeline = build_fold_pipeline(
-        gate_types, controls, angles, prefix_mask, n_qubits
+        gate_types, controls, angles, prefix_mask, n_qubits, absorb_diag=True
     )
     prefix = pallas_population_states_folded(
         pipeline, n_qubits, precision=precision, interpret=interpret

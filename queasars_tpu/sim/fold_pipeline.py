@@ -81,6 +81,14 @@ class FoldPipeline(NamedTuple):
     - ``group_active`` [P, L+1, G] int32: 1 where the kron layer's
       group fold differs from identity (G = axis groups: lane q<7,
       row 7<=q<14, top q>=14).
+    - ``abs_ctrl`` / ``abs_tgt`` / ``abs_phase`` / ``abs_count``: same
+      layout as the diag slots, holding the controlled-diagonal phases
+      ABSORBED into kron layer ``l``'s group matmul instead of running
+      as full-state passes (``build_fold_pipeline(absorb_diag=True)``):
+      a CDiag whose control and target share one axis group is diagonal
+      within that group's space, so it row-scales the [2^m, 2^m] group
+      matrix (~2^2m elements) instead of multiplying the whole state
+      (~2^n elements).  All slots empty when ``absorb_diag`` is off.
     """
 
     factors: jax.Array
@@ -89,6 +97,10 @@ class FoldPipeline(NamedTuple):
     diag_phase: jax.Array
     diag_count: jax.Array
     group_active: jax.Array
+    abs_ctrl: jax.Array
+    abs_tgt: jax.Array
+    abs_phase: jax.Array
+    abs_count: jax.Array
 
 
 def n_axis_groups(n_qubits: int) -> int:
@@ -191,15 +203,28 @@ def _slot_factors(gate_type, angles):
     return main_re, main_im, vdag_re, vdag_im, ph
 
 
-@partial(jax.jit, static_argnames=("n_qubits",))
+@partial(jax.jit, static_argnames=("n_qubits", "absorb_diag"))
 def build_fold_pipeline(
     gate_types: jax.Array,  # [P, L, n] int32
     controls: jax.Array,    # [P, L, n] int32
     angles: jax.Array,      # [P, L, n, 3] f32
     layer_mask: jax.Array,  # [P, L] bool/int
     n_qubits: int,
+    absorb_diag: bool = False,
 ) -> FoldPipeline:
-    """Build the kron-fold pipeline tensors from a packed genome batch."""
+    """Build the kron-fold pipeline tensors from a packed genome batch.
+
+    ``absorb_diag`` moves every controlled-diagonal phase whose control
+    and target share one axis group — and whose kron layer is already
+    active in that group — out of the full-state diag pass and into the
+    ``abs_*`` slots, where the kernels row-scale the group matrix
+    instead (same algebra: the CDiag is diagonal within the group's
+    space, and it applies right after that kron layer).  The transform
+    stays exact; only the float path changes (the scaled matrix goes
+    through the matmul's precision instead of an exact f32 elementwise
+    pass).  Off by default so the sharded/jnp consumers and committed
+    fixtures are untouched.
+    """
     pop, n_layers, n = gate_types.shape
     if n != n_qubits:
         raise ValueError("gate_types last axis must equal n_qubits")
@@ -233,25 +258,6 @@ def build_fold_pipeline(
     k_im = mm(d_re, m_im) + mm(d_im, m_re)
     factors = jnp.stack([k_re, k_im], axis=3)        # [P, L+1, n, 2, 2, 2]
 
-    # diagonal slots: compact CROT positions to the front of D slots
-    d_slots = max(n_qubits // 2, 1)
-    is_crot = jnp.logical_and(gate_types == GATE_CROT, mask[:, :, None])  # [P,L,n]
-    order = jnp.argsort(~is_crot, axis=2, stable=True)
-    sorted_crot = jnp.take_along_axis(is_crot, order, axis=2)
-    tgt = jnp.where(sorted_crot, order, -1)[:, :, :d_slots]
-    ctrl = jnp.where(
-        sorted_crot, jnp.take_along_axis(controls, order, axis=2), -1
-    )[:, :, :d_slots]
-    ident_ph = jnp.broadcast_to(
-        jnp.array([[1.0, 0.0], [1.0, 0.0]], jnp.float32), ph.shape
-    )
-    ph_sorted = jnp.take_along_axis(
-        jnp.where(is_crot[..., None, None], ph, ident_ph),
-        order[..., None, None],
-        axis=2,
-    )[:, :, :d_slots]                                 # [P, L, D, 2, 2]
-    count = jnp.sum(is_crot.astype(jnp.int32), axis=2)
-
     # group activity: fold differs from identity iff any slot factor does
     n_groups = n_axis_groups(n_qubits)
     eye_b = jnp.eye(2, dtype=jnp.float32)
@@ -264,13 +270,63 @@ def build_fold_pipeline(
         actives.append(jnp.any(slot_active[:, :, lo:hi], axis=2))
     group_active = jnp.stack(actives, axis=2).astype(jnp.int32)
 
+    # diagonal slots: compact CROT positions to the front of D slots
+    d_slots = max(n_qubits // 2, 1)
+    is_crot = jnp.logical_and(gate_types == GATE_CROT, mask[:, :, None])  # [P,L,n]
+    ident_ph = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0], [1.0, 0.0]], jnp.float32), ph.shape
+    )
+
+    def _compact(flags):
+        order = jnp.argsort(~flags, axis=2, stable=True)
+        sorted_f = jnp.take_along_axis(flags, order, axis=2)
+        tgt = jnp.where(sorted_f, order, -1)[:, :, :d_slots]
+        ctrl = jnp.where(
+            sorted_f, jnp.take_along_axis(controls, order, axis=2), -1
+        )[:, :, :d_slots]
+        ph_sorted = jnp.take_along_axis(
+            jnp.where(flags[..., None, None], ph, ident_ph),
+            order[..., None, None],
+            axis=2,
+        )[:, :, :d_slots]                             # [P, L, D, 2, 2]
+        count = jnp.sum(flags.astype(jnp.int32), axis=2)
+        return ctrl.astype(jnp.int32), tgt.astype(jnp.int32), ph_sorted, count
+
+    if absorb_diag:
+        tgt_q = jax.lax.broadcasted_iota(jnp.int32, is_crot.shape, 2)
+        g_t = jnp.minimum(tgt_q // LANE_BITS, 2)
+        g_c = jnp.minimum(jnp.maximum(controls, 0) // LANE_BITS, 2)
+        # the top group absorbs only while its matmul applies whole-state:
+        # the n=22 kernels split it into two sub-kron contractions whose
+        # per-sub row-scale cannot represent a cross-sub diagonal
+        top_ok = n_qubits <= 2 * LANE_BITS + LANE_BITS
+        group_ok = jnp.logical_or(g_t < 2, jnp.bool_(top_ok))
+        # only into an already-active group: scaling an identity fold
+        # would force a skippable group matmul (~12 us/individual) to
+        # save one ~7 us state pass
+        kron_act = jnp.take_along_axis(
+            group_active[:, :n_layers].astype(jnp.bool_), g_t, axis=2
+        )
+        absorbed = jnp.logical_and(
+            is_crot,
+            jnp.logical_and(g_t == g_c, jnp.logical_and(group_ok, kron_act)),
+        )
+    else:
+        absorbed = jnp.zeros_like(is_crot)
+    ctrl, tgt, ph_sorted, count = _compact(jnp.logical_and(is_crot, ~absorbed))
+    a_ctrl, a_tgt, a_ph, a_count = _compact(absorbed)
+
     return FoldPipeline(
         factors=factors,
-        diag_ctrl=ctrl.astype(jnp.int32),
-        diag_tgt=tgt.astype(jnp.int32),
+        diag_ctrl=ctrl,
+        diag_tgt=tgt,
         diag_phase=ph_sorted,
         diag_count=count,
         group_active=group_active,
+        abs_ctrl=a_ctrl,
+        abs_tgt=a_tgt,
+        abs_phase=a_ph,
+        abs_count=a_count,
     )
 
 
@@ -390,6 +446,10 @@ def apply_fold_pipeline_reference(
     phases = phases_ri[..., 0] + 1j * phases_ri[..., 1]   # [P, L, D, 2]
     ctrl = np.asarray(pipeline.diag_ctrl)
     tgt = np.asarray(pipeline.diag_tgt)
+    abs_ri = np.asarray(pipeline.abs_phase)
+    abs_phases = abs_ri[..., 0] + 1j * abs_ri[..., 1]
+    abs_ctrl = np.asarray(pipeline.abs_ctrl)
+    abs_tgt = np.asarray(pipeline.abs_tgt)
 
     pop, n_kron = fac.shape[0], fac.shape[1]
     n_layers = n_kron - 1
@@ -410,14 +470,15 @@ def apply_fold_pipeline_reference(
             state = u @ state
             if k < n_layers:
                 w = np.ones(dim, np.complex128)
-                for j in range(ctrl.shape[2]):
-                    c, t = int(ctrl[p, k, j]), int(tgt[p, k, j])
-                    if c < 0:
-                        continue
-                    cbit = (basis >> c) & 1
-                    tbit = (basis >> t) & 1
-                    phase = np.where(tbit == 1, phases[p, k, j, 1], phases[p, k, j, 0])
-                    w = w * np.where(cbit == 1, phase, 1.0)
+                for cc, tt, pp in ((ctrl, tgt, phases), (abs_ctrl, abs_tgt, abs_phases)):
+                    for j in range(cc.shape[2]):
+                        c, t = int(cc[p, k, j]), int(tt[p, k, j])
+                        if c < 0:
+                            continue
+                        cbit = (basis >> c) & 1
+                        tbit = (basis >> t) & 1
+                        phase = np.where(tbit == 1, pp[p, k, j, 1], pp[p, k, j, 0])
+                        w = w * np.where(cbit == 1, phase, 1.0)
                 state = state * w
         out[p, 0] = state.real.astype(np.float32)
         out[p, 1] = state.imag.astype(np.float32)

@@ -166,15 +166,51 @@ def _build_group_fold(fac, k, q0, m, exclude_q=None):
     return acc_re, acc_im
 
 
+def _absorb_group_rows(u_re, u_im, absorb, k, q0, m):
+    """Row-scale a group matrix by the layer's absorbed controlled-
+    diagonal phases (``build_fold_pipeline(absorb_diag=True)``): a CDiag
+    whose control and target both live in this group's qubits [q0,
+    q0+m) is diagonal in the group's 2^m-dim space, so multiplying it
+    into the group matrix (d[i] scales row i — the matmul's OUTPUT
+    index) applies it on ~2^2m elements instead of a ~2^n full-state
+    pass.  Slots of other groups no-op via the ``in_group`` mask (the
+    loop is over the layer's full absorbed list; the ops are [2^m, 1]
+    broadcasts, ~free next to the matmul)."""
+    actrl, atgt, aph, acnt = absorb
+    size = 1 << m
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
+
+    def body(j, carry):
+        ure, uim = carry
+        c = actrl(k, j)
+        t = atgt(k, j)
+        in_group = jnp.logical_and(c >= q0, c < q0 + m)
+        cq = jnp.clip(c - q0, 0, m - 1)
+        tq = jnp.clip(t - q0, 0, m - 1)
+        cbit = (i_ids >> cq) & 1
+        tbit = (i_ids >> tq) & 1
+        pr = jnp.where(tbit == 1, aph(k, j, 1, 0), aph(k, j, 0, 0))
+        pi = jnp.where(tbit == 1, aph(k, j, 1, 1), aph(k, j, 0, 1))
+        active = jnp.logical_and(in_group, cbit == 1)
+        dr = jnp.where(active, pr, jnp.float32(1.0))
+        di = jnp.where(active, pi, jnp.float32(0.0))
+        return ure * dr - uim * di, ure * di + uim * dr
+
+    return jax.lax.fori_loop(0, acnt(k), body, (u_re, u_im))
+
+
 def _apply_kron_layer(
     state_re, state_im, fac, ga, k, n_qubits, precision,
-    exclude_q=None,
+    exclude_q=None, absorb=None,
 ):
     """Apply kron layer ``k``: one (predicated) group matmul per axis
     group.  ``fac(k, q, c, bi, bj)`` / ``ga(k, g)`` are scalar accessors
     over the factor / group-activity storage.  ``exclude_q`` (dynamic
     scalar) builds that qubit's factor as the identity (rest-base
-    factoring of the folded sweep)."""
+    factoring of the folded sweep).  ``absorb`` (optional accessor tuple
+    ``(actrl, atgt, aph, acnt)``) row-scales each group matrix by the
+    layer's absorbed same-group controlled-diagonal phases — see
+    :func:`_absorb_group_rows`."""
     rows = 1 << (n_qubits - LANE_BITS)
     n_groups = n_axis_groups(n_qubits)
 
@@ -185,6 +221,8 @@ def _apply_kron_layer(
     @pl.when(ga(k, 0) != 0)
     def _():
         u_re, u_im = _build_group_fold(fac, k, 0, LANE_BITS, exclude_q)
+        if absorb is not None:
+            u_re, u_im = _absorb_group_rows(u_re, u_im, absorb, k, 0, LANE_BITS)
         dims = (((1,), (1,)), ((), ()))
         if rows <= _WHOLE_STATE_MAX_ROWS:
             re, im = _gauss_mm(state_re[:], state_im[:], u_re, u_im, dims, precision)
@@ -205,6 +243,8 @@ def _apply_kron_layer(
         @pl.when(ga(k, 1) != 0)
         def _():
             u_re, u_im = _build_group_fold(fac, k, LANE_BITS, m1, exclude_q)
+            if absorb is not None:
+                u_re, u_im = _absorb_group_rows(u_re, u_im, absorb, k, LANE_BITS, m1)
             dims = (((1,), (0,)), ((), ()))
             for h in range(rows // s1):
                 sl = slice(h * s1, (h + 1) * s1)
@@ -224,6 +264,10 @@ def _apply_kron_layer(
                 u_re, u_im = _build_group_fold(
                     fac, k, 2 * LANE_BITS, m2, exclude_q
                 )
+                if absorb is not None:
+                    u_re, u_im = _absorb_group_rows(
+                        u_re, u_im, absorb, k, 2 * LANE_BITS, m2
+                    )
                 xr = state_re[:].reshape(blocks, LANES, LANES)
                 xi = state_im[:].reshape(blocks, LANES, LANES)
                 re, im = _gauss_mm(u_re, u_im, xr, xi, dims, precision)
@@ -352,18 +396,25 @@ def _packed_layout(n_qubits: int, n_kron: int, d_slots: int):
     keeps every window inside the 1 MB SMEM budget at n=22
     (docs/performance.md "fold kernel cost decomposition").
 
-    Returns (f_len, i_len, offsets) with offsets = (ph_off, tgt_off,
-    cnt_off, ga_off); f/i lengths are pre-padding logical lengths.
+    Returns (f_len, i_len, offsets) with offsets = (ph_off, aph_off,
+    tgt_off, cnt_off, ga_off, actrl_off, atgt_off, acnt_off); f/i
+    lengths are pre-padding logical lengths.
     """
     n_layers = n_kron - 1
     n_groups = n_axis_groups(n_qubits)
     ph_off = n_kron * n_qubits * 8
-    f_len = ph_off + n_layers * d_slots * 4
+    aph_off = ph_off + n_layers * d_slots * 4
+    f_len = aph_off + n_layers * d_slots * 4
     tgt_off = n_layers * d_slots
     cnt_off = 2 * n_layers * d_slots
     ga_off = cnt_off + n_layers
-    i_len = ga_off + n_kron * n_groups
-    return f_len, i_len, (ph_off, tgt_off, cnt_off, ga_off)
+    actrl_off = ga_off + n_kron * n_groups
+    atgt_off = actrl_off + n_layers * d_slots
+    acnt_off = atgt_off + n_layers * d_slots
+    i_len = acnt_off + n_layers
+    return f_len, i_len, (
+        ph_off, aph_off, tgt_off, cnt_off, ga_off, actrl_off, atgt_off, acnt_off
+    )
 
 
 def _packed_width(length: int) -> int:
@@ -374,9 +425,8 @@ def _packed_width(length: int) -> int:
 def _packed_accessors(fdata_ref, idata_ref, n_qubits, n_kron, d_slots):
     """Scalar accessors over the two packed SMEM operands (flat logical
     index -> [0, i // W, i % W]; static indices fold at trace time)."""
-    f_len, i_len, (ph_off, tgt_off, cnt_off, ga_off) = _packed_layout(
-        n_qubits, n_kron, d_slots
-    )
+    f_len, i_len, offsets = _packed_layout(n_qubits, n_kron, d_slots)
+    ph_off, aph_off, tgt_off, cnt_off, ga_off, actrl_off, atgt_off, acnt_off = offsets
     wf = _packed_width(f_len)
     wi = _packed_width(i_len)
     n_groups = n_axis_groups(n_qubits)
@@ -405,7 +455,19 @@ def _packed_accessors(fdata_ref, idata_ref, n_qubits, n_kron, d_slots):
     def ga(k, g):
         return iget(ga_off + k * n_groups + g)
 
-    return fac, ph, ctrl, tgt, cnt, ga
+    def aph(k, j, tb, ri):
+        return fget(aph_off + ((k * d_slots + j) * 2 + tb) * 2 + ri)
+
+    def actrl(k, j):
+        return iget(actrl_off + k * d_slots + j)
+
+    def atgt(k, j):
+        return iget(atgt_off + k * d_slots + j)
+
+    def acnt(k):
+        return iget(acnt_off + k)
+
+    return fac, ph, ctrl, tgt, cnt, ga, (actrl, atgt, aph, acnt)
 
 
 def _run_circuit_folded(
@@ -422,7 +484,7 @@ def _run_circuit_folded(
     rows = 1 << (n_qubits - LANE_BITS)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    fac, ph, ctrl, tgt, cnt, ga = _packed_accessors(
+    fac, ph, ctrl, tgt, cnt, ga, absorb = _packed_accessors(
         fdata_ref, idata_ref, n_qubits, n_kron, d_slots
     )
 
@@ -437,7 +499,8 @@ def _run_circuit_folded(
 
     for k in range(n_kron):
         _apply_kron_layer(
-            state_re, state_im, fac, ga, k, n_qubits, precision
+            state_re, state_im, fac, ga, k, n_qubits, precision,
+            absorb=absorb if k < n_kron - 1 else None,
         )
         if k < n_kron - 1:
             count = cnt(k)
@@ -552,6 +615,7 @@ def _pipeline_specs(pipeline: FoldPipeline):
             [
                 pipeline.factors.reshape(pop, -1),
                 pipeline.diag_phase.reshape(pop, -1),
+                pipeline.abs_phase.reshape(pop, -1),
             ],
             axis=1,
         )
@@ -563,6 +627,9 @@ def _pipeline_specs(pipeline: FoldPipeline):
                 pipeline.diag_tgt.reshape(pop, -1),
                 pipeline.diag_count.reshape(pop, -1),
                 pipeline.group_active.reshape(pop, -1),
+                pipeline.abs_ctrl.reshape(pop, -1),
+                pipeline.abs_tgt.reshape(pop, -1),
+                pipeline.abs_count.reshape(pop, -1),
             ],
             axis=1,
         ).astype(jnp.int32)
