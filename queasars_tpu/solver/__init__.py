@@ -21,6 +21,11 @@ from queasars_tpu.solver.driver import (
     EvolvingAnsatzMinimumEigensolver,
     EvolvingAnsatzMinimumEigensolverConfiguration,
 )
+from queasars_tpu.solver.adapt_vqe import (
+    AdaptVQEConfiguration,
+    AdaptVQEMinimumEigensolver,
+    AdaptVQEResult,
+)
 from queasars_tpu.solver.evqe import EVQEMinimumEigensolver, EVQEMinimumEigensolverConfiguration
 from queasars_tpu.solver.mog_vqe import MoGVQEMinimumEigensolver, result_pareto_front
 from queasars_tpu.solver.qneat import (
@@ -29,6 +34,9 @@ from queasars_tpu.solver.qneat import (
 )
 
 __all__ = [
+    "AdaptVQEConfiguration",
+    "AdaptVQEMinimumEigensolver",
+    "AdaptVQEResult",
     "EvolvingAnsatzMinimumEigensolverBaseTerminationCriterion",
     "BestIndividualChangeTolerance",
     "BestIndividualRelativeChangeTolerance",
