@@ -53,7 +53,10 @@ def population_energies(
     fused VMEM kernel (valid only without an initial state).
     ``use_general`` treats the operands as a general (possibly
     non-diagonal) Pauli sum: ``table`` is then
-    ``(coeffs_re, coeffs_im, z_masks, x_masks)``.  ``precision`` (a traced
+    ``(coeffs_re, coeffs_im, z_masks, x_masks)`` (exact term scan),
+    ``(h_re, h_im)`` (exact dense matvec), or — with ``use_shots`` — the
+    QWC grouped-measurement operands
+    ``(rot_types, rot_angles, tables, const)``.  ``precision`` (a traced
     scalar, or None to disable at trace time) adds per-individual Gaussian
     noise of that standard deviation — the estimator-precision semantics of
     the reference (circuit_evaluation.py:210-213).  ``fold_jnp`` routes the
@@ -71,6 +74,21 @@ def population_energies(
         return _sim(gate_types, controls, a, mask, n_qubits, init)
 
     if use_general:
+        if use_shots:
+            # shot-sampled general Pauli sum = QWC measurement grouping
+            # (sim/grouped_sampling.py): ``table`` is the grouped operand
+            # tuple (rot_types, rot_angles, tables, const).  This flag
+            # combination is unreachable otherwise — the exact general
+            # paths below never sample, and the diagonal sampler path
+            # never sets use_general.
+            from queasars_tpu.sim.grouped_sampling import grouped_energies_from_states
+
+            rot_types, rot_angles, group_tables, const = table
+            states = _simulate(angles, layer_mask, initial_state)
+            energies = grouped_energies_from_states(
+                states, keys, rot_types, rot_angles, group_tables, const, shots=shots
+            )
+            return _with_precision_noise(energies, keys, precision)
         if len(table) == 2:
             # dense Hermitian matvec (MXU) — see _energies_dense;
             # precision=HIGHEST: the TPU default's single-bf16-pass f32
@@ -271,9 +289,9 @@ def objective_operands(evaluator):
     :func:`population_energies`.
 
     Supports StatevectorExpectationEvaluator and
-    SamplerExpectationEvaluator (diagonal operators — the optimizer hot
-    path; the reference likewise optimizes through its estimator/sampler
-    evaluators, mutation.py:63-75).
+    SamplerExpectationEvaluator — diagonal AND general operators on both
+    (the reference likewise optimizes through its estimator/sampler
+    evaluators, mutation.py:63-75, but is diagonal-only on the sampler).
     """
     from queasars_tpu.sim.evaluators import (
         SamplerExpectationEvaluator,
@@ -341,6 +359,24 @@ def objective_operands(evaluator):
             precision=precision,
         )
     if isinstance(evaluator, SamplerExpectationEvaluator):
+        if evaluator._grouped is not None:
+            # general (non-diagonal) operator: QWC measurement grouping —
+            # the objective simulates once and samples every group in its
+            # rotated basis (sim/grouped_sampling.py); plain expectation
+            # only (grouped CVaR is rejected at evaluator construction)
+            return dict(
+                table=evaluator._grouped,
+                sorted_energies=dummy,
+                energy_order=dummy_order,
+                alpha=jnp.float32(1.0),
+                shots=evaluator.shots,
+                use_cvar=False,
+                use_shots=True,
+                initial_state=evaluator._initial,
+                use_pallas=False,
+                use_general=True,
+                precision=None,
+            )
         use_cvar = evaluator.alpha < 1.0
         return dict(
             table=evaluator._table,

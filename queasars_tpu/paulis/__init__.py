@@ -12,6 +12,7 @@ from queasars_tpu.paulis.diagonal import (
     diagonal_energy_table,
     diagonal_energy_table_device,
 )
+from queasars_tpu.paulis.grouping import MeasurementGroup, qwc_groups
 
 __all__ = [
     "PauliSum",
@@ -19,4 +20,6 @@ __all__ = [
     "pauli_z_string",
     "diagonal_energy_table",
     "diagonal_energy_table_device",
+    "MeasurementGroup",
+    "qwc_groups",
 ]

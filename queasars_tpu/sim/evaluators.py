@@ -391,10 +391,16 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
     """Shot-based expectation with CVaR over the empirical distribution.
 
     Mirrors OperatorSamplerCircuitEvaluator (reference:
-    circuit_evaluation.py:94-161): diagonal operators only, finite shots,
-    CVaR alpha over the measured distribution.
+    circuit_evaluation.py:94-161) and lifts its diagonal-only restriction
+    (evolving_ansatz_minimum_eigensolver.py:240-244): general Pauli sums
+    are measured the way hardware would — partitioned into qubit-wise
+    commuting groups (paulis/grouping.py), each rotated into its product
+    basis and sampled with its own ``shots`` budget.  CVaR (alpha < 1)
+    still requires a diagonal operator: grouped measurements of different
+    bases do not form one empirical energy distribution to take a tail of.
 
-    :param shots: measurement shots per evaluation
+    :param shots: measurement shots per evaluation (per group, when the
+        operator is non-diagonal)
     :param seed: base RNG seed; successive evaluations fold in a counter
         so repeated calls draw fresh shots (deterministic overall)
     """
@@ -412,22 +418,31 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
         self._use_pallas = _pallas_requested(use_pallas)
         if not 0 < alpha <= 1:
             raise ValueError("alpha (the CVaR tail fraction) lies outside (0, 1]")
-        if not operator.is_diagonal:
-            raise CircuitEvaluatorException(
-                "The operator must be diagonal when using the sampler path "
-                "(reference: evolving_ansatz_minimum_eigensolver.py:240-244)"
-            )
         if shots < 1:
             raise ValueError("shots must be at least 1")
         self.operator = operator
         self.shots = int(shots)
         self.alpha = float(alpha)
         self._initial = _prepare_initial_state(initial_state, operator.n_qubits)
-        table = diagonal_energy_table(operator, dtype=np.float32)
-        self._table = jnp.asarray(table)
-        order = np.argsort(table, kind="stable").astype(np.int32)
-        self._order = jnp.asarray(order)
-        self._sorted = jnp.asarray(table[order])
+        self._diagonal = operator.is_diagonal
+        if self._diagonal:
+            self._grouped = None
+            table = diagonal_energy_table(operator, dtype=np.float32)
+            self._table = jnp.asarray(table)
+            order = np.argsort(table, kind="stable").astype(np.int32)
+            self._order = jnp.asarray(order)
+            self._sorted = jnp.asarray(table[order])
+        else:
+            if self.alpha < 1.0:
+                raise CircuitEvaluatorException(
+                    "CVaR (alpha<1) over the sampler path requires a diagonal "
+                    "operator: the qubit-wise-commuting groups of a general "
+                    "Pauli sum are measured in different bases, so their shots "
+                    "do not form one energy distribution to take a tail of"
+                )
+            from queasars_tpu.sim.grouped_sampling import grouped_operands
+
+            self._grouped = grouped_operands(operator)
         self._key = jax.random.PRNGKey(seed)
         self._counter = 0
 
@@ -443,6 +458,17 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
         a = packed.angles if angles is None else angles
         n, shots = packed.n_qubits, self.shots
         keys = self._next_keys(packed.n_individuals)
+        if self._grouped is not None:
+            from queasars_tpu.sim.grouped_sampling import grouped_shot_energies
+
+            return self._run_batched(
+                lambda pa, ra: grouped_shot_energies(
+                    pa[0], pa[1], pa[2], pa[3], pa[4], ra[0], ra[1], ra[2], ra[3],
+                    n_qubits=n, shots=shots, initial_state=ra[4],
+                ),
+                (packed.gate_types, packed.controls, a, packed.layer_mask, keys),
+                (*self._grouped, self._initial),
+            )
         use_pallas = (
             self._use_pallas
             and self._initial is None

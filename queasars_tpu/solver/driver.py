@@ -199,8 +199,10 @@ class EvolvingAnsatzMinimumEigensolver:
             if requested is False or mesh is None:
                 return False
             if self.configuration.configured_estimator is None and not op.is_diagonal:
-                # the sampler path is diagonal-only on every engine; let
-                # the ordinary evaluator construction raise its error
+                # the SHARDED engine's sampler path is diagonal-only; a
+                # general operator falls through to the ordinary sampler
+                # evaluator, which measures it via QWC grouping
+                # (sim/grouped_sampling.py)
                 return False
             if requested is None:
                 return op.n_qubits > 20
@@ -257,11 +259,6 @@ class EvolvingAnsatzMinimumEigensolver:
                 )
             else:
                 assert self.configuration.configured_sampler is not None
-                if not op.is_diagonal:
-                    raise ValueError(
-                        "The operator must be diagonal when using the sampler path "
-                        "to approximate the expectation value!"
-                    )
                 evaluator = SamplerExpectationEvaluator(
                     operator=op,
                     shots=self.configuration.configured_sampler.shots,

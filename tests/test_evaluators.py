@@ -86,9 +86,22 @@ def test_sampler_statistical_agreement():
     assert sampler_b.evaluate_individuals(individuals)[0] == pytest.approx(e_sampled, abs=1e-9)
 
 
-def test_sampler_rejects_nondiagonal():
+def test_sampler_general_operator_via_grouping():
+    """Non-diagonal operators sample through QWC measurement grouping
+    (the reference rejects them, evolving_ansatz_minimum_eigensolver.py:
+    240-244; full coverage in test_grouped_sampling.py) — only the CVaR
+    tail still requires a diagonal operator."""
+    op = PauliSum.from_label("XZ")
+    sampler = SamplerExpectationEvaluator(op, shots=8192, seed=0)
+    # <psi|X q1|psi> <psi|Z q0|psi> with independent single-qubit rotations:
+    # theta=pi/2 on both -> X on q1 gives sin(pi/2)=1... use exact evaluator
+    exact = StatevectorExpectationEvaluator(op)
+    individuals = [rotation_individual(0.9, n_qubits=2)]
+    e_exact = exact.evaluate_individuals(individuals)[0]
+    e_sampled = sampler.evaluate_individuals(individuals)[0]
+    assert e_sampled == pytest.approx(e_exact, abs=0.1)
     with pytest.raises(CircuitEvaluatorException):
-        SamplerExpectationEvaluator(PauliSum.from_label("XZ"), shots=16)
+        SamplerExpectationEvaluator(op, shots=16, alpha=0.5)
 
 
 def test_bitstring_function_evaluator():

@@ -1,0 +1,275 @@
+"""QWC measurement grouping: sampler-path support for general Pauli sums.
+
+The reference's sampler evaluator rejects X/Y operators
+(evolving_ansatz_minimum_eigensolver.py:240-244); here they are measured
+the way hardware would — partitioned into qubit-wise-commuting groups,
+each rotated into its product basis and shot-sampled
+(queasars_tpu/paulis/grouping.py + queasars_tpu/sim/grouped_sampling.py).
+
+Tiers: partition structure -> rotated-basis exactness against the general
+estimator -> shot convergence/determinism -> mesh bit-identity -> NFT and
+full EVQE solve through the grouped objective.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from queasars_tpu.genome import (
+    EVQECircuitLayer,
+    EVQEIndividual,
+    EVQEPopulation,
+    RotationGate,
+)
+from queasars_tpu.genome.packing import PackedPopulation
+from queasars_tpu.paulis import PauliSum
+from queasars_tpu.paulis.grouping import (
+    measurement_rotation_layer,
+    pauli_label_coefficients,
+    qwc_groups,
+)
+from queasars_tpu.sim.evaluators import (
+    CircuitEvaluatorException,
+    SamplerExpectationEvaluator,
+    StatevectorExpectationEvaluator,
+)
+from queasars_tpu.sim.grouped_sampling import (
+    grouped_exact_energies_from_states,
+    grouped_operands,
+)
+from queasars_tpu.sim.statevector import simulate_circuits
+
+
+def random_hermitian_pauli_sum(n: int, n_terms: int, seed: int) -> PauliSum:
+    """Random real-coefficient Pauli sum (every Pauli string is Hermitian,
+    so real label coefficients make the sum Hermitian) with X/Y/Z mixed."""
+    rng = np.random.default_rng(seed)
+    op = None
+    for _ in range(n_terms):
+        label = "".join(rng.choice(list("IXYZ")) for _ in range(n))
+        term = PauliSum.from_label(label, float(rng.normal()))
+        op = term if op is None else op + term
+    return op
+
+
+def rotation_individual(theta: float, n_qubits: int = 1) -> EVQEIndividual:
+    layer = EVQECircuitLayer(
+        n_qubits=n_qubits,
+        gates=tuple(RotationGate(qubit_index=q) for q in range(n_qubits)),
+    )
+    params = []
+    for _ in range(n_qubits):
+        params.extend([theta, 0.0, 0.0])
+    return EVQEIndividual(n_qubits=n_qubits, layers=(layer,), parameter_values=tuple(params))
+
+
+def random_packed_population(n: int, size: int, seed: int) -> PackedPopulation:
+    population = EVQEPopulation.random_population(n, 2, size, True, random_seed=seed)
+    return PackedPopulation.pack(list(population.individuals))
+
+
+def tfim(n: int) -> PauliSum:
+    from queasars_tpu.problems.spin_chains import transverse_field_ising
+
+    return transverse_field_ising(n, coupling=1.0, field=1.0)
+
+
+# ---------------------------------------------------------------------------
+# partition structure
+# ---------------------------------------------------------------------------
+
+
+def test_qwc_partition_covers_all_terms():
+    op = random_hermitian_pauli_sum(5, 14, seed=0)
+    const, groups = qwc_groups(op)
+    support = op.z | op.x
+    n_identity = int((~support.any(axis=1)).sum())
+    grouped_terms = sum(g.diagonal.n_terms for g in groups)
+    assert grouped_terms + n_identity == op.n_terms
+    label = pauli_label_coefficients(op)
+    assert const == pytest.approx(float(label[~support.any(axis=1)].sum()))
+    for g in groups:
+        # per-qubit bases never conflict within a group
+        assert not (g.x_basis & g.y_basis).any()
+        # the group's diagonal form is Z-strings over the original supports
+        assert g.diagonal.is_diagonal
+        assert not g.diagonal.x.any()
+
+
+def test_qwc_groups_deterministic():
+    op = random_hermitian_pauli_sum(4, 10, seed=3)
+    _, groups_a = qwc_groups(op)
+    _, groups_b = qwc_groups(op)
+    assert len(groups_a) == len(groups_b)
+    for a, b in zip(groups_a, groups_b):
+        np.testing.assert_array_equal(a.x_basis, b.x_basis)
+        np.testing.assert_array_equal(a.y_basis, b.y_basis)
+        np.testing.assert_array_equal(a.diagonal.z, b.diagonal.z)
+
+
+def test_non_hermitian_operator_rejected():
+    op = PauliSum.from_label("X", 1.0j)
+    with pytest.raises(ValueError, match="Hermitian"):
+        pauli_label_coefficients(op)
+
+
+def test_rotation_layer_maps_bases():
+    op = PauliSum.from_label("YXZ")
+    _, groups = qwc_groups(op)
+    assert len(groups) == 1
+    from queasars_tpu.sim.statevector import GATE_ID, GATE_ROT
+
+    gate_types, angles = measurement_rotation_layer(groups[0], 3)
+    # label "YXZ": qubit 0 = Z (no rotation), qubit 1 = X (H), qubit 2 = Y
+    assert gate_types[0] == GATE_ID
+    assert gate_types[1] == GATE_ROT and tuple(angles[1]) == pytest.approx((np.pi / 2, 0.0, np.pi))
+    assert gate_types[2] == GATE_ROT and tuple(angles[2]) == pytest.approx(
+        (np.pi / 2, 0.0, np.pi / 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rotated-basis exactness (infinite-shot contraction == general estimator)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_exact_single_qubit_analytic():
+    # <psi|X|psi> for U3(theta,0,0)|0> = sin(theta); <psi|Y|psi> = 0
+    for label, expected in (("X", np.sin), ("Y", lambda t: 0.0 * np.asarray(t))):
+        op = PauliSum.from_label(label)
+        rot_types, rot_angles, tables, const = grouped_operands(op)
+        thetas = [0.0, 0.7, np.pi / 2, 2.2]
+        packed = PackedPopulation.pack([rotation_individual(t) for t in thetas])
+        states = simulate_circuits(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask, 1
+        )
+        energies = grouped_exact_energies_from_states(
+            states, rot_types, rot_angles, tables, const
+        )
+        np.testing.assert_allclose(np.asarray(energies), expected(thetas), atol=1e-6)
+
+
+def test_grouped_exact_matches_general_estimator():
+    op = random_hermitian_pauli_sum(4, 12, seed=1) + PauliSum.identity(4, 0.37)
+    packed = random_packed_population(4, 6, seed=2)
+    reference = StatevectorExpectationEvaluator(op).evaluate_packed(packed)
+
+    rot_types, rot_angles, tables, const = grouped_operands(op)
+    states = simulate_circuits(
+        packed.gate_types, packed.controls, packed.angles, packed.layer_mask, 4
+    )
+    energies = grouped_exact_energies_from_states(states, rot_types, rot_angles, tables, const)
+    np.testing.assert_allclose(np.asarray(energies), reference, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# shot sampling through the evaluator
+# ---------------------------------------------------------------------------
+
+
+def test_sampler_evaluator_general_operator_converges():
+    op = tfim(3)
+    packed = random_packed_population(3, 4, seed=5)
+    exact = StatevectorExpectationEvaluator(op).evaluate_packed(packed)
+    sampler = SamplerExpectationEvaluator(op, shots=4096, seed=7)
+    sampled = sampler.evaluate_packed(packed)
+    scale = float(np.abs(op.coeffs).sum())
+    np.testing.assert_allclose(sampled, exact, atol=0.12 * scale)
+
+    # deterministic per seed, fresh shots per call
+    sampler_b = SamplerExpectationEvaluator(op, shots=4096, seed=7)
+    np.testing.assert_array_equal(sampler_b.evaluate_packed(packed), sampled)
+    again = sampler_b.evaluate_packed(packed)
+    assert not np.array_equal(again, sampled)
+
+
+def test_sampler_cvar_nondiagonal_raises():
+    with pytest.raises(CircuitEvaluatorException, match="CVaR"):
+        SamplerExpectationEvaluator(tfim(3), shots=64, alpha=0.5)
+
+
+def test_grouped_sampler_mesh_bit_identity():
+    """Grouped shot energies are bit-identical whether the population is
+    evaluated on one device or sharded over a mesh — per-individual keys
+    plus per-group fold-ins make the stream sharding-independent."""
+    from queasars_tpu.parallel import population_mesh
+
+    op = random_hermitian_pauli_sum(3, 8, seed=9)
+    packed = random_packed_population(3, 8, seed=11)
+
+    outs = []
+    for mesh in (None, population_mesh(8), population_mesh(2)):
+        sampler = SamplerExpectationEvaluator(op, shots=256, seed=13)
+        if mesh is not None:
+            sampler.set_mesh(mesh)
+        outs.append(np.asarray(sampler.evaluate_packed(packed)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
+# ---------------------------------------------------------------------------
+# optimizer + solver integration
+# ---------------------------------------------------------------------------
+
+
+def test_nft_optimizes_through_grouped_sampler():
+    from queasars_tpu.optim import BatchedNFT, NFTConfig
+
+    op = tfim(3)
+    evaluator = SamplerExpectationEvaluator(op, shots=2048, seed=1)
+    packed = random_packed_population(3, 4, seed=17)
+    coords = np.stack(
+        [
+            np.pad(
+                packed.param_coordinates(i),
+                ((0, int(packed.n_params.max()) - packed.n_params[i]), (0, 0)),
+            )
+            for i in range(4)
+        ]
+    )
+    exact = StatevectorExpectationEvaluator(op)
+    before = exact.evaluate_packed(packed)
+    angles, _, _ = BatchedNFT(NFTConfig(maxiter=24, reset_interval=4)).minimize(
+        evaluator, packed, coords, packed.n_params, np.ones(4, bool)
+    )
+    after = exact.evaluate_packed(packed, angles=angles)
+    assert after.sum() < before.sum()
+
+
+def test_full_evqe_solve_grouped_sampler():
+    """End-to-end: sampler-only configuration against a non-diagonal
+    Hamiltonian — the configuration the reference rejects outright."""
+    from queasars_tpu.optim import BatchedNFT, NFTConfig
+    from queasars_tpu.solver import (
+        ConfiguredSampler,
+        EVQEMinimumEigensolver,
+        EVQEMinimumEigensolverConfiguration,
+    )
+
+    op = tfim(3)
+    ground = float(np.linalg.eigvalsh(op.to_dense_matrix())[0])
+    config = EVQEMinimumEigensolverConfiguration(
+        configured_estimator=None,
+        configured_sampler=ConfiguredSampler(shots=2048, seed=3),
+        optimizer=BatchedNFT(NFTConfig(maxiter=10, reset_interval=4)),
+        optimizer_n_circuit_evaluations=None,
+        max_generations=2,
+        max_circuit_evaluations=None,
+        termination_criterion=None,
+        random_seed=0,
+        population_size=4,
+        speciation_genetic_distance_threshold=2,
+        selection_alpha_penalty=0.05,
+        selection_beta_penalty=0.05,
+        parameter_search_probability=0.4,
+        topological_search_probability=0.5,
+        layer_removal_probability=0.05,
+        use_tournament_selection=True,  # TFIM energies are negative
+        tournament_size=2,
+    )
+    result = EVQEMinimumEigensolver(config).compute_minimum_eigenvalue(op)
+    # sampled energies carry shot noise; the variational bound holds to it
+    scale = float(np.abs(op.coeffs).sum())
+    assert result.eigenvalue >= ground - 0.1 * scale
+    assert result.eigenvalue < 0.0
