@@ -62,6 +62,42 @@ def grouped_operands(operator) -> tuple[jax.Array, jax.Array, jax.Array, jax.Arr
     )
 
 
+def grouped_shard_operands(operator):
+    """Host-side operands for the AMPLITUDE-SHARDED grouped sampler
+    (`sim/sharded_evaluator.py`): per-group basis-rotation layers plus
+    PADDED term data for the in-mesh shard-local table build
+    (`sim/sharded_statevector.py::build_device_tables_batch`) — unlike
+    :func:`grouped_operands`, no 2^n rotated-basis table is ever
+    materialized on the host.
+
+    :return: ``(rot_types [G, n] int32, rot_angles [G, n, 3] float32,
+        coeffs [G, K] float32, z_masks [G, K] uint32, const float)`` —
+        ``K`` is the largest group size; zero coefficients are inert
+        padding
+    """
+    from queasars_tpu.paulis.grouping import measurement_rotation_layer, qwc_groups
+
+    n = operator.n_qubits
+    if n > 32:
+        raise NotImplementedError("sharded grouped sampling limited to n<=32 qubits")
+    const, groups = qwc_groups(operator)
+    if not groups:
+        raise ValueError(
+            "the operator has no non-identity terms — nothing to measure "
+            "(its expectation is the identity constant)"
+        )
+    rot_types = np.stack([measurement_rotation_layer(g, n)[0] for g in groups])
+    rot_angles = np.stack([measurement_rotation_layer(g, n)[1] for g in groups])
+    k_max = max(g.diagonal.n_terms for g in groups)
+    coeffs = np.zeros((len(groups), k_max), np.float32)
+    masks = np.zeros((len(groups), k_max), np.uint32)
+    for i, g in enumerate(groups):
+        k_g = g.diagonal.n_terms
+        coeffs[i, :k_g] = g.diagonal.coeffs.real.astype(np.float32)
+        masks[i, :k_g] = g.diagonal.z[:, 0].astype(np.uint32)
+    return rot_types, rot_angles, coeffs, masks, float(const)
+
+
 def _rotated_probs(states, rot_type, rot_angle, n_qubits: int):
     """Measurement probabilities [P, 2^n] of the population in one group's
     rotated product basis (``rot_type``/``rot_angle`` are one genome layer

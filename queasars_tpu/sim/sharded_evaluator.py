@@ -177,11 +177,15 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
 
     :param operator: any PauliSum.  Diagonal operators run every path;
         general (X/Y-carrying) operators run the exact estimator path
-        (alpha=1, no shots) via cross-shard flips — CVaR tails and the
-        sampler path require a diagonal operator, exactly like the
-        single-chip evaluators (reference: the estimator is
-        operator-agnostic, circuit_evaluation.py:164-219; the sampler
-        path is diagonal-only, :94-161)
+        (alpha=1, no shots) via cross-shard flips, and the finite-shot
+        path via QWC measurement grouping (the sharded twin of
+        sim/grouped_sampling.py: per-group basis-rotation layers +
+        shard-local rotated-basis tables + the hierarchical inverse-CDF
+        sampler).  Only CVaR tails (alpha<1) require a diagonal operator
+        — grouped measurements of different bases do not form one
+        empirical energy distribution (reference: the estimator is
+        operator-agnostic, circuit_evaluation.py:164-219; the reference's
+        sampler path is diagonal-only, :94-161)
     :param mesh: the devices to run on.  A 2-D ``(pop, amp)`` mesh is
         used as-is; a 1-D mesh is factored per ``amp_devices``
     :param alpha: CVaR lower-tail mass in (0, 1]
@@ -257,23 +261,42 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             # bisection (every diagonal energy is a signed coefficient sum)
             self._energy_bound = float(np.abs(coeffs).sum()) + 1.0
         else:
-            if self.shots is not None:
-                raise CircuitEvaluatorException(
-                    "the sampler (finite-shot) path needs a diagonal operator "
-                    "(measured bitstrings only determine diagonal energies) — "
-                    "matching the single-chip sampler evaluator"
-                )
             if self.alpha < 1.0:
-                raise CircuitEvaluatorException("CVaR (alpha<1) requires a diagonal operator")
-            _, local_bits = _mesh_bits(self.mesh, self.n_qubits)
-            self._xg_list, self._terms = group_general_terms(
-                operator.coeffs.real.astype(np.float32),
-                operator.coeffs.imag.astype(np.float32),
-                operator.z[:, 0],
-                operator.x[:, 0],
-                local_bits,
-            )
+                raise CircuitEvaluatorException(
+                    "CVaR (alpha<1) requires a diagonal operator — grouped "
+                    "measurements of different bases do not form one "
+                    "empirical energy distribution to take a tail of"
+                )
             self._table = None
+            if self.shots is not None:
+                # finite shots: QWC measurement grouping, fully sharded —
+                # per-group basis-rotation layers on the host, per-group
+                # rotated-basis tables built SHARD-LOCALLY inside the mesh
+                # (the sharded twin of sim/grouped_sampling.py)
+                from queasars_tpu.sim.grouped_sampling import grouped_shard_operands
+                from queasars_tpu.sim.sharded_statevector import (
+                    build_device_tables_batch,
+                )
+
+                (
+                    self._rot_types,
+                    self._rot_angles,
+                    g_coeffs,
+                    g_masks,
+                    self._grouped_const,
+                ) = grouped_shard_operands(operator)
+                self._grouped_tables = build_device_tables_batch(
+                    self.mesh, g_coeffs, g_masks, self.n_qubits
+                )
+            else:
+                _, local_bits = _mesh_bits(self.mesh, self.n_qubits)
+                self._xg_list, self._terms = group_general_terms(
+                    operator.coeffs.real.astype(np.float32),
+                    operator.coeffs.imag.astype(np.float32),
+                    operator.z[:, 0],
+                    operator.x[:, 0],
+                    local_bits,
+                )
 
         self._initial = self._prepare_initial_sharded(initial_state)
         # fold applies to every diagonal-operator path (exact estimator,
@@ -1015,6 +1038,90 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         self._fns[key] = mapped
         return mapped
 
+    def _grouped_sampled_fn(self, shots: int):
+        """Compiled distributed QWC grouped sampling (general operators,
+        finite shots): each individual's shard simulates ONCE, then every
+        measurement group applies its basis-rotation layer (one genome
+        layer of ID/ROT slots — shard-local below the boundary, one
+        ppermute per global qubit) and shot-samples the rotated
+        distribution via the same hierarchical inverse-CDF as the
+        diagonal sampler path, against its shard-local rotated-basis
+        table.  Energy = identity constant + sum of group shot means.
+        Per-individual keys with per-group fold-ins keep the shot stream
+        independent of the population sharding and the group loop order
+        (the single-chip grouped sampler's scheme,
+        sim/grouped_sampling.py)."""
+        from jax import shard_map
+
+        key = ("grouped_sampled", shots)
+        if key in self._fns:
+            return self._fns[key]
+
+        from queasars_tpu.sim.sharded_statevector import _simulate_local
+
+        n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
+        n_qubits = self.n_qubits
+        const = np.float32(self._grouped_const)
+        map_states = self._map_local_states()
+
+        def sampled(gate_types, controls, angles, layer_mask, keys,
+                    rot_types, rot_angles, tables_local, initial_local=None):
+            device_id = jax.lax.axis_index(AMP_AXIS)
+            ctrl1 = jnp.full((1, n_qubits), -1, jnp.int32)
+            mask1 = jnp.ones((1,), bool)
+            n_groups = tables_local.shape[0]
+
+            def per_state(state, k):
+                def group_fn(operands):
+                    g_types, g_angles, g_table, g_idx = operands
+                    rotated = _simulate_local(
+                        g_types[None], ctrl1, g_angles[None], mask1,
+                        device_id, local_bits, n_devices, n_qubits,
+                        initial_local=state,
+                    )
+                    local_probs = rotated[0] ** 2 + rotated[1] ** 2
+                    local_cdf = jnp.cumsum(local_probs)
+                    masses = jax.lax.all_gather(local_cdf[-1], AMP_AXIS)  # [D]
+                    offsets = jnp.concatenate(
+                        [jnp.zeros(1, jnp.float32), jnp.cumsum(masses)]
+                    )
+                    lo = offsets[device_id]
+                    hi = offsets[device_id + 1]
+                    g_key = jax.random.fold_in(k, g_idx)
+                    u = jax.random.uniform(
+                        g_key, (shots,), jnp.float32, maxval=offsets[-1]
+                    )
+                    in_shard = jnp.logical_and(u >= lo, u < hi)
+                    pos = jnp.searchsorted(local_cdf, u - lo, side="right")
+                    pos = jnp.clip(pos, 0, local_probs.shape[0] - 1)
+                    contrib = jnp.where(in_shard, g_table[pos], 0.0)
+                    shot_energies = jax.lax.psum(contrib, AMP_AXIS)  # [shots]
+                    return jnp.mean(shot_energies)
+
+                group_energies = jax.lax.map(
+                    group_fn,
+                    (rot_types, rot_angles, tables_local, jnp.arange(n_groups)),
+                )  # [G]
+                return const + group_energies.sum()
+
+            return map_states(
+                gate_types, controls, angles, layer_mask, device_id, (keys,),
+                per_state, initial_local=initial_local,
+            )
+
+        initial_spec = (P(None, AMP_AXIS),) if self._initial is not None else ()
+        mapped = jax.jit(
+            shard_map(
+                sampled,
+                mesh=self.mesh,
+                in_specs=(P(POP_AXIS),) * 5 + (P(), P(), P(None, AMP_AXIS)) + initial_spec,
+                out_specs=P(POP_AXIS),
+                check_vma=False,
+            )
+        )
+        self._fns[key] = mapped
+        return mapped
+
     # ------------------------------------------------------------------
     # exact (shot-free) CVaR, fully distributed
     # ------------------------------------------------------------------
@@ -1118,6 +1225,17 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         a = packed.angles if angles is None else angles
         pop = packed.n_individuals
         if not self._diagonal:
+            if self.shots is not None:
+                # QWC grouped measurement, fully sharded (rotation layers
+                # replicated, per-group tables amp-sharded)
+                fn = self._grouped_sampled_fn(self.shots)
+                keys = self._next_keys(pop)
+                args = self._pop_args(packed, a, extra=(keys,))
+                rot = self._globalize(
+                    (self._rot_types, self._rot_angles), [P(), P()]
+                )
+                out = fn(*args, *rot, self._grouped_tables, *self._initial_extra())
+                return self._apply_precision_noise(np.asarray(out)[:pop])
             fn = self._general_fn()
             args = self._pop_args(packed, a)
             terms = self._globalize(

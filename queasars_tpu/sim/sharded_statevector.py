@@ -396,6 +396,47 @@ def build_device_table(mesh: Mesh, coeffs: np.ndarray, z_masks: np.ndarray, n_qu
     return jax.jit(mapped)(coeffs32, masks32)
 
 
+def build_device_tables_batch(mesh: Mesh, coeffs: np.ndarray, z_masks: np.ndarray, n_qubits: int):
+    """Batched :func:`build_device_table`: one diagonal energy table per
+    QWC measurement group, each built shard-locally inside the mesh from
+    padded term data (zero coefficients are inert padding) — the host
+    never materializes a 2^n array per group.
+
+    :param coeffs: [G, K] float real coefficients (rotated-basis labels)
+    :param z_masks: [G, K] uint Z bitmasks (the groups' supports; n <= 32)
+    :return: [G, 2^n] float32, amp-sharded on the last axis
+    """
+    if n_qubits > 32:
+        raise NotImplementedError("device tables limited to n<=32 qubits")
+    n_devices, local_bits = _mesh_bits(mesh, n_qubits)
+    coeffs32 = jnp.asarray(np.asarray(coeffs, np.float32))
+    masks32 = jnp.asarray(np.asarray(z_masks).astype(np.uint32))
+
+    def body(c, z):
+        device_id = jax.lax.axis_index(AMP_AXIS).astype(jnp.uint32)
+        idx = jnp.arange(1 << local_bits, dtype=jnp.uint32) | (device_id << local_bits)
+
+        def one_group(args):
+            z_g, c_g = args
+
+            def step(acc, term):
+                z_k, c_k = term
+                parity = (jax.lax.population_count(idx & z_k) & 1).astype(jnp.float32)
+                return acc + c_k * (1.0 - 2.0 * parity), None
+
+            table, _ = jax.lax.scan(
+                step, jnp.zeros(1 << local_bits, jnp.float32), (z_g, c_g)
+            )
+            return table
+
+        return jax.lax.map(one_group, (z, c))
+
+    mapped = shard_map(
+        body, mesh=mesh, in_specs=(P(), P()), out_specs=P(None, AMP_AXIS), check_vma=False
+    )
+    return jax.jit(mapped)(coeffs32, masks32)
+
+
 # ---------------------------------------------------------------------------
 # general (non-diagonal) Pauli sums under amplitude sharding
 # ---------------------------------------------------------------------------

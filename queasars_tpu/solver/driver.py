@@ -198,12 +198,6 @@ class EvolvingAnsatzMinimumEigensolver:
             requested = self.configuration.shard_amplitudes
             if requested is False or mesh is None:
                 return False
-            if self.configuration.configured_estimator is None and not op.is_diagonal:
-                # the SHARDED engine's sampler path is diagonal-only; a
-                # general operator falls through to the ordinary sampler
-                # evaluator, which measures it via QWC grouping
-                # (sim/grouped_sampling.py)
-                return False
             if requested is None:
                 return op.n_qubits > 20
             return True

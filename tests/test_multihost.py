@@ -213,10 +213,18 @@ optimizer = BatchedNFT(NFTConfig(maxiter=4))
 opt_angles, opt_energies, _ = optimizer.minimize(
     evaluator, packed, coords, packed.n_params, active, seed=0)
 
+# sharded QWC grouped sampling of a general operator across both hosts
+from queasars_tpu.problems.spin_chains import transverse_field_ising
+tfim = transverse_field_ising(n_qubits, coupling=1.0, field=0.9)
+grouped = AmplitudeShardedExpectationEvaluator(
+    tfim, mesh=amplitude_mesh(2), shots=256, seed=7)
+grouped_energies = grouped.evaluate_packed(packed)
+
 print("RESULT" + json.dumps({
     "rank": rank,
     "energies": [float(v) for v in energies],
     "opt_energies": [float(v) for v in opt_energies],
+    "grouped_energies": [float(v) for v in grouped_energies],
 }), flush=True)
 """
 
@@ -280,4 +288,17 @@ def test_two_process_amplitude_sharded_evaluation():
     )
     np.testing.assert_array_equal(
         np.asarray(payloads[0]["opt_energies"], np.float32), opt_energies
+    )
+
+    # grouped sampling of a general operator matches the single-process
+    # 2-device mesh (same seed -> same shot stream)
+    from queasars_tpu.problems.spin_chains import transverse_field_ising
+
+    tfim = transverse_field_ising(n_qubits, coupling=1.0, field=0.9)
+    grouped = AmplitudeShardedExpectationEvaluator(
+        tfim, mesh=amplitude_mesh(2), shots=256, seed=7
+    )
+    np.testing.assert_array_equal(
+        np.asarray(payloads[0]["grouped_energies"], np.float32),
+        grouped.evaluate_packed(packed),
     )

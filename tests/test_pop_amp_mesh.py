@@ -353,12 +353,98 @@ def test_general_bit_identical_across_factorizations():
         np.testing.assert_array_equal(results[0], other)
 
 
-def test_general_rejects_shots_and_cvar():
+def test_general_rejects_cvar():
+    """Only the CVaR tail still needs a diagonal operator; finite shots
+    run via the sharded QWC grouped sampler (below)."""
     operator = _tfim(8)
     with pytest.raises(CircuitEvaluatorException):
-        AmplitudeShardedExpectationEvaluator(operator, mesh=pop_amp_mesh(1, 8), shots=64)
-    with pytest.raises(CircuitEvaluatorException):
         AmplitudeShardedExpectationEvaluator(operator, mesh=pop_amp_mesh(1, 8), alpha=0.5)
+
+
+def test_general_grouped_shots_match_exact():
+    """Finite-shot general operators sample via sharded QWC measurement
+    grouping: statistical agreement with the exact estimator, determinism
+    per factorization (the diagonal shot path's contract,
+    test_shots_deterministic_per_factorization)."""
+    packed = _population(n_qubits=8, pop=4, layers=2, seed=6)
+    operator = _tfim(packed.n_qubits)
+    exact = np.asarray(StatevectorExpectationEvaluator(operator).evaluate_packed(packed))
+    for n_pop, n_amp in [(4, 2), (1, 8)]:
+        a = AmplitudeShardedExpectationEvaluator(
+            operator, mesh=pop_amp_mesh(n_pop, n_amp), shots=8192, seed=5
+        )
+        b = AmplitudeShardedExpectationEvaluator(
+            operator, mesh=pop_amp_mesh(n_pop, n_amp), shots=8192, seed=5
+        )
+        got = np.asarray(a.evaluate_packed(packed))
+        np.testing.assert_array_equal(got, np.asarray(b.evaluate_packed(packed)))
+        scale = float(np.abs(operator.coeffs).sum())
+        np.testing.assert_allclose(got, exact, atol=0.05 * scale)
+
+
+def test_general_grouped_shots_with_initial_state():
+    """The grouped sharded sampler composes with an initial state: the
+    base simulation re-enters the shard-local prepared state before the
+    per-group basis rotations."""
+    rng = np.random.default_rng(12)
+    n = 6
+    raw = rng.normal(size=2 * (1 << n)).astype(np.float32)
+    raw /= np.sqrt((raw**2).sum())
+    initial = raw.reshape(2, -1)
+    packed = _population(n_qubits=n, pop=3, layers=1, seed=4)
+    operator = _tfim(n)
+    exact = np.asarray(
+        StatevectorExpectationEvaluator(operator, initial_state=initial).evaluate_packed(packed)
+    )
+    sharded = AmplitudeShardedExpectationEvaluator(
+        operator, mesh=pop_amp_mesh(2, 4), shots=8192, seed=2, initial_state=initial
+    )
+    scale = float(np.abs(operator.coeffs).sum())
+    np.testing.assert_allclose(
+        np.asarray(sharded.evaluate_packed(packed)), exact, atol=0.05 * scale
+    )
+
+
+def test_general_sampler_solve_through_driver():
+    """A sampler-only solve on a non-diagonal operator runs the SHARDED
+    engine when shard_amplitudes is requested (the reference rejects X/Y
+    on the sampler path outright)."""
+    from queasars_tpu.optim import BatchedNFT, NFTConfig
+    from queasars_tpu.parallel import population_mesh
+    from queasars_tpu.solver import (
+        ConfiguredSampler,
+        EVQEMinimumEigensolver,
+        EVQEMinimumEigensolverConfiguration,
+    )
+
+    operator = _tfim(6)
+    ground = float(np.linalg.eigvalsh(operator.to_dense_matrix())[0])
+    config = EVQEMinimumEigensolverConfiguration(
+        configured_estimator=None,
+        configured_sampler=ConfiguredSampler(shots=2048, seed=3),
+        optimizer=BatchedNFT(NFTConfig(maxiter=6, reset_interval=4)),
+        optimizer_n_circuit_evaluations=None,
+        max_generations=1,
+        max_circuit_evaluations=None,
+        termination_criterion=None,
+        random_seed=0,
+        population_size=4,
+        speciation_genetic_distance_threshold=2,
+        selection_alpha_penalty=0.05,
+        selection_beta_penalty=0.05,
+        parameter_search_probability=0.4,
+        topological_search_probability=0.5,
+        layer_removal_probability=0.05,
+        use_tournament_selection=True,
+        tournament_size=2,
+        mesh=population_mesh(8),
+        shard_amplitudes=True,
+        amp_devices=2,
+    )
+    result = EVQEMinimumEigensolver(config).compute_minimum_eigenvalue(operator)
+    scale = float(np.abs(operator.coeffs).sum())
+    assert result.eigenvalue >= ground - 0.1 * scale
+    assert np.isfinite(result.eigenvalue)
 
 
 def test_general_solve_through_driver():
