@@ -369,7 +369,11 @@ def objective_operands(evaluator):
                 sorted_energies=dummy,
                 energy_order=dummy_order,
                 alpha=jnp.float32(1.0),
-                shots=evaluator.shots,
+                shots=(
+                    evaluator._group_shots
+                    if evaluator._group_shots is not None
+                    else evaluator.shots
+                ),
                 use_cvar=False,
                 use_shots=True,
                 initial_state=evaluator._initial,

@@ -400,9 +400,16 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
     bases do not form one empirical energy distribution to take a tail of.
 
     :param shots: measurement shots per evaluation (per group, when the
-        operator is non-diagonal)
+        operator is non-diagonal and ``shot_allocation="per_group"``)
     :param seed: base RNG seed; successive evaluations fold in a counter
         so repeated calls draw fresh shots (deterministic overall)
+    :param shot_allocation: how a non-diagonal operator's measurement
+        groups share the budget — ``"per_group"`` (default) gives every
+        group the full ``shots``; ``"proportional"`` treats ``shots`` as
+        the TOTAL budget and splits it across groups proportionally to
+        their coefficient L1 norms (the variance-optimal rule for the
+        groups' shot-noise bounds, ``grouped_sampling.allocate_shots``).
+        Ignored for diagonal operators (one implicit group)
     """
 
     def __init__(
@@ -413,6 +420,7 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
         seed: int = 0,
         initial_state: Optional[np.ndarray] = None,
         use_pallas: Optional[bool] = None,
+        shot_allocation: str = "per_group",
     ):
         super().__init__(operator.n_qubits)
         self._use_pallas = _pallas_requested(use_pallas)
@@ -420,9 +428,13 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
             raise ValueError("alpha (the CVaR tail fraction) lies outside (0, 1]")
         if shots < 1:
             raise ValueError("shots must be at least 1")
+        if shot_allocation not in ("per_group", "proportional"):
+            raise ValueError("shot_allocation must be 'per_group' or 'proportional'")
         self.operator = operator
         self.shots = int(shots)
         self.alpha = float(alpha)
+        self.shot_allocation = shot_allocation
+        self._group_shots: Optional[tuple] = None
         self._initial = _prepare_initial_state(initial_state, operator.n_qubits)
         self._diagonal = operator.is_diagonal
         if self._diagonal:
@@ -440,9 +452,15 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
                     "Pauli sum are measured in different bases, so their shots "
                     "do not form one energy distribution to take a tail of"
                 )
-            from queasars_tpu.sim.grouped_sampling import grouped_operands
+            from queasars_tpu.sim.grouped_sampling import (
+                allocate_shots,
+                grouped_operands,
+                grouped_weights,
+            )
 
             self._grouped = grouped_operands(operator)
+            if shot_allocation == "proportional":
+                self._group_shots = allocate_shots(grouped_weights(operator), self.shots)
         self._key = jax.random.PRNGKey(seed)
         self._counter = 0
 
@@ -461,10 +479,11 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
         if self._grouped is not None:
             from queasars_tpu.sim.grouped_sampling import grouped_shot_energies
 
+            group_shots = self._group_shots if self._group_shots is not None else shots
             return self._run_batched(
                 lambda pa, ra: grouped_shot_energies(
                     pa[0], pa[1], pa[2], pa[3], pa[4], ra[0], ra[1], ra[2], ra[3],
-                    n_qubits=n, shots=shots, initial_state=ra[4],
+                    n_qubits=n, shots=group_shots, initial_state=ra[4],
                 ),
                 (packed.gate_types, packed.controls, a, packed.layer_mask, keys),
                 (*self._grouped, self._initial),

@@ -111,8 +111,50 @@ def _rotated_probs(states, rot_type, rot_angle, n_qubits: int):
     return rotated[:, 0, :] ** 2 + rotated[:, 1, :] ** 2
 
 
+def grouped_weights(operator) -> np.ndarray:
+    """Per-group coefficient L1 norms ``w_g = sum_k |c_k|`` — the shot
+    allocation weights of :func:`allocate_shots` (same deterministic
+    group order as :func:`grouped_operands`)."""
+    from queasars_tpu.paulis.grouping import qwc_groups
+
+    _, groups = qwc_groups(operator)
+    return np.array(
+        [float(np.abs(g.diagonal.coeffs.real).sum()) for g in groups], np.float64
+    )
+
+
+def allocate_shots(weights, total: int) -> tuple[int, ...]:
+    """Split a total shot budget across measurement groups, proportionally
+    to their coefficient L1 norms (``weights``).
+
+    The shot-noise standard error of group ``g`` is bounded by
+    ``w_g / sqrt(shots_g)`` with ``w_g = sum_k |c_k|``; for a fixed total
+    budget the summed variance bound is minimized by ``shots_g ∝ w_g``
+    (the standard weighted-allocation rule for grouped measurements).
+    Integer split by largest remainder, every group gets at least one
+    shot; deterministic for given inputs.
+    """
+    weights = np.asarray(weights, np.float64)
+    n_groups = int(weights.size)
+    if total < n_groups:
+        raise ValueError(
+            f"a total budget of {total} shots cannot give each of the "
+            f"{n_groups} measurement groups at least one shot"
+        )
+    if not np.all(weights > 0):
+        raise ValueError("every group weight must be positive")
+    ideal = weights / weights.sum() * (total - n_groups)
+    base = np.floor(ideal).astype(np.int64)
+    remainder = total - n_groups - int(base.sum())
+    # largest fractional remainders get the leftover shots; ties resolve
+    # by group index (stable argsort on the negated fractions)
+    order = np.argsort(-(ideal - base), kind="stable")
+    base[order[:remainder]] += 1
+    return tuple(int(s) + 1 for s in base)
+
+
 def grouped_energies_from_states(
-    states, keys, rot_types, rot_angles, tables, const, *, shots: int
+    states, keys, rot_types, rot_angles, tables, const, *, shots
 ):
     """Shot-sampled energies [P] of simulated states against QWC groups.
 
@@ -125,20 +167,33 @@ def grouped_energies_from_states(
     :param tables: [G, 2^n] float32 per-group diagonal energy tables (in
         the rotated basis)
     :param const: scalar — the identity terms' coefficient (exact)
+    :param shots: an int (the same budget for every group: one traced
+        ``lax.map`` over groups) or a per-group tuple from
+        :func:`allocate_shots` (static shapes differ per group, so the
+        group loop unrolls)
     """
     n_qubits = int(rot_types.shape[1])
 
-    def group_fn(operands):
-        g_types, g_angles, g_table, g_idx = operands
+    def group_energy(g_types, g_angles, g_table, g_idx, g_shots):
         probs = _rotated_probs(states, g_types, g_angles, n_qubits)
         g_keys = jax.vmap(lambda k: jax.random.fold_in(k, g_idx))(keys)
-        counts = jax.vmap(lambda k, p: sample_counts(k, p, shots))(g_keys, probs)
-        emp = counts.astype(jnp.float32) / shots
+        counts = jax.vmap(lambda k, p: sample_counts(k, p, g_shots))(g_keys, probs)
+        emp = counts.astype(jnp.float32) / g_shots
         return expectation_from_probs(emp, g_table)
 
     n_groups = tables.shape[0]
+    if isinstance(shots, (tuple, list)):
+        assert len(shots) == n_groups
+        total = jnp.zeros(states.shape[0], jnp.float32)
+        for g in range(n_groups):
+            total = total + group_energy(
+                rot_types[g], rot_angles[g], tables[g], g, int(shots[g])
+            )
+        return const + total
+
     group_energies = jax.lax.map(
-        group_fn, (rot_types, rot_angles, tables, jnp.arange(n_groups))
+        lambda xs: group_energy(*xs, shots),
+        (rot_types, rot_angles, tables, jnp.arange(n_groups)),
     )  # [G, P]
     return const + group_energies.sum(axis=0)
 
@@ -172,13 +227,15 @@ def grouped_shot_energies(
     const,
     *,
     n_qubits: int,
-    shots: int,
+    shots,
     initial_state=None,
 ):
     """Energies [P] of a packed population against a QWC-grouped operator
     (simulate once, then measure every group) — the evaluator entry point;
     the batched optimizers reach the same math through
-    ``population_energies(use_general=True, use_shots=True)``."""
+    ``population_energies(use_general=True, use_shots=True)``.  ``shots``
+    is an int or a per-group tuple (both static; see
+    :func:`grouped_energies_from_states`)."""
     states = simulate_circuits(gate_types, controls, angles, layer_mask, n_qubits, initial_state)
     return grouped_energies_from_states(
         states, keys, rot_types, rot_angles, tables, const, shots=shots

@@ -217,6 +217,11 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         either way, but the fold's float stream differs from the per-gate
         path's (~1e-6 on probabilities/energies, which can also steer an
         occasional boundary shot sample)
+    :param shot_allocation: for non-diagonal finite-shot operators, how
+        the QWC measurement groups share the budget — ``"per_group"``
+        (default: every group gets ``shots``) or ``"proportional"``
+        (``shots`` is the total, split by coefficient L1 norms; see
+        ``grouped_sampling.allocate_shots``).  Ignored otherwise
     """
 
     def __init__(
@@ -231,6 +236,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         amp_devices: Optional[int] = None,
         table_mode: str = "device",
         use_fold: Optional[bool] = None,
+        shot_allocation: str = "per_group",
     ):
         super().__init__(operator.n_qubits)
         if not 0 < alpha <= 1:
@@ -239,6 +245,8 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             raise ValueError("precision must be non-negative")
         if table_mode not in ("device", "host"):
             raise ValueError("table_mode must be 'device' or 'host'")
+        if shot_allocation not in ("per_group", "proportional"):
+            raise ValueError("shot_allocation must be 'per_group' or 'proportional'")
         self.operator = operator
         self.mesh = as_pop_amp_mesh(mesh, amp_devices)
         self.n_pop_devices = self.mesh.shape[POP_AXIS]
@@ -273,7 +281,11 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 # per-group basis-rotation layers on the host, per-group
                 # rotated-basis tables built SHARD-LOCALLY inside the mesh
                 # (the sharded twin of sim/grouped_sampling.py)
-                from queasars_tpu.sim.grouped_sampling import grouped_shard_operands
+                from queasars_tpu.sim.grouped_sampling import (
+                    allocate_shots,
+                    grouped_shard_operands,
+                    grouped_weights,
+                )
                 from queasars_tpu.sim.sharded_statevector import (
                     build_device_tables_batch,
                 )
@@ -287,6 +299,11 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 ) = grouped_shard_operands(operator)
                 self._grouped_tables = build_device_tables_batch(
                     self.mesh, g_coeffs, g_masks, self.n_qubits
+                )
+                self._group_shots = (
+                    allocate_shots(grouped_weights(operator), self.shots)
+                    if shot_allocation == "proportional"
+                    else None
                 )
             else:
                 _, local_bits = _mesh_bits(self.mesh, self.n_qubits)
@@ -1038,7 +1055,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         self._fns[key] = mapped
         return mapped
 
-    def _grouped_sampled_fn(self, shots: int):
+    def _grouped_sampled_fn(self, shots):
         """Compiled distributed QWC grouped sampling (general operators,
         finite shots): each individual's shard simulates ONCE, then every
         measurement group applies its basis-rotation layer (one genome
@@ -1050,7 +1067,9 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         Per-individual keys with per-group fold-ins keep the shot stream
         independent of the population sharding and the group loop order
         (the single-chip grouped sampler's scheme,
-        sim/grouped_sampling.py)."""
+        sim/grouped_sampling.py).  ``shots`` is an int (same budget per
+        group; traced ``lax.map`` over groups) or a per-group tuple from
+        ``allocate_shots`` (unrolled group loop — shapes differ)."""
         from jax import shard_map
 
         key = ("grouped_sampled", shots)
@@ -1072,8 +1091,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             n_groups = tables_local.shape[0]
 
             def per_state(state, k):
-                def group_fn(operands):
-                    g_types, g_angles, g_table, g_idx = operands
+                def group_energy(g_types, g_angles, g_table, g_idx, g_shots):
                     rotated = _simulate_local(
                         g_types[None], ctrl1, g_angles[None], mask1,
                         device_id, local_bits, n_devices, n_qubits,
@@ -1089,17 +1107,26 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                     hi = offsets[device_id + 1]
                     g_key = jax.random.fold_in(k, g_idx)
                     u = jax.random.uniform(
-                        g_key, (shots,), jnp.float32, maxval=offsets[-1]
+                        g_key, (g_shots,), jnp.float32, maxval=offsets[-1]
                     )
                     in_shard = jnp.logical_and(u >= lo, u < hi)
                     pos = jnp.searchsorted(local_cdf, u - lo, side="right")
                     pos = jnp.clip(pos, 0, local_probs.shape[0] - 1)
                     contrib = jnp.where(in_shard, g_table[pos], 0.0)
-                    shot_energies = jax.lax.psum(contrib, AMP_AXIS)  # [shots]
+                    shot_energies = jax.lax.psum(contrib, AMP_AXIS)  # [g_shots]
                     return jnp.mean(shot_energies)
 
+                if isinstance(shots, (tuple, list)):
+                    total = jnp.float32(0.0)
+                    for g in range(len(shots)):
+                        total = total + group_energy(
+                            rot_types[g], rot_angles[g], tables_local[g],
+                            g, int(shots[g]),
+                        )
+                    return const + total
+
                 group_energies = jax.lax.map(
-                    group_fn,
+                    lambda xs: group_energy(*xs, shots),
                     (rot_types, rot_angles, tables_local, jnp.arange(n_groups)),
                 )  # [G]
                 return const + group_energies.sum()
@@ -1228,7 +1255,9 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             if self.shots is not None:
                 # QWC grouped measurement, fully sharded (rotation layers
                 # replicated, per-group tables amp-sharded)
-                fn = self._grouped_sampled_fn(self.shots)
+                fn = self._grouped_sampled_fn(
+                    self._group_shots if self._group_shots is not None else self.shots
+                )
                 keys = self._next_keys(pop)
                 args = self._pop_args(packed, a, extra=(keys,))
                 rot = self._globalize(

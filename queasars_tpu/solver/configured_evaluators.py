@@ -19,14 +19,23 @@ class ConfiguredSampler:
 
     :param shots: measurement shots per circuit evaluation
     :param seed: RNG seed for the measurement sampling
+    :param shot_allocation: for non-diagonal operators (measured via QWC
+        grouping), how the groups share the budget — ``"per_group"``
+        (default: every group gets ``shots``) or ``"proportional"``
+        (``shots`` is the total, split across groups by their coefficient
+        L1 norms — the variance-optimal rule).  Ignored for diagonal
+        operators
     """
 
     shots: int
     seed: int = 0
+    shot_allocation: str = "per_group"
 
     def __post_init__(self):
         if self.shots < 1:
             raise ValueError("shots must be at least 1")
+        if self.shot_allocation not in ("per_group", "proportional"):
+            raise ValueError("shot_allocation must be 'per_group' or 'proportional'")
 
 
 @dataclass

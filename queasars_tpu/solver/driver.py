@@ -241,6 +241,7 @@ class EvolvingAnsatzMinimumEigensolver:
                     seed=sampler.seed,
                     initial_state=initial_state,
                     amp_devices=resolve_amp_devices(op),
+                    shot_allocation=sampler.shot_allocation,
                 )
             if self.configuration.configured_estimator is not None:
                 evaluator = StatevectorExpectationEvaluator(
@@ -260,6 +261,7 @@ class EvolvingAnsatzMinimumEigensolver:
                     seed=self.configuration.configured_sampler.seed,
                     initial_state=initial_state,
                     use_pallas=self.configuration.use_pallas,
+                    shot_allocation=self.configuration.configured_sampler.shot_allocation,
                 )
             if mesh is not None:
                 evaluator.set_mesh(mesh)

@@ -273,3 +273,115 @@ def test_full_evqe_solve_grouped_sampler():
     scale = float(np.abs(op.coeffs).sum())
     assert result.eigenvalue >= ground - 0.1 * scale
     assert result.eigenvalue < 0.0
+
+
+# ---------------------------------------------------------------------------
+# proportional shot allocation
+# ---------------------------------------------------------------------------
+
+
+def test_allocate_shots_math():
+    from queasars_tpu.sim.grouped_sampling import allocate_shots
+
+    # proportional split with a guaranteed minimum of one per group
+    assert allocate_shots([3.0, 1.0], 8) == (6, 2)
+    assert sum(allocate_shots([5.0, 3.0, 2.0], 100)) == 100
+    # the minimum: a tiny-weight group still gets one shot
+    alloc = allocate_shots([1000.0, 1e-6], 10)
+    assert alloc[1] >= 1 and sum(alloc) == 10
+    # deterministic largest-remainder tie-break by group index
+    assert allocate_shots([1.0, 1.0, 1.0], 4) == (2, 1, 1)
+    with pytest.raises(ValueError):
+        allocate_shots([1.0, 1.0, 1.0], 2)  # fewer shots than groups
+    with pytest.raises(ValueError):
+        allocate_shots([1.0, 0.0], 8)
+
+
+def test_proportional_allocation_matches_exact():
+    """Proportional allocation is a different (still unbiased) estimator:
+    statistical agreement with the exact expectation, deterministic for a
+    given seed, and the per-group budgets follow the L1 weights."""
+    from queasars_tpu.sim.grouped_sampling import (
+        allocate_shots,
+        grouped_weights,
+    )
+
+    op = tfim(4)
+    packed = random_packed_population(4, 3, seed=8)
+    exact = np.asarray(StatevectorExpectationEvaluator(op).evaluate_packed(packed))
+
+    total = 8192
+    a = SamplerExpectationEvaluator(
+        op, shots=total, seed=9, shot_allocation="proportional"
+    )
+    b = SamplerExpectationEvaluator(
+        op, shots=total, seed=9, shot_allocation="proportional"
+    )
+    got = np.asarray(a.evaluate_packed(packed))
+    np.testing.assert_array_equal(got, np.asarray(b.evaluate_packed(packed)))
+    scale = float(np.abs(op.coeffs).sum())
+    np.testing.assert_allclose(got, exact, atol=0.06 * scale)
+
+    weights = grouped_weights(op)
+    alloc = allocate_shots(weights, total)
+    assert a._group_shots == alloc and sum(alloc) == total
+    # heavier groups get more shots
+    order = np.argsort(weights)
+    assert alloc[order[-1]] >= alloc[order[0]]
+
+
+def test_proportional_allocation_through_solver():
+    from queasars_tpu.optim import BatchedNFT, NFTConfig
+    from queasars_tpu.solver import (
+        ConfiguredSampler,
+        EVQEMinimumEigensolver,
+        EVQEMinimumEigensolverConfiguration,
+    )
+
+    op = tfim(3)
+    ground = float(np.linalg.eigvalsh(op.to_dense_matrix())[0])
+    config = EVQEMinimumEigensolverConfiguration(
+        configured_estimator=None,
+        configured_sampler=ConfiguredSampler(
+            shots=4096, seed=3, shot_allocation="proportional"
+        ),
+        optimizer=BatchedNFT(NFTConfig(maxiter=6, reset_interval=4)),
+        optimizer_n_circuit_evaluations=None,
+        max_generations=1,
+        max_circuit_evaluations=None,
+        termination_criterion=None,
+        random_seed=0,
+        population_size=4,
+        speciation_genetic_distance_threshold=2,
+        selection_alpha_penalty=0.05,
+        selection_beta_penalty=0.05,
+        parameter_search_probability=0.4,
+        topological_search_probability=0.5,
+        layer_removal_probability=0.05,
+        use_tournament_selection=True,
+        tournament_size=2,
+    )
+    result = EVQEMinimumEigensolver(config).compute_minimum_eigenvalue(op)
+    scale = float(np.abs(op.coeffs).sum())
+    assert result.eigenvalue >= ground - 0.1 * scale
+
+
+def test_proportional_allocation_sharded():
+    """The sharded grouped sampler honors the same allocation (unrolled
+    per-group loop with static shot counts)."""
+    from queasars_tpu.sim.sharded_evaluator import (
+        AmplitudeShardedExpectationEvaluator,
+        pop_amp_mesh,
+    )
+
+    op = tfim(4)
+    packed = random_packed_population(4, 3, seed=8)
+    exact = np.asarray(StatevectorExpectationEvaluator(op).evaluate_packed(packed))
+    ev = AmplitudeShardedExpectationEvaluator(
+        op, mesh=pop_amp_mesh(2, 4), shots=8192, seed=9,
+        shot_allocation="proportional",
+    )
+    got = np.asarray(ev.evaluate_packed(packed))
+    scale = float(np.abs(op.coeffs).sum())
+    np.testing.assert_allclose(got, exact, atol=0.06 * scale)
+    assert ev._group_shots is not None and sum(ev._group_shots) == 8192
