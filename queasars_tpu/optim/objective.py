@@ -81,9 +81,27 @@ def population_energies(
             # combination is unreachable otherwise — the exact general
             # paths below never sample, and the diagonal sampler path
             # never sets use_general.
-            from queasars_tpu.sim.grouped_sampling import grouped_energies_from_states
+            from queasars_tpu.sim.grouped_sampling import (
+                grouped_energies_from_states,
+                grouped_shot_energies_pallas,
+            )
 
             rot_types, rot_angles, group_tables, const = table
+            grouped_pallas = (
+                use_pallas
+                and (initial_state is None or initial_state.ndim == 3)
+                and 14 <= n_qubits <= 20
+            )
+            if grouped_pallas:
+                # one fused simulate+sample launch per group on the
+                # rotated circuit (same keys/uniform stream)
+                energies = grouped_shot_energies_pallas(
+                    gate_types, controls, angles, layer_mask, keys,
+                    rot_types, rot_angles, group_tables, const,
+                    n_qubits=n_qubits, shots=shots, initial_state=initial_state,
+                    use_mxu=use_mxu,
+                )
+                return _with_precision_noise(energies, keys, precision)
             states = _simulate(angles, layer_mask, initial_state)
             energies = grouped_energies_from_states(
                 states, keys, rot_types, rot_angles, group_tables, const, shots=shots
@@ -377,7 +395,13 @@ def objective_operands(evaluator):
                 use_cvar=False,
                 use_shots=True,
                 initial_state=evaluator._initial,
-                use_pallas=False,
+                # fused per-group kernel launches (population_energies'
+                # grouped branch gates on 14 <= n <= 20 itself)
+                use_pallas=(
+                    evaluator._use_pallas
+                    and evaluator._initial is None
+                    and _kernel_ok(evaluator.n_qubits)
+                ),
                 use_general=True,
                 precision=None,
             )

@@ -10,6 +10,8 @@ Modules:
 - statevector: gate application (jnp reference + Pallas fused kernel)
 - expectation: diagonal-table, CVaR and general Pauli-sum expectations
 - sampling: measurement shot sampling
+- grouped_sampling: shot measurement of general Pauli sums via QWC
+  groups (rotate into each group's product basis, sample, contract)
 - evaluators: the high-level "population -> energies" evaluator classes
 """
 

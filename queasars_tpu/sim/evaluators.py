@@ -477,9 +477,29 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
         n, shots = packed.n_qubits, self.shots
         keys = self._next_keys(packed.n_individuals)
         if self._grouped is not None:
-            from queasars_tpu.sim.grouped_sampling import grouped_shot_energies
+            from queasars_tpu.sim.grouped_sampling import (
+                grouped_shot_energies,
+                grouped_shot_energies_pallas,
+            )
 
             group_shots = self._group_shots if self._group_shots is not None else shots
+            # fused in-kernel sampling per group (one launch per rotated
+            # circuit) — the kernels' speedup dominates the G-fold
+            # re-simulation for structured operators (docs/performance.md)
+            if (
+                self._use_pallas
+                and self._initial is None
+                and 14 <= n <= 20
+                and pallas_supported(n, jax.default_backend())
+            ):
+                return self._run_batched(
+                    lambda pa, ra: grouped_shot_energies_pallas(
+                        pa[0], pa[1], pa[2], pa[3], pa[4], ra[0], ra[1], ra[2], ra[3],
+                        n_qubits=n, shots=group_shots,
+                    ),
+                    (packed.gate_types, packed.controls, a, packed.layer_mask, keys),
+                    self._grouped,
+                )
             return self._run_batched(
                 lambda pa, ra: grouped_shot_energies(
                     pa[0], pa[1], pa[2], pa[3], pa[4], ra[0], ra[1], ra[2], ra[3],

@@ -214,6 +214,92 @@ def grouped_exact_energies_from_states(states, rot_types, rot_angles, tables, co
     return const + group_energies.sum(axis=0)
 
 
+def append_rotation_layer(gate_types, controls, angles, layer_mask, rot_type, rot_angle):
+    """Extend packed genome tensors with one broadcast basis-rotation
+    layer ([P, L, ...] -> [P, L+1, ...], mask True).  Masked-off genome
+    layers are skipped wherever they sit, so the appended layer always
+    applies LAST — the measurement rotation."""
+    pop, _, n = gate_types.shape
+    ext_types = jnp.concatenate(
+        [gate_types, jnp.broadcast_to(rot_type, (pop, 1, n)).astype(gate_types.dtype)], axis=1
+    )
+    ext_ctrls = jnp.concatenate(
+        [controls, jnp.full((pop, 1, n), -1, controls.dtype)], axis=1
+    )
+    ext_angles = jnp.concatenate(
+        [angles, jnp.broadcast_to(rot_angle, (pop, 1, n, 3)).astype(angles.dtype)], axis=1
+    )
+    ext_mask = jnp.concatenate(
+        [layer_mask, jnp.ones((pop, 1), layer_mask.dtype)], axis=1
+    )
+    return ext_types, ext_ctrls, ext_angles, ext_mask
+
+
+def grouped_shot_energies_pallas(
+    gate_types,
+    controls,
+    angles,
+    layer_mask,
+    keys,
+    rot_types,
+    rot_angles,
+    tables,
+    const,
+    *,
+    n_qubits: int,
+    shots,
+    initial_state=None,
+    use_mxu=None,
+    interpret: bool = False,
+):
+    """Fused-kernel grouped sampling: one in-VMEM simulate+sample launch
+    per measurement group, each on the rotated circuit (the genome plus
+    one appended basis-rotation layer) against that group's rotated-basis
+    table.  Each launch re-simulates the circuit (the kernels hold no
+    shared base state) — a G-fold simulation cost the kernels' ~15x
+    speedup over the jnp engine dominates for structured operators
+    (docs/performance.md "Grouped-measurement sampler").  Auto-selected
+    under ``use_pallas`` for 14 <= n <= 20; same per-individual/per-group
+    key fold-ins (and the same underlying uniforms) as
+    :func:`grouped_energies_from_states`.  ``shots``: int or per-group
+    tuple (:func:`allocate_shots`)."""
+    from queasars_tpu.optim.objective import mxu_fold_enabled
+
+    n_groups = int(tables.shape[0])
+    mxu = mxu_fold_enabled(use_mxu, n_qubits)
+    total = jnp.zeros(gate_types.shape[0], jnp.float32)
+    for g in range(n_groups):
+        g_shots = int(shots[g]) if isinstance(shots, (tuple, list)) else int(shots)
+        ext = append_rotation_layer(
+            gate_types, controls, angles, layer_mask, rot_types[g], rot_angles[g]
+        )
+        g_keys = jax.vmap(lambda k: jax.random.fold_in(k, g))(keys)
+        frac = jax.vmap(lambda k: jax.random.uniform(k, (g_shots,), jnp.float32))(g_keys)
+        if mxu:
+            from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
+            from queasars_tpu.sim.pallas_fold_kernels import (
+                pallas_sampled_shot_energies_folded,
+            )
+
+            pipe = build_fold_pipeline(*ext, n_qubits, absorb_diag=True)
+            # default (bf16) precision: ~1e-3 state error, far below the
+            # shot noise this path models — the diagonal sampler path's
+            # precision policy (optim/objective.py)
+            shot_energies = pallas_sampled_shot_energies_folded(
+                pipe, tables[g], frac, n_qubits, g_shots,
+                precision="default", interpret=interpret, initial=initial_state,
+            )
+        else:
+            from queasars_tpu.sim.pallas_kernels import pallas_sampled_shot_energies
+
+            shot_energies = pallas_sampled_shot_energies(
+                *ext, tables[g], frac, n_qubits, g_shots,
+                interpret=interpret, initial=initial_state,
+            )
+        total = total + jnp.mean(shot_energies, axis=-1)
+    return const + total
+
+
 @partial(jax.jit, static_argnames=("n_qubits", "shots"))
 def grouped_shot_energies(
     gate_types,

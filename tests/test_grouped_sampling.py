@@ -385,3 +385,77 @@ def test_proportional_allocation_sharded():
     scale = float(np.abs(op.coeffs).sum())
     np.testing.assert_allclose(got, exact, atol=0.06 * scale)
     assert ev._group_shots is not None and sum(ev._group_shots) == 8192
+
+
+# ---------------------------------------------------------------------------
+# fused-kernel (Pallas) grouped sampling
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_pallas_matches_jnp_stream():
+    """The fused per-group kernel launches draw the same per-group
+    uniforms as the jnp grouped path (same fold-in scheme), so energies
+    agree up to CDF-rounding boundary flips (a single shot's table gap /
+    shots each).  Pallas interpreter; n=14 is the in-kernel sampler's
+    minimum."""
+    import jax
+
+    from queasars_tpu.sim.grouped_sampling import (
+        grouped_energies_from_states,
+        grouped_operands,
+        grouped_shot_energies_pallas,
+    )
+
+    n, shots = 14, 512
+    op = tfim(n)
+    packed = random_packed_population(n, 2, seed=5)
+    operands = grouped_operands(op)
+    keys = jnp.asarray(jax.random.split(jax.random.PRNGKey(3), packed.n_individuals))
+
+    kernel = np.asarray(
+        grouped_shot_energies_pallas(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask,
+            keys, *operands, n_qubits=n, shots=shots, use_mxu=False, interpret=True,
+        )
+    )
+    states = simulate_circuits(
+        packed.gate_types, packed.controls, packed.angles, packed.layer_mask, n
+    )
+    ref = np.asarray(
+        grouped_energies_from_states(states, keys, *operands, shots=shots)
+    )
+    scale = float(np.abs(op.coeffs).sum())
+    np.testing.assert_allclose(kernel, ref, atol=0.02 * scale)
+
+    # exactness against the statevector expectation within shot noise
+    exact = np.asarray(StatevectorExpectationEvaluator(op).evaluate_packed(packed))
+    np.testing.assert_allclose(kernel, exact, atol=0.15 * scale)
+
+
+def test_grouped_pallas_per_group_allocation():
+    """Tuple (proportional) shot budgets unroll per group in the kernel
+    route too."""
+    import jax
+
+    from queasars_tpu.sim.grouped_sampling import (
+        allocate_shots,
+        grouped_operands,
+        grouped_shot_energies_pallas,
+        grouped_weights,
+    )
+
+    n = 14
+    op = tfim(n)
+    packed = random_packed_population(n, 2, seed=6)
+    operands = grouped_operands(op)
+    alloc = allocate_shots(grouped_weights(op), 1024)
+    keys = jnp.asarray(jax.random.split(jax.random.PRNGKey(4), packed.n_individuals))
+    got = np.asarray(
+        grouped_shot_energies_pallas(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask,
+            keys, *operands, n_qubits=n, shots=alloc, use_mxu=False, interpret=True,
+        )
+    )
+    exact = np.asarray(StatevectorExpectationEvaluator(op).evaluate_packed(packed))
+    scale = float(np.abs(op.coeffs).sum())
+    np.testing.assert_allclose(got, exact, atol=0.2 * scale)
