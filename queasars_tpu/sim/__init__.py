@@ -33,6 +33,12 @@ from queasars_tpu.sim.expectation import (
     general_pauli_expectation,
     general_pauli_expectation_real,
 )
+from queasars_tpu.sim.qaoa import (
+    qaoa_state,
+    qaoa_probabilities,
+    qaoa_energy,
+    qaoa_energies_batch,
+)
 
 __all__ = [
     "GATE_ID",
@@ -49,4 +55,8 @@ __all__ = [
     "cvar_expectation_from_probs",
     "general_pauli_expectation",
     "general_pauli_expectation_real",
+    "qaoa_state",
+    "qaoa_probabilities",
+    "qaoa_energy",
+    "qaoa_energies_batch",
 ]

@@ -27,6 +27,7 @@ from queasars_tpu.solver.adapt_vqe import (
     AdaptVQEResult,
 )
 from queasars_tpu.solver.evqe import EVQEMinimumEigensolver, EVQEMinimumEigensolverConfiguration
+from queasars_tpu.solver.qaoa import QAOAConfiguration, QAOAMinimumEigensolver, QAOAResult
 from queasars_tpu.solver.mog_vqe import MoGVQEMinimumEigensolver, result_pareto_front
 from queasars_tpu.solver.qneat import (
     QNEATMinimumEigensolver,
@@ -51,6 +52,9 @@ __all__ = [
     "EVQEMinimumEigensolver",
     "EVQEMinimumEigensolverConfiguration",
     "MoGVQEMinimumEigensolver",
+    "QAOAConfiguration",
+    "QAOAMinimumEigensolver",
+    "QAOAResult",
     "QNEATMinimumEigensolver",
     "QNEATMinimumEigensolverConfiguration",
     "result_pareto_front",
