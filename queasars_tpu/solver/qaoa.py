@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -36,7 +35,12 @@ import jax.numpy as jnp
 
 from queasars_tpu.paulis import PauliSum
 from queasars_tpu.paulis.diagonal import diagonal_energy_table_device
-from queasars_tpu.sim.qaoa import qaoa_energy, qaoa_state
+from queasars_tpu.sim.qaoa import (
+    make_sharded_qaoa_energies_fn,
+    make_sharded_qaoa_finalize_fn,
+    qaoa_energies_batch,
+    qaoa_state,
+)
 from queasars_tpu.sim.sampling import sample_indices
 
 logger = logging.getLogger(__name__)
@@ -58,6 +62,13 @@ class QAOAConfiguration:
         the lowest-energy sampled bitstring is reported; ``None`` keeps
         the exact distribution and reports the most probable bitstring
     :param seed: seeds the start initialization and the final measurement
+    :param mesh: amplitude-shard the state over this mesh's devices
+        (``sim/sharded_statevector.py``) — the energy table is built
+        shard-locally, the mixer's global qubits exchange via one
+        ppermute each, and no 2^n array ever leaves the mesh, so QAOA
+        scales past the single-chip qubit ceiling like the VQE family
+    :param n_devices: shorthand for ``mesh``: build an amplitude mesh
+        over the first ``n_devices`` visible devices
     """
 
     reps: int = 2
@@ -69,6 +80,8 @@ class QAOAConfiguration:
     eps: float = 1e-8
     shots: Optional[int] = None
     seed: int = 0
+    mesh: Optional[object] = None
+    n_devices: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.reps < 1:
@@ -97,7 +110,9 @@ class QAOAResult:
         """The optimized |psi(gamma*, beta*)> as stacked [2, 2^n] re/im
         planes — directly usable as the ``initial_state`` of every VQE
         solver here (warm-started evolving-ansatz refinement via
-        ``compute_minimum_eigenvalue_with_initial_state``)."""
+        ``compute_minimum_eigenvalue_with_initial_state``).  ``None``
+        under amplitude sharding: the full state never leaves the mesh
+        (re-simulate from ``optimal_gammas``/``optimal_betas``)."""
 
     def __repr__(self) -> str:
         return (
@@ -107,45 +122,57 @@ class QAOAResult:
         )
 
 
-@partial(jax.jit, static_argnames=("n_qubits", "maxiter"))
 def _multi_start_adam(
-    table: jax.Array,
+    energies_batch,
     gammas0: jax.Array,
     betas0: jax.Array,
     lr: float,
     b1: float,
     b2: float,
     eps: float,
-    *,
-    n_qubits: int,
     maxiter: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Adam over [n_starts, 2p] schedules in one scan; returns
-    (final gammas, final betas, final energies per start)."""
+    (final gammas, final betas, final energies per start).
+
+    ``energies_batch`` maps [n_starts, 2p] packed (gammas | betas)
+    parameters to [n_starts] energies — the single-chip table closure or
+    the amplitude-sharded shard_map program.  The starts are independent,
+    so the gradient of their sum IS the per-start gradient stack."""
 
     p = gammas0.shape[1]
+    grad_fn = jax.grad(lambda params: jnp.sum(energies_batch(params)))
 
-    def energy(params):
-        return qaoa_energy(table, params[:p], params[p:], n_qubits)
+    @jax.jit
+    def run(params0):
+        def step(carry, k):
+            params, m, v = carry
+            g = grad_fn(params)
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            t = (k + 1).astype(jnp.float32)
+            m_hat = m / (1.0 - jnp.power(b1, t))
+            v_hat = v / (1.0 - jnp.power(b2, t))
+            params = params - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+            return (params, m, v), None
 
-    grad_fn = jax.vmap(jax.value_and_grad(energy))
+        zeros = jnp.zeros_like(params0)
+        (params, _, _), _ = jax.lax.scan(step, (params0, zeros, zeros), jnp.arange(maxiter))
+        return params, energies_batch(params)
 
-    def step(carry, k):
-        params, m, v = carry
-        _, g = grad_fn(params)
-        m = b1 * m + (1.0 - b1) * g
-        v = b2 * v + (1.0 - b2) * g * g
-        t = (k + 1).astype(jnp.float32)
-        m_hat = m / (1.0 - jnp.power(b1, t))
-        v_hat = v / (1.0 - jnp.power(b2, t))
-        params = params - lr * m_hat / (jnp.sqrt(v_hat) + eps)
-        return (params, m, v), None
-
-    params0 = jnp.concatenate([gammas0, betas0], axis=1)
-    zeros = jnp.zeros_like(params0)
-    (params, _, _), _ = jax.lax.scan(step, (params0, zeros, zeros), jnp.arange(maxiter))
-    energies, _ = grad_fn(params)
+    params, energies = run(jnp.concatenate([gammas0, betas0], axis=1))
     return params[:, :p], params[:, p:], energies
+
+
+def _host_state_energies(
+    coeffs: np.ndarray, z_masks: np.ndarray, states: np.ndarray
+) -> np.ndarray:
+    """Exact diagonal energies of a few basis states from the O(K) term
+    data (float64 on host) — avoids touching any 2^n table."""
+    states = np.asarray(states, dtype=np.uint64).reshape(-1, 1)
+    masks = np.asarray(z_masks, dtype=np.uint64).reshape(1, -1)
+    parity = (np.bitwise_count(states & masks) & 1).astype(np.float64)
+    return (1.0 - 2.0 * parity) @ np.asarray(coeffs, dtype=np.float64)
 
 
 class QAOAMinimumEigensolver:
@@ -160,6 +187,18 @@ class QAOAMinimumEigensolver:
     def __init__(self, configuration: QAOAConfiguration) -> None:
         self.configuration = configuration
 
+    def _resolve_mesh(self):
+        config = self.configuration
+        if config.mesh is not None:
+            from queasars_tpu.sim.sharded_evaluator import as_amplitude_mesh
+
+            return as_amplitude_mesh(config.mesh)
+        if config.n_devices is not None and config.n_devices > 1:
+            from queasars_tpu.sim.sharded_evaluator import amplitude_mesh
+
+            return amplitude_mesh(config.n_devices)
+        return None
+
     def compute_minimum_eigenvalue(self, operator: PauliSum) -> QAOAResult:
         config = self.configuration
         if not operator.is_diagonal:
@@ -168,7 +207,25 @@ class QAOAMinimumEigensolver:
                 "solvers for Hamiltonians with X/Y terms."
             )
         n_qubits = operator.n_qubits
-        table = diagonal_energy_table_device(operator)
+        mesh = self._resolve_mesh()
+        p = config.reps
+
+        if mesh is not None:
+            from queasars_tpu.paulis.diagonal import diagonal_terms
+            from queasars_tpu.sim.sharded_statevector import build_device_table
+
+            coeffs, z_masks = diagonal_terms(operator)
+            table = build_device_table(mesh, coeffs, z_masks, n_qubits)
+            energies_fn = make_sharded_qaoa_energies_fn(mesh, n_qubits)
+
+            def energies_batch(params):
+                return energies_fn(table, params[:, :p], params[:, p:])
+
+        else:
+            table = diagonal_energy_table_device(operator)
+
+            def energies_batch(params):
+                return qaoa_energies_batch(table, params[:, :p], params[:, p:], n_qubits)
 
         key = jax.random.PRNGKey(config.seed)
         key_init, key_measure = jax.random.split(key)
@@ -185,49 +242,74 @@ class QAOAMinimumEigensolver:
         )
 
         gammas, betas, energies = _multi_start_adam(
-            table,
+            energies_batch,
             gammas0.astype(jnp.float32),
             betas0.astype(jnp.float32),
             config.learning_rate,
             config.beta1,
             config.beta2,
             config.eps,
-            n_qubits=n_qubits,
-            maxiter=config.maxiter,
+            config.maxiter,
         )
         energies_host = np.asarray(energies)
         best = int(np.argmin(energies_host))
         best_gammas = gammas[best]
         best_betas = betas[best]
 
-        final_state = qaoa_state(table, best_gammas, best_betas, n_qubits)
-        probs = final_state[0] * final_state[0] + final_state[1] * final_state[1]
-        if config.shots is not None:
-            samples = sample_indices(key_measure, probs, config.shots)
-            sampled_energies = table[samples]
-            hit = int(np.argmin(np.asarray(sampled_energies)))
-            best_state = int(np.asarray(samples)[hit])
-            unique, counts = np.unique(np.asarray(samples), return_counts=True)
-            distribution = {
-                int(s): float(c) / config.shots for s, c in zip(unique, counts)
-            }
-        else:
-            probs_host = np.asarray(probs, dtype=np.float64)
-            best_state = int(np.argmax(probs_host))
-            top = np.argsort(probs_host)[::-1]
-            top = top[probs_host[top] > 1e-9][:64]
-            distribution = {int(s): float(probs_host[s]) for s in top}
-
-        table_host = np.asarray(table, dtype=np.float64)
-
         result = QAOAResult()
+        if mesh is not None:
+            finalize = make_sharded_qaoa_finalize_fn(
+                mesh, n_qubits, config.shots if config.shots is not None else 0
+            )
+            top_i, top_p, samples = finalize(table, best_gammas, best_betas, key_measure)
+            top_i = np.asarray(top_i)
+            top_p = np.asarray(top_p, dtype=np.float64)
+            if config.shots is not None:
+                samples = np.asarray(samples)
+                sampled_energies = _host_state_energies(coeffs, z_masks, samples)
+                best_state = int(samples[int(np.argmin(sampled_energies))])
+                unique, counts = np.unique(samples, return_counts=True)
+                distribution = {
+                    int(s): float(c) / config.shots for s, c in zip(unique, counts)
+                }
+            else:
+                best_state = int(top_i[int(np.argmax(top_p))])
+                order = np.argsort(top_p)[::-1]
+                order = order[top_p[order] > 1e-9]
+                distribution = {int(top_i[i]): float(top_p[i]) for i in order}
+            result.best_bitstring_energy = float(
+                _host_state_energies(coeffs, z_masks, np.asarray([best_state]))[0]
+            )
+            # the full 2^n state never leaves the mesh; warm-starting a
+            # sharded VQE solve re-simulates from the schedule instead
+            result.optimal_state = None
+        else:
+            final_state = qaoa_state(table, best_gammas, best_betas, n_qubits)
+            probs = final_state[0] * final_state[0] + final_state[1] * final_state[1]
+            table_host = np.asarray(table, dtype=np.float64)
+            if config.shots is not None:
+                samples = sample_indices(key_measure, probs, config.shots)
+                sampled_energies = table[samples]
+                hit = int(np.argmin(np.asarray(sampled_energies)))
+                best_state = int(np.asarray(samples)[hit])
+                unique, counts = np.unique(np.asarray(samples), return_counts=True)
+                distribution = {
+                    int(s): float(c) / config.shots for s, c in zip(unique, counts)
+                }
+            else:
+                probs_host = np.asarray(probs, dtype=np.float64)
+                best_state = int(np.argmax(probs_host))
+                top = np.argsort(probs_host)[::-1]
+                top = top[probs_host[top] > 1e-9][:64]
+                distribution = {int(s): float(probs_host[s]) for s in top}
+            result.best_bitstring_energy = float(table_host[best_state])
+            result.optimal_state = np.asarray(final_state)
+
         result.eigenvalue = float(energies_host[best])
         result.best_bitstring = best_state
-        result.best_bitstring_energy = float(table_host[best_state])
         result.optimal_gammas = tuple(float(g) for g in np.asarray(best_gammas))
         result.optimal_betas = tuple(float(b) for b in np.asarray(best_betas))
         result.eigenstate = distribution
-        result.optimal_state = np.asarray(final_state)
         result.start_energies = tuple(float(e) for e in energies_host)
         # ledger convention: one evaluation per objective (forward) pass,
         # matching the gradient family's counting (optim/gradient.py)

@@ -188,6 +188,107 @@ class TestQAOASolver:
         # refinement may only improve on the warm start's expectation
         assert result.eigenvalue <= qaoa_result.eigenvalue + 1e-4
 
+
+class TestShardedQAOA:
+    """Amplitude-sharded QAOA on the virtual 8-device CPU mesh."""
+
+    def _op(self):
+        return maxcut_hamiltonian(5, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 2)])
+
+    def test_sharded_energies_match_single_chip(self):
+        from queasars_tpu.paulis.diagonal import diagonal_terms
+        from queasars_tpu.sim.qaoa import make_sharded_qaoa_energies_fn, qaoa_energies_batch
+        from queasars_tpu.sim.sharded_evaluator import amplitude_mesh
+        from queasars_tpu.sim.sharded_statevector import build_device_table
+
+        op, _ = self._op()
+        coeffs, z_masks = diagonal_terms(op)
+        table_single = diagonal_energy_table_device(op)
+        rng = np.random.default_rng(8)
+        gammas = jnp.asarray(rng.uniform(-0.5, 0.5, size=(3, 2)), dtype=jnp.float32)
+        betas = jnp.asarray(rng.uniform(0, np.pi, size=(3, 2)), dtype=jnp.float32)
+        expected = np.asarray(qaoa_energies_batch(table_single, gammas, betas, 5))
+
+        mesh = amplitude_mesh(4)
+        table = build_device_table(mesh, coeffs, z_masks, 5)
+        energies = make_sharded_qaoa_energies_fn(mesh, 5)(table, gammas, betas)
+        np.testing.assert_allclose(np.asarray(energies), expected, atol=2e-6)
+
+    def test_energies_bit_identical_across_factorizations(self):
+        from queasars_tpu.paulis.diagonal import diagonal_terms
+        from queasars_tpu.sim.qaoa import make_sharded_qaoa_energies_fn
+        from queasars_tpu.sim.sharded_evaluator import amplitude_mesh
+        from queasars_tpu.sim.sharded_statevector import build_device_table
+
+        op, _ = self._op()
+        coeffs, z_masks = diagonal_terms(op)
+        rng = np.random.default_rng(13)
+        gammas = jnp.asarray(rng.uniform(-0.5, 0.5, size=(2, 3)), dtype=jnp.float32)
+        betas = jnp.asarray(rng.uniform(0, np.pi, size=(2, 3)), dtype=jnp.float32)
+
+        results = []
+        for n_dev in (1, 2, 4, 8):
+            mesh = amplitude_mesh(n_dev)
+            table = build_device_table(mesh, coeffs, z_masks, 5)
+            e = make_sharded_qaoa_energies_fn(mesh, 5)(table, gammas, betas)
+            results.append(np.asarray(e))
+        for other in results[1:]:
+            np.testing.assert_array_equal(results[0], other)
+
+    def test_sharded_gradient_matches_single_chip(self):
+        from queasars_tpu.paulis.diagonal import diagonal_terms
+        from queasars_tpu.sim.qaoa import make_sharded_qaoa_energies_fn, qaoa_energies_batch
+        from queasars_tpu.sim.sharded_evaluator import amplitude_mesh
+        from queasars_tpu.sim.sharded_statevector import build_device_table
+
+        op, _ = self._op()
+        coeffs, z_masks = diagonal_terms(op)
+        table_single = diagonal_energy_table_device(op)
+        mesh = amplitude_mesh(4)
+        table = build_device_table(mesh, coeffs, z_masks, 5)
+        fn = make_sharded_qaoa_energies_fn(mesh, 5)
+
+        params = jnp.asarray([[0.2, -0.3, 0.8, 1.1]], dtype=jnp.float32)
+        g_sharded = jax.grad(lambda x: jnp.sum(fn(table, x[:, :2], x[:, 2:])))(params)
+        g_single = jax.grad(
+            lambda x: jnp.sum(qaoa_energies_batch(table_single, x[:, :2], x[:, 2:], 5))
+        )(params)
+        np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), atol=5e-5)
+
+    def test_sharded_solve_exact_and_shots(self):
+        op, offset = self._op()
+        table = diagonal_energy_table(op)
+        config = QAOAConfiguration(reps=3, n_starts=4, maxiter=120, seed=2, n_devices=4)
+        result = QAOAMinimumEigensolver(config).compute_minimum_eigenvalue(op)
+        assert result.best_bitstring_energy == pytest.approx(float(np.min(table)))
+        assert result.optimal_state is None
+        assert abs(sum(result.eigenstate.values()) - 1.0) < 1e-5
+
+        shot_config = QAOAConfiguration(
+            reps=3, n_starts=4, maxiter=120, seed=2, n_devices=4, shots=256
+        )
+        shot_result = QAOAMinimumEigensolver(shot_config).compute_minimum_eigenvalue(op)
+        assert shot_result.best_bitstring_energy == pytest.approx(
+            float(table[shot_result.best_bitstring])
+        )
+        assert abs(sum(shot_result.eigenstate.values()) - 1.0) < 1e-9
+
+    def test_sharded_solve_matches_single_chip_trajectory(self):
+        # same seed, same schedule init -> the optimized energies agree
+        op, _ = self._op()
+        single = QAOAMinimumEigensolver(
+            QAOAConfiguration(reps=2, n_starts=3, maxiter=60, seed=5)
+        ).compute_minimum_eigenvalue(op)
+        sharded = QAOAMinimumEigensolver(
+            QAOAConfiguration(reps=2, n_starts=3, maxiter=60, seed=5, n_devices=8)
+        ).compute_minimum_eigenvalue(op)
+        np.testing.assert_allclose(
+            np.asarray(sharded.start_energies), np.asarray(single.start_energies), atol=5e-5
+        )
+        assert sharded.best_bitstring == single.best_bitstring
+
+
+class TestQAOAValidation:
     def test_non_diagonal_operator_rejected(self):
         op = PauliSum.from_label("XZ", 1.0)
         with pytest.raises(ValueError, match="diagonal"):
