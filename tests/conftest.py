@@ -26,6 +26,26 @@ assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
 
 import pytest
 
+# Fast core-correctness tier (VERDICT r3 weak #5): `pytest -m smoke` runs
+# these modules in ~3 min on the 1-core box — genome/encoder/engine/optimizer
+# correctness plus one real end-to-end solve — while the full 45-min suite
+# stays the round gate.  Module list rather than per-test marks so new tests
+# in a core module join the tier automatically.
+_SMOKE_MODULES = {
+    "test_ci", "test_genome", "test_pauli_sum", "test_domain_wall_variables",
+    "test_jssp_problem_instances", "test_jssp_serialization", "test_jssp_encoder",
+    "test_statevector", "test_termination_criteria", "test_config_validation",
+    "test_parameter_order", "test_qasm_export", "test_bench_smoke",
+    "test_reference_fixtures", "test_qubo", "test_optim", "test_evolution",
+    "test_evaluators", "test_checkpoint_module", "test_profiling", "test_lint",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
