@@ -101,6 +101,13 @@ class AdaptVQEConfiguration:
     :param initial_state: optional start state — a statevector or an
         :class:`EVQEIndividual` whose circuit prepares it (same
         contract as the evaluators); overrides ``start``
+    :param mesh: shard the pool-gradient screen over this device mesh —
+        the candidate axis (O(n²) candidates for the ``"full"`` pool) is
+        ADAPT-VQE's natural parallel dimension, each device screening
+        its block of the pool against the replicated state; per-device
+        results agree with the single-device screen to float exactness
+    :param n_devices: shorthand for ``mesh``: screen over the first
+        ``n_devices`` visible devices
     """
 
     max_depth: int = 20
@@ -114,6 +121,8 @@ class AdaptVQEConfiguration:
     eps: float = 1e-8
     start: str = "plus"
     initial_state: Optional[Union[np.ndarray, EVQEIndividual]] = None
+    mesh: Optional[object] = None
+    n_devices: Optional[int] = None
 
     def __post_init__(self):
         if self.max_depth < 1:
@@ -177,29 +186,89 @@ def _energy_closure(diagonal: bool, operands):
     return efn
 
 
+def _pool_gradient(state, types_row, controls_row, amask_row, operands, n_qubits, diagonal):
+    """d⟨H⟩/dθ at θ=0 for appending one pool candidate to ``state``."""
+    efn = _energy_closure(diagonal, operands)
+
+    def energy_at(theta):
+        ang = amask_row * theta
+        s = state
+        for q in range(n_qubits):
+            s = _apply_slot(s, q, types_row[q], controls_row[q], ang[q], n_qubits)
+        return efn(s)
+
+    return jax.grad(energy_at)(jnp.float32(0.0))
+
+
 @partial(jax.jit, static_argnames=("n_qubits", "diagonal"))
 def _screen_pool(
     state, pool_types, pool_controls, pool_amask, operands, n_qubits, diagonal
 ):
-    """d⟨H⟩/dθ at θ=0 for appending each pool candidate to ``state``.
-
-    Each candidate is a one-hot single-gate layer ([C, n] types/controls,
-    [C, n, 3] angle placement); the whole pool screens in one vmapped
-    forward+adjoint pass.
-    """
-    efn = _energy_closure(diagonal, operands)
+    """Pool gradients at θ=0: each candidate is a one-hot single-gate
+    layer ([C, n] types/controls, [C, n, 3] angle placement); the whole
+    pool screens in one vmapped forward+adjoint pass."""
 
     def one(types_row, controls_row, amask_row):
-        def energy_at(theta):
-            ang = amask_row * theta
-            s = state
-            for q in range(n_qubits):
-                s = _apply_slot(s, q, types_row[q], controls_row[q], ang[q], n_qubits)
-            return efn(s)
-
-        return jax.grad(energy_at)(jnp.float32(0.0))
+        return _pool_gradient(
+            state, types_row, controls_row, amask_row, operands, n_qubits, diagonal
+        )
 
     return jax.vmap(one)(pool_types, pool_controls, pool_amask)
+
+
+def _screen_pool_sharded(
+    mesh, state, pool_types, pool_controls, pool_amask, operands, n_qubits, diagonal
+):
+    """The pool screen SPMD over a device mesh: the candidate axis is
+    the natural parallel dimension of ADAPT-VQE (one forward+adjoint
+    pass per candidate, all independent), so each device screens its
+    block of the pool against the replicated current state and the
+    results concatenate with no collective at all.  Per-candidate math
+    is untouched, so sharded and unsharded screens agree to float
+    exactness (pinned in tests/test_adapt_vqe.py)."""
+    from jax.sharding import PartitionSpec
+
+    axis = mesh.axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    sharded = PartitionSpec(axis)
+    replicated = PartitionSpec()
+
+    n_candidates = pool_types.shape[0]
+    pad = (-n_candidates) % n_dev
+    if pad:
+        # padded candidates are all-identity layers: energy_at is then
+        # θ-independent, the gradient identically zero, and the pads are
+        # sliced off before selection
+        pool_types = jnp.concatenate(
+            [jnp.asarray(pool_types), jnp.zeros((pad, n_qubits), jnp.int32)]
+        )
+        pool_controls = jnp.concatenate(
+            [jnp.asarray(pool_controls), jnp.full((pad, n_qubits), -1, jnp.int32)]
+        )
+        pool_amask = jnp.concatenate(
+            [jnp.asarray(pool_amask), jnp.zeros((pad, n_qubits, 3), jnp.float32)]
+        )
+
+    def local(state, types_block, controls_block, amask_block, operands):
+        def one(types_row, controls_row, amask_row):
+            return _pool_gradient(
+                state, types_row, controls_row, amask_row, operands, n_qubits, diagonal
+            )
+
+        return jax.vmap(one)(types_block, controls_block, amask_block)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            replicated, sharded, sharded, sharded,
+            jax.tree.map(lambda _: replicated, operands),
+        ),
+        out_specs=sharded,
+        check_vma=False,
+    )
+    grads = jax.jit(mapped)(state, pool_types, pool_controls, pool_amask, operands)
+    return grads[:n_candidates]
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "maxiter", "diagonal"))
@@ -315,6 +384,12 @@ class AdaptVQEMinimumEigensolver:
         pool_t, pool_c, pool_a, labels = _build_pool(n, cfg.pool)
         pool_t, pool_c, pool_a = map(jnp.asarray, (pool_t, pool_c, pool_a))
 
+        mesh = cfg.mesh
+        if mesh is None and cfg.n_devices is not None:
+            from queasars_tpu.parallel import population_mesh
+
+            mesh = population_mesh(cfg.n_devices)
+
         L = cfg.max_depth
         gate_types = np.zeros((L, n), np.int32)
         controls = np.full((L, n), -1, np.int32)
@@ -342,9 +417,16 @@ class AdaptVQEMinimumEigensolver:
                 jnp.asarray(gate_types), jnp.asarray(controls), jnp.asarray(angles),
                 jnp.asarray(layer_mask), initial, n,
             )
-            grads = np.asarray(
-                _screen_pool(state, pool_t, pool_c, pool_a, operands, n, diagonal)
-            )
+            if mesh is not None:
+                grads = np.asarray(
+                    _screen_pool_sharded(
+                        mesh, state, pool_t, pool_c, pool_a, operands, n, diagonal
+                    )
+                )
+            else:
+                grads = np.asarray(
+                    _screen_pool(state, pool_t, pool_c, pool_a, operands, n, diagonal)
+                )
             n_evals += len(labels)
             pick = int(np.argmax(np.abs(grads)))
             g_pick = float(grads[pick])

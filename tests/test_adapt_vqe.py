@@ -189,3 +189,50 @@ def test_evaluation_ledger_counts():
     screens = grown + (1 if res.converged else 0)
     expected = 1 + screens * n_pool + grown * 2 * 10
     assert res.n_circuit_evaluations == expected
+
+
+def test_mesh_sharded_screen_matches_single_device():
+    """The pool screen sharded over the 8-device mesh is bit-identical
+    per candidate to the single-device screen (the candidate axis is
+    embarrassingly parallel — no collective, no reduction reorder), and
+    a mesh solve reproduces the unsharded solve."""
+    import jax
+
+    from queasars_tpu.parallel import population_mesh
+    from queasars_tpu.solver.adapt_vqe import _screen_pool_sharded
+
+    n = 4
+    h = transverse_field_ising(n, coupling=0.9, field=1.1)
+    operands = (
+        jnp.asarray(h.coeffs.real.astype(np.float32)),
+        jnp.asarray(h.coeffs.imag.astype(np.float32)),
+        jnp.asarray(h.z[:, 0].astype(np.uint32)),
+        jnp.asarray(h.x[:, 0].astype(np.uint32)),
+    )
+    pool_t, pool_c, pool_a, labels = _build_pool(n, "full")
+    pool_t, pool_c, pool_a = map(jnp.asarray, (pool_t, pool_c, pool_a))
+    amp = np.float32(2.0 ** (-n / 2.0))
+    state = jnp.asarray(
+        np.stack([np.full(1 << n, amp, np.float32), np.zeros(1 << n, np.float32)])
+    )
+    single = np.asarray(_screen_pool(state, pool_t, pool_c, pool_a, operands, n, False))
+    # the full pool (2n + 4*n*(n-1)/2*2 candidates) is not a multiple of
+    # 8, so the padding path is exercised too
+    sharded = np.asarray(
+        _screen_pool_sharded(
+            population_mesh(8), state, pool_t, pool_c, pool_a, operands, n, False
+        )
+    )
+    assert sharded.shape == (len(labels),)
+    np.testing.assert_array_equal(single, sharded)
+
+    cfg = dict(max_depth=3, optimizer_maxiter=15, pool="linear")
+    plain = AdaptVQEMinimumEigensolver(
+        AdaptVQEConfiguration(**cfg)
+    ).compute_minimum_eigenvalue(h)
+    meshed = AdaptVQEMinimumEigensolver(
+        AdaptVQEConfiguration(**cfg, n_devices=8)
+    ).compute_minimum_eigenvalue(h)
+    assert [it.candidate for it in meshed.iterations] == [it.candidate for it in plain.iterations]
+    assert meshed.eigenvalue == pytest.approx(plain.eigenvalue, abs=1e-6)
+    assert meshed.n_circuit_evaluations == plain.n_circuit_evaluations
