@@ -69,6 +69,10 @@ class QAOAConfiguration:
         scales past the single-chip qubit ceiling like the VQE family
     :param n_devices: shorthand for ``mesh``: build an amplitude mesh
         over the first ``n_devices`` visible devices
+    :param eigenstate_top_k: exact-measurement paths truncate the
+        reported ``QAOAResult.eigenstate`` to this many
+        highest-probability basis states (per shard when amplitude
+        sharded) — the dict need not sum to 1 for broad distributions
     """
 
     reps: int = 2
@@ -82,8 +86,11 @@ class QAOAConfiguration:
     seed: int = 0
     mesh: Optional[object] = None
     n_devices: Optional[int] = None
+    eigenstate_top_k: int = 64
 
     def __post_init__(self) -> None:
+        if self.eigenstate_top_k < 1:
+            raise ValueError("eigenstate_top_k must be positive!")
         if self.reps < 1:
             raise ValueError("QAOA needs at least one (cost, mixer) layer pair!")
         if self.n_starts < 1:
@@ -104,6 +111,14 @@ class QAOAResult:
         self.optimal_gammas: Optional[tuple[float, ...]] = None
         self.optimal_betas: Optional[tuple[float, ...]] = None
         self.eigenstate: Optional[dict[int, float]] = None
+        """Measured/most-probable bitstring distribution.  With
+        ``shots`` set this is the exact empirical shot histogram (sums
+        to 1).  On the EXACT path it is a TRUNCATED view of the
+        eigenstate — the ``eigenstate_top_k`` highest-probability basis
+        states (per shard under amplitude sharding, concatenated across
+        shards) — so for broad distributions the values need NOT sum
+        to 1; raise ``QAOAConfiguration.eigenstate_top_k`` for more
+        mass."""
         self.start_energies: Optional[tuple[float, ...]] = None
         self.circuit_evaluations: Optional[int] = None
         self.optimal_state: Optional[np.ndarray] = None
@@ -259,7 +274,8 @@ class QAOAMinimumEigensolver:
         result = QAOAResult()
         if mesh is not None:
             finalize = make_sharded_qaoa_finalize_fn(
-                mesh, n_qubits, config.shots if config.shots is not None else 0
+                mesh, n_qubits, config.shots if config.shots is not None else 0,
+                top_k=config.eigenstate_top_k,
             )
             top_i, top_p, samples = finalize(table, best_gammas, best_betas, key_measure)
             top_i = np.asarray(top_i)
@@ -300,7 +316,7 @@ class QAOAMinimumEigensolver:
                 probs_host = np.asarray(probs, dtype=np.float64)
                 best_state = int(np.argmax(probs_host))
                 top = np.argsort(probs_host)[::-1]
-                top = top[probs_host[top] > 1e-9][:64]
+                top = top[probs_host[top] > 1e-9][: config.eigenstate_top_k]
                 distribution = {int(s): float(probs_host[s]) for s in top}
             result.best_bitstring_energy = float(table_host[best_state])
             result.optimal_state = np.asarray(final_state)
@@ -311,9 +327,11 @@ class QAOAMinimumEigensolver:
         result.optimal_betas = tuple(float(b) for b in np.asarray(best_betas))
         result.eigenstate = distribution
         result.start_energies = tuple(float(e) for e in energies_host)
-        # ledger convention: one evaluation per objective (forward) pass,
-        # matching the gradient family's counting (optim/gradient.py)
-        result.circuit_evaluations = config.n_starts * (config.maxiter + 1)
+        # ledger convention: each Adam step charges 2 reference-equivalent
+        # evaluations (forward + adjoint), matching the gradient family
+        # (optim/gradient.py GradientDescentConfig.n_circuit_evaluations),
+        # plus the final forward pass that reads the converged energies
+        result.circuit_evaluations = config.n_starts * (2 * config.maxiter + 1)
         logger.info(
             "QAOA p=%d: best of %d starts reached <H> = %.6f",
             config.reps,

@@ -120,7 +120,9 @@ class TestQAOASolver:
         assert cut == pytest.approx(4.0)
         # the optimized expectation must beat the uniform-state value (0)
         assert result.eigenvalue < -1.0
-        assert result.circuit_evaluations == 4 * 121
+        # 2 reference-equivalent evals per Adam step (forward + adjoint,
+        # the gradient-family ledger convention) + the final forward pass
+        assert result.circuit_evaluations == 4 * (2 * 120 + 1)
         assert len(result.optimal_gammas) == 2 and len(result.optimal_betas) == 2
 
     def test_shots_path_reproducible_and_consistent(self):
