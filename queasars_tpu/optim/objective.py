@@ -58,8 +58,12 @@ def population_energies(
     QWC grouped-measurement operands
     ``(rot_types, rot_angles, tables, const)``.  ``precision`` (a traced
     scalar, or None to disable at trace time) adds per-individual Gaussian
-    noise of that standard deviation — the estimator-precision semantics of
-    the reference (circuit_evaluation.py:210-213).  ``fold_jnp`` routes the
+    noise of that standard deviation — a legacy additive-noise hook: since
+    round 4 the estimator ``precision`` knob is realized as shot sampling
+    (``objective_operands`` emits sampler operands with Aer's
+    ceil(p^-2)-shots rule, the reference's noise law,
+    circuit_evaluation.py:210-213), so production paths always pass None
+    here.  ``fold_jnp`` routes the
     non-Pallas simulation through the differentiable kron-fold applier
     (``simulate_circuits_folded`` — MXU group matmuls instead of per-slot
     passes; the adjoint-gradient optimizer's production engine).
@@ -330,12 +334,11 @@ def objective_operands(evaluator):
 
     dummy = jnp.zeros(1, dtype=jnp.float32)
     dummy_order = jnp.zeros(1, dtype=jnp.int32)
-    precision = (
-        jnp.float32(evaluator.precision)
-        if getattr(evaluator, "precision", 0.0) > 0.0
-        else None
-    )
     if isinstance(evaluator, StatevectorExpectationEvaluator):
+        if evaluator._precision_sampler is not None:
+            # shot-based estimator precision (Aer's ceil(p^-2)-shots rule):
+            # the objective IS the sampler objective at that shot count
+            return objective_operands(evaluator._precision_sampler)
         if not evaluator._diagonal:
             # general (non-diagonal) Pauli sum: dense MXU matvec for small
             # systems, matrix-free term scan otherwise.  Mesh runs always
@@ -357,7 +360,7 @@ def objective_operands(evaluator):
                 initial_state=evaluator._initial,
                 use_pallas=False,
                 use_general=True,
-                precision=precision,
+                precision=None,
             )
         use_cvar = evaluator.alpha < 1.0
         return dict(
@@ -374,7 +377,7 @@ def objective_operands(evaluator):
                 and evaluator._initial is None
                 and _kernel_ok(evaluator.n_qubits)
             ),
-            precision=precision,
+            precision=None,
         )
     if isinstance(evaluator, SamplerExpectationEvaluator):
         if evaluator._grouped is not None:

@@ -250,10 +250,15 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
 
     Mirrors OperatorCircuitEvaluator (reference: circuit_evaluation.py:
     164-219) including the estimator ``precision`` knob: the reference
-    threads precision into ``estimator.run`` (:210-213), which yields
-    shot-noise-like stochasticity of that standard error; here the same
-    statistics come from seeded Gaussian noise of standard deviation
-    ``precision`` added to the exact energies (precision=0 = exact).
+    threads precision into ``estimator.run`` (:210-213), where Aer's
+    EstimatorV2 realizes it as a SHOT-BASED estimate with
+    ``ceil(precision**-2)`` measurement shots.  Round 4 matches that
+    noise *law* exactly (it was a Gaussian of matching standard error
+    before): precision > 0 routes the evaluation through the sampler
+    machinery with that shot count, so energies are true multinomial
+    shot means — discrete at low shot counts, seeded, deterministic,
+    and bit-identical across mesh device counts like every sampler
+    path.
 
     :param operator: the Hamiltonian (any PauliSum; CVaR requires diagonal)
     :param alpha: CVaR lower-tail mass in (0, 1]; 1 = plain expectation
@@ -262,9 +267,11 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
         :class:`EVQEIndividual` whose circuit prepares the start state
     :param use_pallas: route diagonal evaluations through the fused VMEM
         kernel (TPU, 7 <= n <= 20, no initial state); None = env toggle
-    :param precision: standard error of each reported energy (0 = exact)
-    :param seed: RNG seed for the precision noise (fresh draws per call,
-        deterministic overall)
+    :param precision: target standard error of each reported energy
+        (0 = exact), realized as ``ceil(precision**-2)`` shots per
+        evaluation — Aer EstimatorV2's precision-to-shots rule
+    :param seed: RNG seed for the precision shot stream (successive
+        evaluations fold in a counter; deterministic overall)
     """
 
     def __init__(
@@ -284,7 +291,22 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
         self.operator = operator
         self.alpha = float(alpha)
         self.precision = float(precision)
-        self._noise_rng = np.random.default_rng(seed)
+        if self.precision > 0.0:
+            # shot-based precision: ceil(p^-2) shots per evaluation through
+            # the sampler machinery (counts-based on CPU, in-kernel sampler
+            # under use_pallas) — the true multinomial noise law
+            self._precision_sampler: Optional[SamplerExpectationEvaluator] = (
+                SamplerExpectationEvaluator(
+                    operator,
+                    shots=int(np.ceil(self.precision ** -2.0)),
+                    alpha=alpha,
+                    seed=seed,
+                    initial_state=initial_state,
+                    use_pallas=use_pallas,
+                )
+            )
+        else:
+            self._precision_sampler = None
         self._initial = _prepare_initial_state(initial_state, operator.n_qubits)
         self._use_pallas = _pallas_requested(use_pallas)
 
@@ -313,14 +335,21 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
                 self._h_re = jnp.asarray(dense.real.astype(np.float32))
                 self._h_im = jnp.asarray(dense.imag.astype(np.float32))
 
-    def _apply_precision_noise(self, energies: np.ndarray) -> np.ndarray:
-        """Seeded Gaussian noise matching the reference's estimator
-        precision semantics (circuit_evaluation.py:210-213)."""
-        if self.precision == 0.0:
-            return energies
-        return energies + self._noise_rng.normal(0.0, self.precision, size=energies.shape).astype(
-            energies.dtype
-        )
+    @property
+    def _counter(self) -> int:
+        """Consumable-randomness state of the precision shot stream —
+        exposed under the sampler evaluator's attribute name so
+        checkpoint/resume (solver/checkpoint.py) round-trips it
+        unchanged.  AttributeError when precision=0 (no stream)."""
+        if self._precision_sampler is None:
+            raise AttributeError("_counter")
+        return self._precision_sampler._counter
+
+    @_counter.setter
+    def _counter(self, value: int) -> None:
+        if self._precision_sampler is None:
+            raise AttributeError("_counter")
+        self._precision_sampler._counter = int(value)
 
     def _pallas_applicable(self, packed) -> bool:
         from queasars_tpu.sim.pallas_kernels import pallas_supported
@@ -333,6 +362,8 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
         )
 
     def evaluate_packed(self, packed, angles=None):
+        if self._precision_sampler is not None:
+            return self._precision_sampler.evaluate_packed(packed, angles)
         a = packed.angles if angles is None else angles
         n = packed.n_qubits
         pop_args = (packed.gate_types, packed.controls, a, packed.layer_mask)
@@ -384,7 +415,7 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
                 pop_args,
                 (self._coeffs_re, self._coeffs_im, self._z, self._x, self._initial),
             )
-        return self._apply_precision_noise(out)
+        return out
 
 
 class SamplerExpectationEvaluator(BaseCircuitEvaluator):

@@ -139,6 +139,7 @@ from queasars_tpu.sim.sharded_statevector import (
     _block_counts,
     _mesh_bits,
     _tree_reduce_last,
+    blocked_shot_positions,
 )
 
 
@@ -245,15 +246,11 @@ def make_sharded_qaoa_finalize_fn(mesh: Mesh, n_qubits: int, shots: int, top_k: 
         ).reshape(-1)
 
         if shots > 0:
-            local_cdf = jnp.cumsum(probs)
-            masses = jax.lax.all_gather(local_cdf[-1], AMP_AXIS)
-            offsets = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(masses)])
-            lo = offsets[device_id]
-            hi = offsets[device_id + 1]
-            u = jax.random.uniform(key, (shots,), jnp.float32, maxval=offsets[-1])
-            in_shard = jnp.logical_and(u >= lo, u < hi)
-            pos = jnp.searchsorted(local_cdf, u - lo, side="right")
-            pos = jnp.clip(pos, 0, probs.shape[0] - 1)
+            # width-invariant blocked inverse-CDF: the sampled bitstrings
+            # are bit-identical across mesh factorizations, like the
+            # exact-energies path (ADVICE r3: the previous per-shard
+            # running-offset draws depended on the shard width)
+            pos, in_shard = blocked_shot_positions(probs, key, shots, device_id, n_amp)
             samples = jax.lax.psum(
                 jnp.where(in_shard, pos.astype(jnp.uint32) | base, 0).astype(jnp.uint32),
                 AMP_AXIS,

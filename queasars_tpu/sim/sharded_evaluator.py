@@ -21,11 +21,13 @@ picks the factorization explicitly.
 
 **Determinism.** Exact energies (and the device NFT sweeps built on
 them) reduce blockwise with a fixed block count
-(``sharded_statevector.AMP_BLOCKS``), so solve trajectories are
-bit-identical across every ``(pop, amp)`` factorization of the same
-device set (pinned by tests/test_pop_amp_mesh.py).  Finite-shot paths
-are deterministic per factorization (the hierarchical CDF offsets depend
-on the shard width at the float-rounding level).
+(``sharded_statevector.AMP_BLOCKS``), and finite-shot paths draw
+through a fixed-tree blocked inverse-CDF
+(``sharded_statevector.blocked_shot_positions``, block count
+``SAMPLE_BLOCKS`` over the GLOBAL index space) — so both exact and
+shot-based solve trajectories are bit-identical across every
+``(pop, amp)`` factorization of the same device set (pinned by
+tests/test_pop_amp_mesh.py, including the shots path).
 
 Distribution notes:
 - the diagonal energy table is built SHARD-LOCALLY inside the mesh from
@@ -190,9 +192,13 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         used as-is; a 1-D mesh is factored per ``amp_devices``
     :param alpha: CVaR lower-tail mass in (0, 1]
     :param shots: finite measurement shots (None = exact distributions)
-    :param seed: RNG seed for the shot sampling / precision noise
-    :param precision: standard error of each reported energy (seeded
-        Gaussian noise, matching StatevectorExpectationEvaluator)
+    :param seed: RNG seed for the shot sampling / precision shot stream
+    :param precision: target standard error of each reported energy,
+        realized as ``ceil(precision**-2)`` measurement shots through the
+        fully-distributed shot sampler (Aer EstimatorV2's
+        precision-to-shots rule — the true multinomial noise law,
+        matching StatevectorExpectationEvaluator); mutually exclusive
+        with ``shots``
     :param initial_state: optional start state for every circuit — a
         [2^n] complex / [2, 2^n] real-planes array or an
         :class:`EVQEIndividual`; prepared once, amp-sharded, and
@@ -255,7 +261,16 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         self.alpha = float(alpha)
         self.shots = None if shots is None else int(shots)
         self.precision = float(precision)
-        self._noise_rng = np.random.default_rng(seed)
+        if self.precision > 0.0:
+            if self.shots is not None:
+                raise ValueError(
+                    "precision and shots are mutually exclusive: precision IS "
+                    "a shot count (ceil(precision**-2)) through the sampler"
+                )
+            # shot-based precision (Aer EstimatorV2's rule) through the
+            # fully-distributed sampler — true multinomial noise, seeded,
+            # bit-identical across (pop, amp) factorizations
+            self.shots = int(np.ceil(self.precision ** -2.0))
 
         self._diagonal = operator.is_diagonal
         if self._diagonal:
@@ -997,13 +1012,15 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
     # ------------------------------------------------------------------
 
     def _sampled_energies_fn(self, shots: int, use_cvar: bool):
-        """Compiled fully-distributed shot sampling: hierarchical
-        inverse-CDF over the amplitude shards (each shard owns the CDF
-        interval [offset_d, offset_{d+1}) given by the running sum of
-        shard masses; the shard containing a draw resolves it locally and
-        a psum assembles the per-shot energies), then the shot-multiset
-        expectation/CVaR reduction over [P, shots].  No full 2^n array
-        ever leaves the mesh — multi-controller safe."""
+        """Compiled fully-distributed shot sampling: width-invariant
+        hierarchical inverse-CDF over the amplitude shards
+        (``sharded_statevector.blocked_shot_positions`` — the CDF tree
+        is built over fixed global-index blocks, so draws are
+        bit-identical across (pop, amp) factorizations; the shard
+        containing a draw resolves it locally and a psum assembles the
+        per-shot energies), then the shot-multiset expectation/CVaR
+        reduction over [P, shots].  No full 2^n array ever leaves the
+        mesh — multi-controller safe."""
         from jax import shard_map
 
         key = ("sampled", shots, use_cvar)
@@ -1011,7 +1028,9 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             return self._fns[key]
 
         from queasars_tpu.sim.expectation import cvar_expectation_from_shot_energies
+        from queasars_tpu.sim.sharded_statevector import blocked_shot_positions
 
+        n_amp, _local_bits = _mesh_bits(self.mesh, self.n_qubits)
         map_states = self._map_local_states()
 
         def sampled(gate_types, controls, angles, layer_mask, keys, alpha, table_local,
@@ -1020,17 +1039,12 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
 
             def per_state(state, k):
                 local_probs = state[0] ** 2 + state[1] ** 2
-                local_cdf = jnp.cumsum(local_probs)
-                # every shard computes the same offsets vector from the
-                # gathered masses, so the intervals exactly tile [0, total)
-                masses = jax.lax.all_gather(local_cdf[-1], AMP_AXIS)  # [D]
-                offsets = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(masses)])
-                lo = offsets[device_id]
-                hi = offsets[device_id + 1]
-                u = jax.random.uniform(k, (shots,), jnp.float32, maxval=offsets[-1])
-                in_shard = jnp.logical_and(u >= lo, u < hi)
-                pos = jnp.searchsorted(local_cdf, u - lo, side="right")
-                pos = jnp.clip(pos, 0, local_probs.shape[0] - 1)
+                # fixed-tree CDF over global-index blocks: draws and
+                # resolved states are bit-identical across (pop, amp)
+                # factorizations (sharded_statevector.blocked_shot_positions)
+                pos, in_shard = blocked_shot_positions(
+                    local_probs, k, shots, device_id, n_amp
+                )
                 contrib = jnp.where(in_shard, table_local[pos], 0.0)
                 return jax.lax.psum(contrib, AMP_AXIS)  # [shots]
 
@@ -1076,7 +1090,10 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
         if key in self._fns:
             return self._fns[key]
 
-        from queasars_tpu.sim.sharded_statevector import _simulate_local
+        from queasars_tpu.sim.sharded_statevector import (
+            _simulate_local,
+            blocked_shot_positions,
+        )
 
         n_devices, local_bits = _mesh_bits(self.mesh, self.n_qubits)
         n_qubits = self.n_qubits
@@ -1098,20 +1115,12 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                         initial_local=state,
                     )
                     local_probs = rotated[0] ** 2 + rotated[1] ** 2
-                    local_cdf = jnp.cumsum(local_probs)
-                    masses = jax.lax.all_gather(local_cdf[-1], AMP_AXIS)  # [D]
-                    offsets = jnp.concatenate(
-                        [jnp.zeros(1, jnp.float32), jnp.cumsum(masses)]
-                    )
-                    lo = offsets[device_id]
-                    hi = offsets[device_id + 1]
                     g_key = jax.random.fold_in(k, g_idx)
-                    u = jax.random.uniform(
-                        g_key, (g_shots,), jnp.float32, maxval=offsets[-1]
+                    # width-invariant blocked inverse-CDF (bit-identical
+                    # across mesh factorizations)
+                    pos, in_shard = blocked_shot_positions(
+                        local_probs, g_key, g_shots, device_id, n_devices
                     )
-                    in_shard = jnp.logical_and(u >= lo, u < hi)
-                    pos = jnp.searchsorted(local_cdf, u - lo, side="right")
-                    pos = jnp.clip(pos, 0, local_probs.shape[0] - 1)
                     contrib = jnp.where(in_shard, g_table[pos], 0.0)
                     shot_energies = jax.lax.psum(contrib, AMP_AXIS)  # [g_shots]
                     return jnp.mean(shot_energies)
@@ -1241,13 +1250,6 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
     # the evaluate_packed contract
     # ------------------------------------------------------------------
 
-    def _apply_precision_noise(self, energies: np.ndarray) -> np.ndarray:
-        if self.precision == 0.0:
-            return energies
-        return energies + self._noise_rng.normal(0.0, self.precision, size=energies.shape).astype(
-            energies.dtype
-        )
-
     def evaluate_packed(self, packed, angles=None):
         a = packed.angles if angles is None else angles
         pop = packed.n_individuals
@@ -1264,7 +1266,7 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                     (self._rot_types, self._rot_angles), [P(), P()]
                 )
                 out = fn(*args, *rot, self._grouped_tables, *self._initial_extra())
-                return self._apply_precision_noise(np.asarray(out)[:pop])
+                return np.asarray(out)[:pop]
             fn = self._general_fn()
             args = self._pop_args(packed, a)
             terms = self._globalize(
@@ -1276,14 +1278,14 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
                 [P()] * 6,
             )
             out = fn(*args, *terms, *self._initial_extra())
-            return self._apply_precision_noise(np.asarray(out)[:pop])
+            return np.asarray(out)[:pop]
         energies_fn, _ = self._shape_fns(packed)
         if self.alpha >= 1.0 and self.shots is None:
             if self._use_fold:
                 energies_fn = self._fold_fn(packed)
             args = self._pop_args(packed, a)
             out = energies_fn(*args, self._table, *self._initial_extra())
-            return self._apply_precision_noise(np.asarray(out)[:pop])
+            return np.asarray(out)[:pop]
         if self.shots is not None:
             # fully distributed shot sampling (hierarchical inverse-CDF
             # over shards) + shot-multiset expectation/CVaR — no 2^n
@@ -1292,10 +1294,10 @@ class AmplitudeShardedExpectationEvaluator(BaseCircuitEvaluator):
             keys = self._next_keys(pop)
             args = self._pop_args(packed, a, extra=(keys,))
             out = fn(*args, jnp.float32(self.alpha), self._table, *self._initial_extra())
-            return self._apply_precision_noise(np.asarray(out)[:pop])
+            return np.asarray(out)[:pop]
         # exact (shot-free) CVaR: distributed quantile bisection — no
         # global sort or gather, no qubit ceiling, multi-controller safe
         fn = self._exact_cvar_fn()
         args = self._pop_args(packed, a)
         out = fn(*args, jnp.float32(self.alpha), self._table, *self._initial_extra())
-        return self._apply_precision_noise(np.asarray(out)[:pop])
+        return np.asarray(out)[:pop]

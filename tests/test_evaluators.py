@@ -167,15 +167,31 @@ def test_initial_state_circuit_prepend():
         StatevectorExpectationEvaluator(op, initial_state=rotation_individual(np.pi, n_qubits=3))
 
 
-def test_estimator_precision_noise_statistics():
-    """precision adds seeded Gaussian noise of matching standard error."""
+def test_estimator_precision_is_shot_noise():
+    """precision is realized as ceil(p^-2) measurement shots (Aer
+    EstimatorV2's rule) — the true multinomial noise law, not a Gaussian
+    approximation (round 4, VERDICT r3 item 4)."""
     op = pauli_z_string(0, 1)
-    ind = rotation_individual(0.0)
-    exact = StatevectorExpectationEvaluator(op).evaluate_individuals([ind])[0]
+
+    # an H eigenstate has ZERO shot variance: every draw is exact — the
+    # signature that distinguishes shot noise from additive Gaussian
+    eigen = rotation_individual(0.0)
     noisy_eval = StatevectorExpectationEvaluator(op, precision=0.1, seed=0)
-    draws = np.array([noisy_eval.evaluate_individuals([ind])[0] for _ in range(300)])
-    assert abs(draws.mean() - exact) < 0.03
+    eigen_draws = [noisy_eval.evaluate_individuals([eigen])[0] for _ in range(5)]
+    assert all(d == pytest.approx(1.0, abs=1e-6) for d in eigen_draws)
+
+    # theta=pi/2: <Z> = 0 with single-shot std 1, so precision 0.1 ->
+    # 100 shots, standard error 0.1, and every estimate lies on the
+    # discrete lattice (n_plus - n_minus)/100
+    mixed = rotation_individual(np.pi / 2)
+    draws = np.array([noisy_eval.evaluate_individuals([mixed])[0] for _ in range(300)])
+    assert abs(draws.mean()) < 0.03
     assert 0.07 < draws.std() < 0.13
-    # deterministic given the seed
+    lattice = draws * 50.0  # multiples of 2/100
+    np.testing.assert_allclose(lattice, np.round(lattice), atol=1e-4)
+
+    # deterministic given the seed (counter-folded stream)
     replay = StatevectorExpectationEvaluator(op, precision=0.1, seed=0)
-    assert replay.evaluate_individuals([ind])[0] == draws[0]
+    for _ in range(5):
+        replay.evaluate_individuals([eigen])
+    assert replay.evaluate_individuals([mixed])[0] == draws[0]

@@ -289,6 +289,25 @@ class TestShardedQAOA:
         )
         assert sharded.best_bitstring == single.best_bitstring
 
+    def test_sharded_shots_bit_identical_across_device_counts(self):
+        """Round 4 (ADVICE r3): the finalize measurement draws through
+        the width-invariant blocked inverse-CDF, so sampled bitstrings
+        (and hence the whole shot result) are bit-identical across
+        amplitude-mesh device counts."""
+        op, _ = self._op()
+        results = [
+            QAOAMinimumEigensolver(
+                QAOAConfiguration(
+                    reps=2, n_starts=3, maxiter=60, seed=5, n_devices=d, shots=128
+                )
+            ).compute_minimum_eigenvalue(op)
+            for d in (2, 4, 8)
+        ]
+        for other in results[1:]:
+            assert other.eigenstate == results[0].eigenstate
+            assert other.best_bitstring == results[0].best_bitstring
+            assert other.best_bitstring_energy == results[0].best_bitstring_energy
+
 
 class TestQAOAValidation:
     def test_non_diagonal_operator_rejected(self):
