@@ -234,6 +234,41 @@ class PauliSum:
         """
         return self.z[:, 0].copy()
 
+    def to_labels(self) -> list[tuple[str, complex]]:
+        """Qiskit-convention ``(label, coefficient)`` pairs per term.
+
+        The inverse of :meth:`from_label`: per-qubit masks map back to
+        I/X/Y/Z characters (rightmost character = qubit 0, the reference
+        convention — queasars/utility/pauli_strings.py:39), and the
+        ``(-i)^{n_Y}`` phase that storage folds into the coefficient is
+        unfolded, so ``qiskit.quantum_info.SparsePauliOp.from_list``
+        reconstructs an operator with identical matrix elements (the
+        interop-bundle export path, examples/export_to_qiskit.py).
+        Limited to n <= 64 (single mask word).
+        """
+        if self.n_qubits > 64:
+            raise NotImplementedError("label export limited to n<=64 qubits")
+        out = []
+        for k in range(self.n_terms):
+            z = int(self.z[k, 0])
+            x = int(self.x[k, 0])
+            chars = []
+            n_y = 0
+            for pos in range(self.n_qubits - 1, -1, -1):
+                zb, xb = (z >> pos) & 1, (x >> pos) & 1
+                if zb and xb:
+                    chars.append("Y")
+                    n_y += 1
+                elif zb:
+                    chars.append("Z")
+                elif xb:
+                    chars.append("X")
+                else:
+                    chars.append("I")
+            coeff = complex(self.coeffs[k]) * (1j) ** (n_y % 4)
+            out.append(("".join(chars), coeff))
+        return out
+
     def to_dense_matrix(self) -> np.ndarray:
         """Dense 2^n x 2^n matrix (test oracle only; small n)."""
         n = self.n_qubits

@@ -132,3 +132,25 @@ def test_from_sparse_list():
     op = PauliSum.from_sparse_list([("ZZ", [0, 2], 1.5), ("X", [1], -0.5)], n_qubits=3)
     dense = 1.5 * dense_from_label("ZIZ") - 0.5 * dense_from_label("IXI")
     np.testing.assert_allclose(op.to_dense_matrix(), dense, atol=1e-12)
+
+
+def test_to_labels_round_trips_through_from_label():
+    """to_labels unfolds the stored (-i)^{n_Y} phase so from_label on its
+    output reconstructs an equivalent operator — the interop-bundle
+    export contract (matrix elements must match what qiskit's
+    SparsePauliOp.from_list builds from the same pairs)."""
+    op = PauliSum.sum(
+        [
+            PauliSum.from_label("XYZI", 0.5),
+            PauliSum.from_label("YYYY", 1.25 - 0.5j),
+            PauliSum.from_label("IZIZ", -2.0),
+            PauliSum.from_label("YXIZ", 0.75j),
+        ]
+    )
+    rebuilt = PauliSum.sum(
+        [PauliSum.from_label(label, coeff) for label, coeff in op.to_labels()]
+    )
+    assert rebuilt.equiv(op)
+    np.testing.assert_allclose(
+        rebuilt.to_dense_matrix(), op.to_dense_matrix(), atol=1e-12
+    )
