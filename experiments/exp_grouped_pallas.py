@@ -38,18 +38,26 @@ from queasars_tpu.sim.statevector import simulate_circuits
 N, POP, SHOTS, K = 20, 32, 512, 20
 
 
-def sustained_rate(fn, *args):
-    @jax.jit
-    def scan_k(*a):
-        def body(carry, _):
-            return carry + fn(*a).sum(), None
+def sustained_rate(fn, gt, c, a, lm):
+    """K evaluations inside one jitted scan with FRESH angles per step —
+    the bench.py shape.  (The round-3 version reused identical operands
+    every iteration, letting XLA hoist the pure evaluation out of the
+    scan: absolute rates were inflated ~K-fold.  Ratios between routes
+    were still per-launch cost ratios, but the absolute numbers in the
+    round-3 table were wrong — superseded by this measurement.)"""
 
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+    @jax.jit
+    def scan_k(gt, c, a, lm):
+        def body(carry, k):
+            e = fn(gt, c, a + 0.001 * k.astype(jnp.float32), lm)
+            return carry + e.sum(), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))
         return total
 
-    np.asarray(scan_k(*args))  # warm compile + full host sync
+    np.asarray(scan_k(gt, c, a, lm))  # warm compile + full host sync
     t0 = time.perf_counter()
-    np.asarray(scan_k(*args))
+    np.asarray(scan_k(gt, c, a, lm))
     dt = time.perf_counter() - t0
     return K * POP / dt
 

@@ -398,6 +398,34 @@ def extend_fold_pipeline_with_rotation(
     )
 
 
+@partial(jax.jit, static_argnames=("n_qubits",))
+def rotation_layer_factors(rot_types, rot_angles, n_qubits: int):
+    """Kron-layer form of measurement basis-rotation layers.
+
+    :param rot_types: [G, n] int32 (ID / ROT slots)
+    :param rot_angles: [G, n, 3] f32
+    :return: ``(factors [G, n, 2, 2, 2] f32 with re/im at axis 2,
+        activity [G, n_axis_groups] f32 0/1)`` — the per-group extra
+        kron layer the one-launch grouped sampler applies in VMEM
+        (``pallas_fold_kernels.pallas_grouped_shot_energies_folded``).
+    """
+    main_re, main_im, _vr, _vi, _ph = jax.vmap(jax.vmap(_slot_factors))(
+        jnp.asarray(rot_types, jnp.int32), jnp.asarray(rot_angles, jnp.float32)
+    )  # [G, n, 2, 2]
+    factors = jnp.stack([main_re, main_im], axis=2)  # [G, n, 2, 2, 2]
+    eye_b = jnp.eye(2, dtype=jnp.float32)
+    dev = (main_re - eye_b) ** 2 + main_im**2
+    slot_active = jnp.max(dev, axis=(-2, -1)) > 1e-14  # [G, n]
+    n_groups = n_axis_groups(n_qubits)
+    actives = []
+    for g in range(n_groups):
+        lo = g * LANE_BITS
+        hi = n_qubits if g == n_groups - 1 else (g + 1) * LANE_BITS
+        actives.append(jnp.any(slot_active[:, lo:hi], axis=1))
+    activity = jnp.stack(actives, axis=1).astype(jnp.float32)  # [G, n_groups]
+    return factors, activity
+
+
 def cu3_slot_factors_reference(theta, phi, lam):
     """Complex (V, phase0, phase1) of the eigendecomposition — test
     convenience wrapper over the real-arithmetic :func:`_slot_factors`."""

@@ -278,6 +278,36 @@ def grouped_shot_energies_pallas(
         base_pipe = build_fold_pipeline(
             gate_types, controls, angles, layer_mask, n_qubits, absorb_diag=True
         )
+        from queasars_tpu.sim.pallas_fold_kernels import (
+            grouped_fold_supported,
+            pallas_grouped_shot_energies_folded,
+        )
+
+        uniform_shots = not isinstance(shots, (tuple, list))
+        if uniform_shots and grouped_fold_supported(
+            n_qubits, jax.default_backend() if not interpret else "tpu", n_groups
+        ):
+            # one-launch route: simulate ONCE, rotate + sample every
+            # group against the VMEM-resident state (VERDICT r3 item 6)
+            from queasars_tpu.sim.fold_pipeline import rotation_layer_factors
+
+            rot_factors, rot_active = rotation_layer_factors(
+                rot_types, rot_angles, n_qubits
+            )
+            g_all_keys = jax.vmap(
+                lambda k: jnp.stack(
+                    [jax.random.fold_in(k, g) for g in range(n_groups)]
+                )
+            )(keys)  # [P, G, 2]
+            frac = jax.vmap(
+                jax.vmap(lambda k: jax.random.uniform(k, (int(shots),), jnp.float32))
+            )(g_all_keys)  # [P, G, shots]
+            shot_energies = pallas_grouped_shot_energies_folded(
+                base_pipe, rot_factors, rot_active, tables, frac,
+                n_qubits, int(shots), precision="default",
+                interpret=interpret, initial=initial_state,
+            )  # [P, G, shots]
+            return const + jnp.sum(jnp.mean(shot_energies, axis=-1), axis=-1)
     total = jnp.zeros(gate_types.shape[0], jnp.float32)
     for g in range(n_groups):
         g_shots = int(shots[g]) if isinstance(shots, (tuple, list)) else int(shots)

@@ -807,6 +807,163 @@ def pallas_sampled_shot_energies_folded(
     return out.reshape(pop, shots)
 
 
+def _grouped_sampled_folded_kernel(
+    fdata_ref, idata_ref, rot_ref,
+    *rest,
+    n_qubits: int, n_kron: int, d_slots: int, shots: int,
+    n_meas_groups: int, precision, has_init: bool,
+):
+    """Simulate ONCE, measure every QWC group — all inside one launch.
+
+    The base circuit folds into the state planes exactly as the
+    single-group kernel does; then, per measurement group, the state is
+    restored from the base copy, the group's basis-rotation kron layer
+    applies in VMEM (one predicated group matmul per axis group — the
+    same `_apply_kron_layer` the circuit itself uses) and the in-VMEM
+    sampler draws that group's shots against its rotated-basis table.
+    The 2^n state never leaves VMEM and the full circuit simulates once
+    per evaluation instead of once per group (VERDICT r3 item 6).
+
+    Per-group uniforms and outputs arrive as SEPARATE refs (Mosaic
+    rejects sub-ref slicing of minor-dim-1 blocks); the tables share one
+    ref sliced along the row-aligned leading axis."""
+    fracs = rest[:n_meas_groups]
+    tables_ref = rest[n_meas_groups]
+    cursor = n_meas_groups + 1
+    if has_init:
+        init_ref = rest[cursor]
+        cursor += 1
+    else:
+        init_ref = None
+    outs = rest[cursor:cursor + n_meas_groups]
+    state_re, state_im, base_re, base_im = rest[cursor + n_meas_groups:]
+    _run_circuit_folded(
+        fdata_ref, idata_ref, state_re, state_im,
+        n_qubits, n_kron, d_slots, precision, init_ref,
+    )
+    base_re[:] = state_re[:]
+    base_im[:] = state_im[:]
+
+    n_axis = n_axis_groups(n_qubits)
+    wr = _packed_width(n_meas_groups * n_qubits * 8 + n_meas_groups * n_axis)
+    act_off = n_meas_groups * n_qubits * 8
+
+    def rget(i):
+        return rot_ref[0, i // wr, i % wr]
+
+    def rfac(k, q, c, bi, bj):
+        return rget((((k * n_qubits + q) * 2 + c) * 2 + bi) * 2 + bj)
+
+    def rga(k, g):
+        return rget(act_off + k * n_axis + g)
+
+    rows = 1 << (n_qubits - LANE_BITS)
+    for g in range(n_meas_groups):
+        if g:
+            state_re[:] = base_re[:]
+            state_im[:] = base_im[:]
+        _apply_kron_layer(state_re, state_im, rfac, rga, g, n_qubits, precision)
+        _sample_shots_in_vmem(
+            state_re, state_im,
+            fracs[g],
+            tables_ref.at[g * rows:(g + 1) * rows, :],
+            outs[g],
+            n_qubits, shots,
+        )
+
+
+def grouped_fold_supported(n_qubits: int, platform: str, n_meas_groups: int) -> bool:
+    """True when the one-launch multi-group sampler fits: the sampler's
+    n-cap plus a VMEM budget of four state planes (state + base copy),
+    one rotated-basis table per group and the sampler/matmul scratch."""
+    if not fold_supported(n_qubits, platform, path="sampler"):
+        return False
+    plane = (1 << n_qubits) * 4
+    return (4 + n_meas_groups) * plane + 24 * 1024 * 1024 <= _VMEM_LIMIT
+
+
+@partial(jax.jit, static_argnames=("n_qubits", "shots", "precision", "interpret"))
+def pallas_grouped_shot_energies_folded(
+    pipeline: FoldPipeline,
+    rot_factors: jax.Array,   # [G, n, 2, 2, 2] f32 (re/im at axis 2)
+    rot_active: jax.Array,    # [G, n_axis_groups] f32 (0/1)
+    tables: jax.Array,        # [G, 2^n] f32
+    u_frac: jax.Array,        # [P, G, shots] f32 uniforms
+    n_qubits: int,
+    shots: int,
+    precision: str = "default",
+    interpret: bool = False,
+    initial: jax.Array | None = None,
+) -> jax.Array:
+    """Sampled shot energies [P, G, shots] for every measurement group
+    from ONE kernel launch per individual (see
+    ``_grouped_sampled_folded_kernel``).  Bit-identical to the per-group
+    ``pallas_sampled_shot_energies_folded`` route on the extended
+    pipeline: the op sequence (base kron layers + diag passes, then the
+    rotation kron layer, then the sampler) is the same — the empty diag
+    pass of the extended pipeline's rotation layer is a no-op."""
+    if n_qubits < LANE_BITS + LANE_BITS:
+        raise ValueError("the in-kernel sampler requires n_qubits >= 14")
+    pop = pipeline.factors.shape[0]
+    n_meas_groups = int(tables.shape[0])
+    rows = 1 << (n_qubits - LANE_BITS)
+    has_init = initial is not None
+    in_specs, operands, n_kron, d_slots = _pipeline_specs(pipeline)
+
+    rot_flat = jnp.concatenate(
+        [
+            jnp.asarray(rot_factors, jnp.float32).reshape(1, -1),
+            jnp.asarray(rot_active, jnp.float32).reshape(1, -1),
+        ],
+        axis=1,
+    )
+    rot_packed = _pad_pack8(rot_flat)
+    in_specs.append(
+        pl.BlockSpec(
+            (1, 8, rot_packed.shape[2]), lambda p: (0, 0, 0), memory_space=pltpu.SMEM
+        )
+    )
+    operands.append(rot_packed)
+
+    u_frac = jnp.asarray(u_frac, jnp.float32)
+    for g in range(n_meas_groups):
+        in_specs.append(pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0)))
+        operands.append(u_frac[:, g].reshape(pop, shots, 1))
+    in_specs.append(pl.BlockSpec((n_meas_groups * rows, LANES), lambda p: (0, 0)))
+    operands.append(jnp.asarray(tables, jnp.float32).reshape(n_meas_groups * rows, LANES))
+    if has_init:
+        in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
+        operands.append(initial.reshape(pop, 2, rows, LANES))
+    kernel = partial(
+        _grouped_sampled_folded_kernel,
+        n_qubits=n_qubits, n_kron=n_kron, d_slots=d_slots, shots=shots,
+        n_meas_groups=n_meas_groups, precision=_PRECISIONS[precision],
+        has_init=has_init,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(pop,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0))
+            for _ in range(n_meas_groups)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pop, shots, 1), jnp.float32)
+            for _ in range(n_meas_groups)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+    return jnp.stack([o.reshape(pop, shots) for o in outs], axis=1)
+
+
 def _states_folded_kernel(
     fdata_ref, idata_ref,
     out_ref, state_re, state_im, sem_re, sem_im,
