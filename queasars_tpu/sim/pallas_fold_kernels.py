@@ -810,7 +810,7 @@ def pallas_sampled_shot_energies_folded(
 def _grouped_sampled_folded_kernel(
     fdata_ref, idata_ref, rot_ref,
     *rest,
-    n_qubits: int, n_kron: int, d_slots: int, shots: int,
+    n_qubits: int, n_kron: int, d_slots: int, group_shots: tuple,
     n_meas_groups: int, precision, has_init: bool,
 ):
     """Simulate ONCE, measure every QWC group — all inside one launch.
@@ -868,7 +868,7 @@ def _grouped_sampled_folded_kernel(
             fracs[g],
             tables_ref.at[g * rows:(g + 1) * rows, :],
             outs[g],
-            n_qubits, shots,
+            n_qubits, group_shots[g],
         )
 
 
@@ -888,24 +888,33 @@ def pallas_grouped_shot_energies_folded(
     rot_factors: jax.Array,   # [G, n, 2, 2, 2] f32 (re/im at axis 2)
     rot_active: jax.Array,    # [G, n_axis_groups] f32 (0/1)
     tables: jax.Array,        # [G, 2^n] f32
-    u_frac: jax.Array,        # [P, G, shots] f32 uniforms
+    u_frac,                   # tuple of [P, shots_g] f32 uniforms (or [P, G, S])
     n_qubits: int,
-    shots: int,
+    shots,                    # int (every group) or per-group tuple
     precision: str = "default",
     interpret: bool = False,
     initial: jax.Array | None = None,
 ) -> jax.Array:
-    """Sampled shot energies [P, G, shots] for every measurement group
-    from ONE kernel launch per individual (see
+    """Per-group sampled shot energies — a TUPLE of [P, shots_g] arrays
+    — from ONE kernel launch per individual (see
     ``_grouped_sampled_folded_kernel``).  Bit-identical to the per-group
     ``pallas_sampled_shot_energies_folded`` route on the extended
     pipeline: the op sequence (base kron layers + diag passes, then the
     rotation kron layer, then the sampler) is the same — the empty diag
-    pass of the extended pipeline's rotation layer is a no-op."""
+    pass of the extended pipeline's rotation layer is a no-op.
+
+    ``shots`` may differ per group (the proportional allocation of
+    ``grouped_sampling.allocate_shots``): each group's uniforms and
+    output ride their own refs, so differing static shapes are free."""
     if n_qubits < LANE_BITS + LANE_BITS:
         raise ValueError("the in-kernel sampler requires n_qubits >= 14")
     pop = pipeline.factors.shape[0]
     n_meas_groups = int(tables.shape[0])
+    group_shots = (
+        tuple(int(s) for s in shots)
+        if isinstance(shots, tuple)
+        else (int(shots),) * n_meas_groups
+    )
     rows = 1 << (n_qubits - LANE_BITS)
     has_init = initial is not None
     in_specs, operands, n_kron, d_slots = _pipeline_specs(pipeline)
@@ -925,10 +934,20 @@ def pallas_grouped_shot_energies_folded(
     )
     operands.append(rot_packed)
 
-    u_frac = jnp.asarray(u_frac, jnp.float32)
+    if isinstance(u_frac, (tuple, list)):
+        frac_list = [
+            jnp.asarray(f, jnp.float32).reshape(pop, s, 1)
+            for f, s in zip(u_frac, group_shots)
+        ]
+    else:
+        u_frac = jnp.asarray(u_frac, jnp.float32)
+        frac_list = [
+            u_frac[:, g].reshape(pop, group_shots[g], 1)
+            for g in range(n_meas_groups)
+        ]
     for g in range(n_meas_groups):
-        in_specs.append(pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0)))
-        operands.append(u_frac[:, g].reshape(pop, shots, 1))
+        in_specs.append(pl.BlockSpec((1, group_shots[g], 1), lambda p: (p, 0, 0)))
+        operands.append(frac_list[g])
     in_specs.append(pl.BlockSpec((n_meas_groups * rows, LANES), lambda p: (0, 0)))
     operands.append(jnp.asarray(tables, jnp.float32).reshape(n_meas_groups * rows, LANES))
     if has_init:
@@ -936,7 +955,7 @@ def pallas_grouped_shot_energies_folded(
         operands.append(initial.reshape(pop, 2, rows, LANES))
     kernel = partial(
         _grouped_sampled_folded_kernel,
-        n_qubits=n_qubits, n_kron=n_kron, d_slots=d_slots, shots=shots,
+        n_qubits=n_qubits, n_kron=n_kron, d_slots=d_slots, group_shots=group_shots,
         n_meas_groups=n_meas_groups, precision=_PRECISIONS[precision],
         has_init=has_init,
     )
@@ -945,12 +964,12 @@ def pallas_grouped_shot_energies_folded(
         grid=(pop,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0))
-            for _ in range(n_meas_groups)
+            pl.BlockSpec((1, group_shots[g], 1), lambda p: (p, 0, 0))
+            for g in range(n_meas_groups)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((pop, shots, 1), jnp.float32)
-            for _ in range(n_meas_groups)
+            jax.ShapeDtypeStruct((pop, group_shots[g], 1), jnp.float32)
+            for g in range(n_meas_groups)
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, LANES), jnp.float32),
@@ -961,7 +980,9 @@ def pallas_grouped_shot_energies_folded(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
-    return jnp.stack([o.reshape(pop, shots) for o in outs], axis=1)
+    return tuple(
+        o.reshape(pop, group_shots[g]) for g, o in enumerate(outs)
+    )
 
 
 def _states_folded_kernel(

@@ -502,12 +502,10 @@ def test_one_launch_grouped_fold_matches_per_group_route():
         jax.vmap(lambda k: jax.random.uniform(k, (shots,), jnp.float32))
     )(g_all_keys)
 
-    fused = np.asarray(
-        pallas_grouped_shot_energies_folded(
-            base, rot_factors, rot_active, tables, frac, n, shots,
-            precision="default", interpret=True,
-        )
-    )  # [P, G, shots]
+    fused = pallas_grouped_shot_energies_folded(
+        base, rot_factors, rot_active, tables, frac, n, shots,
+        precision="default", interpret=True,
+    )  # tuple of [P, shots]
 
     for g in range(n_groups):
         extended = extend_fold_pipeline_with_rotation(
@@ -519,7 +517,7 @@ def test_one_launch_grouped_fold_matches_per_group_route():
                 precision="default", interpret=True,
             )
         )
-        np.testing.assert_array_equal(fused[:, g], per_group)
+        np.testing.assert_array_equal(np.asarray(fused[g]), per_group)
 
 
 def test_one_launch_route_engaged_through_public_entry():
