@@ -573,7 +573,7 @@ def _energies_folded_kernel(
 
 
 def _sampled_folded_kernel(
-    fdata_ref, idata_ref, frac_ref, table_ref,
+    fdata_ref, idata_ref, frac_ref,
     *rest,
     n_qubits: int, n_kron: int, d_slots: int, shots: int, precision, has_init: bool,
 ):
@@ -586,7 +586,7 @@ def _sampled_folded_kernel(
         fdata_ref, idata_ref, state_re, state_im,
         n_qubits, n_kron, d_slots, precision, init_ref,
     )
-    _sample_shots_in_vmem(state_re, state_im, frac_ref, table_ref, out_ref, n_qubits, shots)
+    _sample_shots_in_vmem(state_re, state_im, frac_ref, out_ref, n_qubits, shots)
 
 
 def _pad_pack8(flat):
@@ -780,9 +780,7 @@ def pallas_sampled_shot_energies_folded(
     has_init = initial is not None
     in_specs, operands, n_kron, d_slots = _pipeline_specs(pipeline)
     in_specs.append(pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0)))
-    in_specs.append(pl.BlockSpec((rows, LANES), lambda p: (0, 0)))
     operands.append(jnp.asarray(u_frac, jnp.float32).reshape(pop, shots, 1))
-    operands.append(jnp.asarray(table, jnp.float32).reshape(rows, LANES))
     if has_init:
         in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
         operands.append(initial.reshape(pop, 2, rows, LANES))
@@ -796,7 +794,7 @@ def pallas_sampled_shot_energies_folded(
         grid=(pop,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((pop, shots, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pop, shots, 1), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((rows, LANES), jnp.float32),
             pltpu.VMEM((rows, LANES), jnp.float32),
@@ -804,7 +802,8 @@ def pallas_sampled_shot_energies_folded(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
-    return out.reshape(pop, shots)
+    # energy gather outside the kernel (sampled indices; exact)
+    return jnp.asarray(table, jnp.float32).reshape(-1)[out.reshape(pop, shots)]
 
 
 def _grouped_sampled_folded_kernel(
@@ -820,16 +819,15 @@ def _grouped_sampled_folded_kernel(
     restored from the base copy, the group's basis-rotation kron layer
     applies in VMEM (one predicated group matmul per axis group — the
     same `_apply_kron_layer` the circuit itself uses) and the in-VMEM
-    sampler draws that group's shots against its rotated-basis table.
-    The 2^n state never leaves VMEM and the full circuit simulates once
-    per evaluation instead of once per group (VERDICT r3 item 6).
+    sampler resolves that group's shots to sampled state INDICES (the
+    per-group energy gathers run outside against the HBM tables).  The
+    2^n state never leaves VMEM and the full circuit simulates once per
+    evaluation instead of once per group (VERDICT r3 item 6).
 
     Per-group uniforms and outputs arrive as SEPARATE refs (Mosaic
-    rejects sub-ref slicing of minor-dim-1 blocks); the tables share one
-    ref sliced along the row-aligned leading axis."""
+    rejects sub-ref slicing of minor-dim-1 blocks)."""
     fracs = rest[:n_meas_groups]
-    tables_ref = rest[n_meas_groups]
-    cursor = n_meas_groups + 1
+    cursor = n_meas_groups
     if has_init:
         init_ref = rest[cursor]
         cursor += 1
@@ -857,29 +855,26 @@ def _grouped_sampled_folded_kernel(
     def rga(k, g):
         return rget(act_off + k * n_axis + g)
 
-    rows = 1 << (n_qubits - LANE_BITS)
     for g in range(n_meas_groups):
         if g:
             state_re[:] = base_re[:]
             state_im[:] = base_im[:]
         _apply_kron_layer(state_re, state_im, rfac, rga, g, n_qubits, precision)
         _sample_shots_in_vmem(
-            state_re, state_im,
-            fracs[g],
-            tables_ref.at[g * rows:(g + 1) * rows, :],
-            outs[g],
-            n_qubits, group_shots[g],
+            state_re, state_im, fracs[g], outs[g], n_qubits, group_shots[g]
         )
 
 
 def grouped_fold_supported(n_qubits: int, platform: str, n_meas_groups: int) -> bool:
-    """True when the one-launch multi-group sampler fits: the sampler's
-    n-cap plus a VMEM budget of four state planes (state + base copy),
-    one rotated-basis table per group and the sampler/matmul scratch."""
+    """True when the one-launch multi-group sampler fits.  VMEM holds
+    four state planes (state + base copy) plus sampler/matmul scratch —
+    the rotated-basis tables stay in HBM (the kernel emits sampled
+    indices), so the budget is independent of the group count; the
+    64-group cap only bounds the static per-group unroll."""
     if not fold_supported(n_qubits, platform, path="sampler"):
         return False
     plane = (1 << n_qubits) * 4
-    return (4 + n_meas_groups) * plane + 24 * 1024 * 1024 <= _VMEM_LIMIT
+    return n_meas_groups <= 64 and 4 * plane + 24 * 1024 * 1024 <= _VMEM_LIMIT
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "shots", "precision", "interpret"))
@@ -948,8 +943,6 @@ def pallas_grouped_shot_energies_folded(
     for g in range(n_meas_groups):
         in_specs.append(pl.BlockSpec((1, group_shots[g], 1), lambda p: (p, 0, 0)))
         operands.append(frac_list[g])
-    in_specs.append(pl.BlockSpec((n_meas_groups * rows, LANES), lambda p: (0, 0)))
-    operands.append(jnp.asarray(tables, jnp.float32).reshape(n_meas_groups * rows, LANES))
     if has_init:
         in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
         operands.append(initial.reshape(pop, 2, rows, LANES))
@@ -968,7 +961,7 @@ def pallas_grouped_shot_energies_folded(
             for g in range(n_meas_groups)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((pop, group_shots[g], 1), jnp.float32)
+            jax.ShapeDtypeStruct((pop, group_shots[g], 1), jnp.int32)
             for g in range(n_meas_groups)
         ],
         scratch_shapes=[
@@ -980,8 +973,10 @@ def pallas_grouped_shot_energies_folded(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
+    # per-group energy gathers outside the kernel (sampled indices)
+    tables = jnp.asarray(tables, jnp.float32)
     return tuple(
-        o.reshape(pop, group_shots[g]) for g, o in enumerate(outs)
+        tables[g][o.reshape(pop, group_shots[g])] for g, o in enumerate(outs)
     )
 
 

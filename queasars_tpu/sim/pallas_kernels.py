@@ -437,7 +437,6 @@ def _population_sampled_energies_kernel(
     angles_ref,      # SMEM [1, L, n, 3] f32
     layer_mask_ref,  # SMEM [1, L, 1] int32
     frac_ref,        # VMEM [1, S, 1] f32 uniform draws in [0, 1)
-    table_ref,       # VMEM [R, 128] f32 diagonal energy table
     *rest,           # [init_ref?], out_ref, state_re, state_im
     n_qubits: int,
     n_layers: int,
@@ -478,13 +477,21 @@ def _population_sampled_energies_kernel(
         gate_types_ref, controls_ref, angles_ref, layer_mask_ref,
         state_re, state_im, n_qubits, n_layers, init_ref,
     )
-    _sample_shots_in_vmem(state_re, state_im, frac_ref, table_ref, out_ref, n_qubits, shots)
+    _sample_shots_in_vmem(state_re, state_im, frac_ref, out_ref, n_qubits, shots)
 
 
-def _sample_shots_in_vmem(state_re, state_im, frac_ref, table_ref, out_ref, n_qubits, shots):
+def _sample_shots_in_vmem(state_re, state_im, frac_ref, out_ref, n_qubits, shots):
     """Shared epilogue of the fused simulate+measure kernels: run the
     hierarchical inverse-CDF sampler against the VMEM-resident state and
-    store the [S] sampled energies (docstring above)."""
+    store the [S] sampled STATE INDICES as int32 (docstring above).
+
+    Returning indices instead of energies (round 4) halves the level-C
+    matmul cost — the energy gather moves OUTSIDE the kernel, where an
+    XLA take of S indices against the HBM table is both exact and
+    nearly free — and removes the energy table from VMEM entirely
+    (which is what lets the one-launch grouped sampler hold any number
+    of measurement groups).  Sampled indices are bit-identical to the
+    energy-emitting round-3 epilogue's selections."""
     rows = 1 << (n_qubits - LANE_BITS)
     n_blocks = rows // LANES
     probs = state_re[:] * state_re[:] + state_im[:] * state_im[:]
@@ -585,7 +592,6 @@ def _sample_shots_in_vmem(state_re, state_im, frac_ref, table_ref, out_ref, n_qu
     # blows the scoped VMEM budget at n=20 / 512 shots)
     global_row = block * LANES + row  # [S, 1]
     probs_limbs = split3(probs)
-    table_limbs = split3(table_ref[:])
     chunk_bounds = list(range(0, shots, LANES)) + [shots]
     for c0, c1 in zip(chunk_bounds[:-1], chunk_bounds[1:]):
         size = c1 - c0
@@ -596,10 +602,6 @@ def _sample_shots_in_vmem(state_re, state_im, frac_ref, table_ref, out_ref, n_qu
             jax.lax.dot_general(oh_row, limb, dims, preferred_element_type=jnp.float32)
             for limb in probs_limbs
         )  # [size, 128]
-        t_row = sum(
-            jax.lax.dot_general(oh_row, limb, dims, preferred_element_type=jnp.float32)
-            for limb in table_limbs
-        )
         lane_prefix = lane_scan(p_row, LANES)
         lane = jnp.minimum(
             jnp.sum(
@@ -607,11 +609,7 @@ def _sample_shots_in_vmem(state_re, state_im, frac_ref, table_ref, out_ref, n_qu
             ),
             LANES - 1,
         )
-        lanes128 = jax.lax.broadcasted_iota(jnp.int32, (size, LANES), 1)
-        energy = jnp.sum(
-            jnp.where(lanes128 == lane, t_row, 0.0), axis=1, keepdims=True
-        )
-        out_ref[0, c0:c1, :] = energy
+        out_ref[0, c0:c1, :] = global_row[c0:c1, :] * LANES + lane
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "shots", "interpret"))
@@ -651,14 +649,12 @@ def pallas_sampled_shot_energies(
     )
     in_specs = _genome_in_specs(n_layers, n_qubits)
     in_specs.append(pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0)))
-    in_specs.append(pl.BlockSpec((rows, LANES), lambda p: (0, 0)))
     operands = [
         jnp.asarray(gate_types, jnp.int32),
         jnp.asarray(controls, jnp.int32),
         jnp.asarray(angles, jnp.float32),
         jnp.asarray(layer_mask, jnp.int32)[:, :, None],
         jnp.asarray(u_frac, jnp.float32).reshape(pop, shots, 1),
-        jnp.asarray(table, jnp.float32).reshape(rows, LANES),
     ]
     if has_init:
         in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
@@ -668,7 +664,7 @@ def pallas_sampled_shot_energies(
         grid=(pop,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((pop, shots, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pop, shots, 1), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((rows, LANES), jnp.float32),
             pltpu.VMEM((rows, LANES), jnp.float32),
@@ -676,7 +672,9 @@ def pallas_sampled_shot_energies(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
-    return out.reshape(pop, shots)
+    # exact energy gather OUTSIDE the kernel: S indices against the HBM
+    # table (the kernel emits sampled state indices — see the epilogue)
+    return jnp.asarray(table, jnp.float32).reshape(-1)[out.reshape(pop, shots)]
 
 
 def _kernel_atan2(y, x):
