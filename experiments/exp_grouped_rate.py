@@ -47,22 +47,24 @@ def packed_population(seed=0):
     return PackedPopulation.pack(list(population.individuals))
 
 
-def sustained_rate(fn, *args):
-    """Warm-compile then time K scan iterations inside one jit."""
+def sustained_rate(fn, gt, c, a, lm):
+    """Warm-compile then time K scan iterations inside one jit, with
+    FRESH angles per step.  (The round-3 version reused identical
+    operands every iteration, letting XLA hoist the pure evaluation out
+    of the scan — absolute rates were inflated ~K-fold; ratios held.)"""
 
     @jax.jit
-    def scan_k(*a):
-        def body(carry, _):
-            return carry + fn(*a).sum(), None
+    def scan_k(gt, c, a, lm):
+        def body(carry, k):
+            e = fn(gt, c, a + 0.001 * k.astype(jnp.float32), lm)
+            return carry + e.sum(), None
 
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))
         return total
 
-    out = scan_k(*args)
-    np.asarray(out)  # full host sync
+    np.asarray(scan_k(gt, c, a, lm))  # warm compile + full host sync
     t0 = time.perf_counter()
-    out = scan_k(*args)
-    np.asarray(out)
+    np.asarray(scan_k(gt, c, a, lm))
     dt = time.perf_counter() - t0
     return K * POP / dt
 
