@@ -103,6 +103,8 @@ class QNEATMinimumEigensolverConfiguration:
     pack_min_layers: Optional[int] = None
     mesh: Optional[object] = None
     n_devices: Optional[int] = None
+    shard_amplitudes: Optional[bool] = None
+    amp_devices: Optional[int] = None
 
     def __post_init__(self):
         if self.population_size < 2:
@@ -177,6 +179,8 @@ class QNEATMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             pack_min_layers=configuration.pack_min_layers,
             mesh=configuration.mesh,
             n_devices=configuration.n_devices,
+            shard_amplitudes=configuration.shard_amplitudes,
+            amp_devices=configuration.amp_devices,
             checkpoint_path=configuration.checkpoint_path,
             resume_from_checkpoint=configuration.resume_from_checkpoint,
         )

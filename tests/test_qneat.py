@@ -23,7 +23,7 @@ from queasars_tpu.evolve.qneat import (
     QNEATSpeciationSelection,
 )
 from queasars_tpu.genome.qneat import QNEATGene, QNEATIndividual, QNEATPopulation
-from queasars_tpu.paulis import PauliSum, diagonal_energy_table
+from queasars_tpu.paulis import PauliSum, diagonal_energy_table, pauli_z_string
 from queasars_tpu.sim.evaluators import StatevectorExpectationEvaluator
 from queasars_tpu.sim.statevector import probabilities
 
@@ -436,3 +436,37 @@ def test_qneat_checkpoint_resume_exact_trajectory(tmp_path):
     assert trajectory(resumed) == trajectory(full)
     assert float(resumed.eigenvalue) == float(full.eigenvalue)
     assert resumed.best_individual == full.best_individual
+
+
+def test_qneat_amplitude_sharded_solve_matches_plain():
+    """QNEAT accepts the amplitude-sharding knobs (round 4): a (pop, amp)
+    2-D mesh solve reproduces the unsharded eigenvalue — the generic
+    driver's sharded evaluator is genome-family agnostic."""
+    from queasars_tpu.parallel import population_mesh
+    from queasars_tpu.solver import (
+        ConfiguredEstimator,
+        ConfiguredSampler,
+        QNEATMinimumEigensolver,
+        QNEATMinimumEigensolverConfiguration,
+    )
+
+    op = PauliSum.sum([pauli_z_string(q, 5) * float(q + 1) for q in range(5)])
+
+    def solve(**kwargs):
+        config = QNEATMinimumEigensolverConfiguration(
+            configured_estimator=ConfiguredEstimator(),
+            configured_sampler=ConfiguredSampler(shots=256, seed=1),
+            max_generations=3,
+            max_circuit_evaluations=None,
+            termination_criterion=None,
+            random_seed=5,
+            population_size=8,
+            **kwargs,
+        )
+        return QNEATMinimumEigensolver(config).compute_minimum_eigenvalue(op)
+
+    plain = solve()
+    sharded = solve(
+        mesh=population_mesh(8), shard_amplitudes=True, amp_devices=2
+    )
+    assert float(sharded.eigenvalue) == pytest.approx(float(plain.eigenvalue), abs=1e-5)
