@@ -179,10 +179,11 @@ def population_energies(
             )
         return _with_precision_noise(energies, keys, precision)
     fast_path = use_shots and (pallas_ok if fast_shots is None else fast_shots)
-    # the in-VMEM sampler epilogue caps at n=20 (fold_supported path
-    # ="sampler"); at n=21 the folded probs kernel + XLA-side sampling
-    # below covers the shot path instead
-    if fast_path and pallas_ok and 14 <= n_qubits <= 20:
+    # the in-VMEM sampler epilogue reaches n=21 on the folded route
+    # (round 4: index emission moved the table out of VMEM); the slot
+    # sampler keeps its n=20 cap.  At n=22 the folded probs kernel +
+    # XLA-side sampling below covers the shot path instead.
+    if fast_path and pallas_ok and 14 <= n_qubits <= (21 if mxu_ok else 20):
         # fully in-kernel sampling: simulation AND the hierarchical
         # inverse-CDF run in one kernel, so the probability plane never
         # leaves VMEM — same draw values as sample_indices (frac *

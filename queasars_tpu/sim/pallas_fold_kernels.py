@@ -653,13 +653,17 @@ def fold_supported(n_qubits: int, platform: str, path: str = "exact") -> bool:
     row-chunked and its 8-bit top group splits into two sub-kron
     contractions with chunk-bounded temporaries (see _apply_kron_layer;
     measured in experiments/exp_fold_n22.py).  The in-VMEM sampler
-    epilogue needs extra CDF scratch and keeps the 20-qubit cap
-    (``path="sampler"``).  The folded in-kernel NFT sweep
-    (``path="sweep"``) keeps FOUR state planes resident (prefix + work)
-    plus the table and caps at n=20 (5 x 8 MB + chunk temporaries at
-    n=21 exceeds VMEM alongside the matmul buffers).
+    epilogue reaches n=21 since round 4 (emitting sampled INDICES moved
+    the energy table out of VMEM, freeing room for the 16 MB CDF
+    scratch planes; verified on-chip at 99.9% stream agreement against
+    the same-precision folded probabilities — ``path="sampler"``); n=22
+    would additionally need the epilogue's full-plane probability limbs
+    chunked.  The folded in-kernel NFT sweep (``path="sweep"``) keeps
+    FOUR state planes resident (prefix + work) plus the table and caps
+    at n=20 (5 x 8 MB + chunk temporaries at n=21 exceeds VMEM
+    alongside the matmul buffers).
     """
-    cap = 20 if path in ("sampler", "sweep") else 22
+    cap = 20 if path == "sweep" else (21 if path == "sampler" else 22)
     return platform == "tpu" and LANE_BITS <= n_qubits <= cap
 
 
@@ -873,8 +877,14 @@ def grouped_fold_supported(n_qubits: int, platform: str, n_meas_groups: int) -> 
     64-group cap only bounds the static per-group unroll."""
     if not fold_supported(n_qubits, platform, path="sampler"):
         return False
+    # the multi-group kernel holds a base-state copy on top of the
+    # sampler's own scratch; untested past n=20 — keep its own cap
     plane = (1 << n_qubits) * 4
-    return n_meas_groups <= 64 and 4 * plane + 24 * 1024 * 1024 <= _VMEM_LIMIT
+    return (
+        n_qubits <= 20
+        and n_meas_groups <= 64
+        and 4 * plane + 24 * 1024 * 1024 <= _VMEM_LIMIT
+    )
 
 
 @partial(jax.jit, static_argnames=("n_qubits", "shots", "precision", "interpret"))
