@@ -279,8 +279,9 @@ def mxu_fold_enabled(
     ``QUEASARS_MXU`` env var (default ON — the folded kernels measured
     1.73x the slot kernel end-to-end at matching 1e-5 accuracy, see
     docs/performance.md); either way the folded kernels must support the
-    ``path`` at the size (exact/probs n in [7, 22]; sampler and the
-    folded in-kernel sweep cap at 20) and platform (TPU)."""
+    ``path`` at the size (exact/probs n in [7, 22]; the folded in-VMEM
+    sampler caps at 21, the folded in-kernel sweep at 20) and platform
+    (TPU)."""
     import os
 
     from queasars_tpu.sim.pallas_fold_kernels import fold_supported

@@ -269,7 +269,16 @@ class StatevectorExpectationEvaluator(BaseCircuitEvaluator):
         kernel (TPU, 7 <= n <= 20, no initial state); None = env toggle
     :param precision: target standard error of each reported energy
         (0 = exact), realized as ``ceil(precision**-2)`` shots per
-        evaluation — Aer EstimatorV2's precision-to-shots rule
+        evaluation — Aer EstimatorV2's precision-to-shots rule.  For a
+        NON-diagonal operator the shots route through QWC measurement
+        grouping with the default per-group allocation: each of the G
+        groups gets the full ``ceil(precision**-2)`` budget, so the
+        realized standard error is ``precision * sqrt(sum_g var_g) /
+        sqrt(var_total)`` — it can exceed ``precision`` when G > 1
+        (group variances add).  ``precision`` is exact as a per-group
+        target; treat it as an overall scale, not a guarantee, for
+        grouped operators (the reference's Aer estimator measures the
+        operator in one pass and has no grouped analog to pin against)
     :param seed: RNG seed for the precision shot stream (successive
         evaluations fold in a counter; deterministic overall)
     """

@@ -39,7 +39,13 @@ from queasars_tpu.genome.serialization import (
 )
 
 FORMAT_TAG = "queasars_tpu_solver_state"
-FORMAT_VERSION = 1
+#: version 2: estimator ``precision`` consumable randomness is a sampler
+#: shot counter (the multinomial noise law); version-1 checkpoints of
+#: precision>0 solves carried a Gaussian ``noise_rng`` state instead,
+#: which no current evaluator can consume — restoring one is rejected
+#: loudly (see restore_evaluator_state) rather than silently resuming
+#: under a different noise law
+FORMAT_VERSION = 2
 
 
 def _encode_population(obj):
@@ -117,7 +123,16 @@ def evaluator_state(evaluator) -> dict[str, Any]:
 def restore_evaluator_state(evaluator, state: dict[str, Any]) -> None:
     if "counter" in state and hasattr(evaluator, "_counter"):
         evaluator._counter = int(state["counter"])
-    if "noise_rng" in state and getattr(evaluator, "_noise_rng", None) is not None:
+    if "noise_rng" in state:
+        if getattr(evaluator, "_noise_rng", None) is None:
+            raise ValueError(
+                "checkpoint carries a Gaussian precision-noise RNG state "
+                "(format version 1), but the configured evaluator realizes "
+                "precision as multinomial shot sampling (format version 2+) "
+                "and cannot consume it — resuming would continue under a "
+                "different noise law than the original run.  Restart the "
+                "solve instead of resuming this checkpoint."
+            )
         evaluator._noise_rng.bit_generator.state = _dejsonify_rng_state(state["noise_rng"])
 
 

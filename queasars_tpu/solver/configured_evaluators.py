@@ -45,10 +45,15 @@ class ConfiguredEstimator:
 
     :param precision: target standard error of each reported energy; the
         reference forwards this to Aer's shot-noise model
-        (circuit_evaluation.py:210-213), here it becomes seeded Gaussian
-        noise of that standard deviation added to the exact expectation.
-        None or 0 = exact (deterministic) evaluation.
-    :param seed: RNG seed for the precision noise
+        (circuit_evaluation.py:210-213), here it is realized the same way
+        — ``ceil(precision**-2)`` multinomial measurement shots per
+        evaluation through the sampler machinery (seeded, checkpointable).
+        None or 0 = exact (deterministic) evaluation.  For non-diagonal
+        operators the shots go through QWC measurement grouping with
+        per-group allocation, so the realized total standard error can
+        exceed ``precision`` when there is more than one group — see
+        StatevectorExpectationEvaluator's precision note.
+    :param seed: RNG seed for the precision shot stream
     """
 
     precision: Optional[float] = None

@@ -93,6 +93,24 @@ def test_write_and_load_full_state(tmp_path):
     assert float(_Fresh._noise_rng.normal()) == expected_next
 
 
+def test_restore_rejects_stale_noise_rng_state(tmp_path):
+    """A version-1 checkpoint of a precision>0 solve carries a Gaussian
+    _noise_rng state; current evaluators realize precision as shot
+    sampling and cannot consume it — restoring must fail loudly instead
+    of silently resuming under a different noise law."""
+    from queasars_tpu.solver.checkpoint import restore_evaluator_state
+
+    class _ShotEvaluator:  # shot-law evaluator: counter only, no _noise_rng
+        _counter = 0
+
+    stale_state = {"counter": 3, "noise_rng": {"state": {"state": 1}}}
+    with pytest.raises(ValueError, match="different noise law"):
+        restore_evaluator_state(_ShotEvaluator, stale_state)
+    # counterless states restore fine
+    restore_evaluator_state(_ShotEvaluator, {"counter": 5})
+    assert _ShotEvaluator._counter == 5
+
+
 def test_load_population_only_file(tmp_path):
     import json
 
