@@ -55,6 +55,10 @@ class PackedPopulation:
     #: see genome/parameter_order.py) — all flat<->tensor round trips on
     #: this instance use the same mode
     parameter_order: str = "canonical"
+    #: the host genomes this packing was built from (set by :meth:`pack`) —
+    #: external-backend evaluators (sim/external.py) hand these to the
+    #: user's ``evaluate_circuits`` callback as the "circuits"
+    individuals: Optional[tuple[EVQEIndividual, ...]] = None
 
     @property
     def n_individuals(self) -> int:
@@ -123,6 +127,7 @@ class PackedPopulation:
             n_params=n_params,
             n_qubits=n_qubits,
             parameter_order=order,
+            individuals=tuple(individuals),
         )
 
     def _layer_parameterized_qubits(self, individual_index: int, layer: int) -> list[int]:

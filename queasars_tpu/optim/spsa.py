@@ -320,7 +320,17 @@ class BatchedSPSA:
         a = packed.angles if angles is None else angles
         if coords.shape[1] == 0 or not np.any(np.logical_and(active, n_free > 0)):
             return np.asarray(a), np.asarray(evaluator.evaluate_packed(packed, angles=a)), 0
-        operands = objective_operands(evaluator)
+        try:
+            operands = objective_operands(evaluator)
+        except TypeError:
+            # evaluators with host-side objectives (external backends,
+            # black-box bitstring functions) cannot live inside the device
+            # scan — run the same schedules host-stepped against
+            # evaluate_packed (the reference's own qiskit-SPSA shape)
+            return self._minimize_host(
+                evaluator, packed, coords, n_free, active, np.asarray(a), seed,
+                termination_checkers,
+            )
         coord_mask = (
             np.arange(coords.shape[1])[None, :] < np.asarray(n_free)[:, None]
         ).astype(np.float32)
@@ -431,6 +441,18 @@ class BatchedSPSA:
 
         # host-stepped with per-individual termination
         current = np.asarray(a)
+        return self._run_host_stepped_device(
+            run_sharded, scan_step, structure, coords, coord_mask, table_ops,
+            current, active, learning_rates, pop_keys, nfev, termination_checkers,
+            evaluator, packed,
+        )
+
+    def _run_host_stepped_device(
+        self, run_sharded, scan_step, structure, coords, coord_mask, table_ops,
+        current, active, learning_rates, pop_keys, nfev, termination_checkers,
+        evaluator, packed,
+    ):
+        cfg = self.config
         live = np.asarray(active, bool).copy()
         for k in range(cfg.maxiter):
             if not live.any():
@@ -455,6 +477,88 @@ class BatchedSPSA:
                     live[i] = False
         final = np.asarray(evaluator.evaluate_packed(packed, angles=current))
         return current, final, nfev
+
+    def _minimize_host(
+        self, evaluator, packed, coords, n_free, active, angles, seed,
+        termination_checkers=None,
+    ):
+        """Host-stepped SPSA for evaluators whose objective cannot be
+        traced (external backends / black-box functions): identical
+        power-law schedules and calibration; perturbation directions come
+        from a host numpy RNG instead of the device key stream (external
+        backends have no stream-identity contract with the device path).
+        One batched ``evaluate_packed`` call per probe — the reference's
+        own qiskit-SPSA evaluation shape (mutation.py:63-81)."""
+        cfg = self.config
+        pop = packed.n_individuals
+        pop_idx = np.arange(pop)[:, None]
+        coords = np.asarray(coords)
+        n_coords = coords.shape[1]
+        coord_mask = (
+            np.arange(n_coords)[None, :] < np.asarray(n_free)[:, None]
+        ).astype(np.float64)
+        l, q, a_i = coords[..., 0], coords[..., 1], coords[..., 2]
+        rng = np.random.default_rng(seed)
+        current = np.array(angles, dtype=np.float32, copy=True)
+        apply = np.logical_and(np.asarray(active, bool), np.asarray(n_free) > 0)
+
+        def objective(a):
+            return np.asarray(
+                evaluator.evaluate_packed(packed, angles=a.astype(np.float32)),
+                dtype=np.float64,
+            )
+
+        def shifted(a, delta, scale):
+            out = np.array(a, copy=True)
+            out[pop_idx, l, q, a_i] += (scale * delta).astype(np.float32)
+            return out
+
+        def direction():
+            return (rng.integers(0, 2, size=(pop, n_coords)) * 2 - 1) * coord_mask
+
+        nfev = 0
+        if cfg.learning_rate is None:
+            total = np.zeros(pop, np.float64)
+            for _ in range(cfg.calibration_steps):
+                delta = direction()
+                total += np.abs(
+                    objective(shifted(current, delta, cfg.perturbation))
+                    - objective(shifted(current, delta, -cfg.perturbation))
+                )
+                nfev += 2
+            magnitude = total / cfg.calibration_steps
+            learning_rates = cfg.target_magnitude / np.maximum(magnitude, 1e-6)
+        else:
+            learning_rates = np.full(pop, cfg.learning_rate, np.float64)
+
+        live = apply.copy()
+        energies = None
+        for k in range(cfg.maxiter):
+            if not live.any():
+                break
+            c_k = cfg.perturbation / (k + 1.0) ** cfg.gamma_power
+            a_k = learning_rates / (k + 1.0 + cfg.stability_constant) ** cfg.alpha_power
+            delta = direction()
+            f_plus = objective(shifted(current, delta, c_k))
+            f_minus = objective(shifted(current, delta, -c_k))
+            nfev += 2
+            gradient = ((f_plus - f_minus) / (2.0 * c_k))[:, None] * delta
+            updated = np.array(current, copy=True)
+            updated[pop_idx, l, q, a_i] -= (a_k[:, None] * gradient).astype(np.float32)
+            current = np.where(live[:, None, None, None], updated, current)
+            energies = np.minimum(f_plus, f_minus)
+            if termination_checkers is not None:
+                for i, checker in enumerate(termination_checkers):
+                    if live[i] and checker.termination_check(
+                        n_function_evaluations=nfev,
+                        parameter_values=current[i],
+                        function_value=float(energies[i]),
+                        step_size=float(c_k),
+                        accepted=True,
+                    ):
+                        live[i] = False
+        final = np.asarray(evaluator.evaluate_packed(packed, angles=current))
+        return current, final, nfev + 1
 
     def minimize_slots(
         self,

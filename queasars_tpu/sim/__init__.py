@@ -13,6 +13,8 @@ Modules:
 - grouped_sampling: shot measurement of general Pauli sums via QWC
   groups (rotate into each group's product basis, sample, contract)
 - evaluators: the high-level "population -> energies" evaluator classes
+- external: pluggable external evaluation backends (the reference's
+  BaseEstimatorV2/BaseSamplerV2 injection capability)
 """
 
 from queasars_tpu.sim.statevector import (
@@ -39,6 +41,7 @@ from queasars_tpu.sim.qaoa import (
     qaoa_energy,
     qaoa_energies_batch,
 )
+from queasars_tpu.sim.external import CallbackCircuitEvaluator
 
 __all__ = [
     "GATE_ID",
@@ -59,4 +62,5 @@ __all__ = [
     "qaoa_probabilities",
     "qaoa_energy",
     "qaoa_energies_batch",
+    "CallbackCircuitEvaluator",
 ]

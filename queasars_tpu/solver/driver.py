@@ -35,6 +35,7 @@ from queasars_tpu.genome.population import EVQEPopulation
 from queasars_tpu.paulis import PauliSum
 from queasars_tpu.sim.evaluators import (
     BaseCircuitEvaluator,
+    CircuitEvaluatorException,
     BitstringFunctionEvaluator,
     SamplerExpectationEvaluator,
     StatevectorExpectationEvaluator,
@@ -94,6 +95,19 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
     max_generations: Optional[int]
     max_circuit_evaluations: Optional[int]
     termination_criterion: Optional[EvolvingAnsatzMinimumEigensolverBaseTerminationCriterion]
+    #: pluggable external evaluation backend (the reference's L1 seam,
+    #: circuit_evaluation.py:62-87 / configured_primitives.py:9-22): a
+    #: ready BaseCircuitEvaluator instance, or a factory callable
+    #: ``operator -> BaseCircuitEvaluator`` (required when aux operators
+    #: should also be measured externally).  When set, ALL fitness
+    #: evaluations go through it — wrap a plain
+    #: ``evaluate_circuits(circuits, params) -> energies`` callable in
+    #: sim/external.py::CallbackCircuitEvaluator to drive the solve from
+    #: an external simulator or real QPU.  The optimizers fall back to
+    #: host-stepped probing (the reference's own evaluation shape).
+    #: configured_sampler/configured_estimator then become optional; a
+    #: configured_sampler still controls final eigenstate measurement.
+    evaluator: Optional[object] = None
     distribution_alpha_tail: float = 1.0
     initial_population: Optional[EVQEPopulation] = field(default=None)
     use_pallas: Optional[bool] = None
@@ -142,8 +156,15 @@ class EvolvingAnsatzMinimumEigensolverConfiguration:
                 "no stopping condition configured: set max_generations, "
                 "max_circuit_evaluations and/or a termination_criterion"
             )
-        if self.configured_sampler is None and self.configured_estimator is None:
-            raise ValueError("provide a configured_sampler and/or a configured_estimator")
+        if (
+            self.configured_sampler is None
+            and self.configured_estimator is None
+            and self.evaluator is None
+        ):
+            raise ValueError(
+                "provide a configured_sampler and/or a configured_estimator "
+                "(or inject an external evaluator)"
+            )
 
 
 class EvolvingAnsatzMinimumEigensolver:
@@ -191,6 +212,11 @@ class EvolvingAnsatzMinimumEigensolver:
         statevector ([2^n] complex or [2, 2^n] re/im planes) or an
         :class:`EVQEIndividual` whose circuit prepares the state (the
         reference's initial-state-circuit prepend, simulated once)."""
+
+        if self.configuration.evaluator is not None:
+            return self._solve_with_injected_evaluator(
+                operator, aux_operators, initial_state
+            )
 
         mesh = self._resolve_mesh()
 
@@ -278,6 +304,68 @@ class EvolvingAnsatzMinimumEigensolver:
 
         with parameter_order(self.configuration.parameter_order):
             return self._solve_by_evolution(evaluator, aux_evaluators, initial_state)
+
+    def _solve_with_injected_evaluator(
+        self,
+        operator: PauliSum,
+        aux_operators: ListOrDict,
+        initial_state,
+    ) -> EvolvingAnsatzMinimumEigensolverResult:
+        """Evolution driven by the configuration's injected external
+        evaluator (the reference's pluggable-primitive capability:
+        evolving_ansatz_minimum_eigensolver.py:227-251 builds its
+        evaluators from whatever BaseEstimatorV2/BaseSamplerV2 the user
+        configured — including real hardware)."""
+        from queasars_tpu.genome.parameter_order import parameter_order
+        from queasars_tpu.sim.external import resolve_injected_evaluator
+
+        if initial_state is not None:
+            raise CircuitEvaluatorException(
+                "initial_state cannot be combined with an injected external "
+                "evaluator: the external backend owns state preparation — "
+                "prepend the initial-state circuit inside your backend, or "
+                "use the internal engines"
+            )
+        injected = self.configuration.evaluator
+        evaluator = resolve_injected_evaluator(injected, operator, role="operator")
+        aux_evaluators: ListOrDict = None
+        if aux_operators is not None:
+            from queasars_tpu.sim.evaluators import BaseCircuitEvaluator as _Base
+
+            if isinstance(injected, _Base) and (
+                self.configuration.configured_estimator is None
+                and self.configuration.configured_sampler is None
+            ):
+                raise CircuitEvaluatorException(
+                    "aux_operators with an injected evaluator INSTANCE need "
+                    "either a factory callable (operator -> evaluator) as the "
+                    "evaluator, or a configured_estimator/configured_sampler "
+                    "for the aux evaluations"
+                )
+
+            def build_aux(op: PauliSum):
+                if not isinstance(injected, _Base):
+                    return resolve_injected_evaluator(injected, op, role="aux operator")
+                if self.configuration.configured_estimator is not None:
+                    return StatevectorExpectationEvaluator(
+                        operator=op,
+                        precision=self.configuration.configured_estimator.precision or 0.0,
+                        seed=self.configuration.configured_estimator.seed,
+                    )
+                return SamplerExpectationEvaluator(
+                    operator=op,
+                    shots=self.configuration.configured_sampler.shots,
+                    alpha=self.configuration.distribution_alpha_tail,
+                    seed=self.configuration.configured_sampler.seed,
+                )
+
+            if isinstance(aux_operators, list):
+                aux_evaluators = [build_aux(op) for op in aux_operators]
+            else:
+                aux_evaluators = {k: build_aux(op) for k, op in aux_operators.items()}
+
+        with parameter_order(self.configuration.parameter_order):
+            return self._solve_by_evolution(evaluator, aux_evaluators, None)
 
     def compute_minimum_function_value(
         self,

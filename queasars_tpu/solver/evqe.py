@@ -109,6 +109,12 @@ class EVQEMinimumEigensolverConfiguration:
     #: selection reuses the parameter search's exact final energies
     #: (None = auto with the fused Pallas path; see the driver config)
     reuse_selection_energies: Optional[bool] = None
+    #: pluggable external evaluation backend — a BaseCircuitEvaluator
+    #: instance or a factory ``operator -> BaseCircuitEvaluator``; when
+    #: set it drives ALL fitness evaluations (the reference's pluggable
+    #: BaseEstimatorV2/BaseSamplerV2 capability, including real hardware
+    #: — see sim/external.py).  Makes the estimator/sampler optional.
+    evaluator: Optional[object] = None
 
     def __post_init__(self):
         if (
@@ -119,6 +125,15 @@ class EVQEMinimumEigensolverConfiguration:
             raise ValueError(
                 "no stopping condition configured: set max_generations, "
                 "max_circuit_evaluations and/or a termination_criterion"
+            )
+        if (
+            self.configured_sampler is None
+            and self.configured_estimator is None
+            and self.evaluator is None
+        ):
+            raise ValueError(
+                "provide a configured_sampler and/or a configured_estimator "
+                "(or inject an external evaluator)"
             )
         for name in (
             "parameter_search_probability",
@@ -229,6 +244,7 @@ class EVQEMinimumEigensolver(EvolvingAnsatzMinimumEigensolver):
             amp_devices=configuration.amp_devices,
             amp_local_qubits=configuration.amp_local_qubits,
             reuse_selection_energies=configuration.reuse_selection_energies,
+            evaluator=configuration.evaluator,
         )
         super().__init__(configuration=config)
 
