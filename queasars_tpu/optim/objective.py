@@ -91,10 +91,13 @@ def population_energies(
             )
 
             rot_types, rot_angles, group_tables, const = table
+            # slot kernels cap at 20; the folded route (one-launch or
+            # per-group) reaches the in-VMEM sampler's n=21 cap
+            grouped_cap = 21 if mxu_fold_enabled(use_mxu, n_qubits, path="sampler") else 20
             grouped_pallas = (
                 use_pallas
                 and (initial_state is None or initial_state.ndim == 3)
-                and 14 <= n_qubits <= 20
+                and 14 <= n_qubits <= grouped_cap
             )
             if grouped_pallas:
                 # one fused simulate+sample launch per group on the

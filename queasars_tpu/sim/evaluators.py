@@ -523,14 +523,25 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
             )
 
             group_shots = self._group_shots if self._group_shots is not None else shots
-            # fused in-kernel sampling per group (one launch per rotated
-            # circuit) — the kernels' speedup dominates the G-fold
-            # re-simulation for structured operators (docs/performance.md)
+            # fused in-kernel grouped sampling (one-launch multi-group
+            # kernel under the fold, else one launch per rotated circuit)
+            # — the kernels' speedup dominates the G-fold re-simulation
+            # for structured operators (docs/performance.md).  The slot
+            # kernels cap at n=20; the folded route reaches the in-VMEM
+            # sampler's n=21 cap.
+            from queasars_tpu.optim.objective import mxu_fold_enabled
+
+            grouped_cap = (
+                21 if mxu_fold_enabled(None, n, path="sampler") else 20
+            )
             if (
                 self._use_pallas
                 and self._initial is None
-                and 14 <= n <= 20
-                and pallas_supported(n, jax.default_backend())
+                and 14 <= n <= grouped_cap
+                and (
+                    pallas_supported(n, jax.default_backend())
+                    or grouped_cap == 21
+                )
             ):
                 return self._run_batched(
                     lambda pa, ra: grouped_shot_energies_pallas(

@@ -878,11 +878,12 @@ def grouped_fold_supported(n_qubits: int, platform: str, n_meas_groups: int) -> 
     if not fold_supported(n_qubits, platform, path="sampler"):
         return False
     # the multi-group kernel holds a base-state copy on top of the
-    # sampler's own scratch; untested past n=20 — keep its own cap
+    # sampler's own scratch; follows the sampler path's n=21 cap (round
+    # 5: on-chip gated at n=21 against the per-group route,
+    # tests/test_grouped_n21_chip.py via experiments/exp_grouped_n21.py)
     plane = (1 << n_qubits) * 4
     return (
-        n_qubits <= 20
-        and n_meas_groups <= 64
+        n_meas_groups <= 64
         and 4 * plane + 24 * 1024 * 1024 <= _VMEM_LIMIT
     )
 

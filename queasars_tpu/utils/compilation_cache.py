@@ -44,3 +44,55 @@ def enable_persistent_cache(path: Optional[str] = None) -> Optional[str]:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return cache_dir
+
+
+def cache_probe() -> dict:
+    """Compile one tiny FIXED program against the active persistent cache
+    and report whether it was served from cache.
+
+    The committed ``.jax_cache/`` holds this probe's TPU executable
+    (written by ``python tools/warm_cache.py``); a platform/jaxlib bump
+    silently invalidates every committed entry — including the expensive
+    remote-compiled Pallas kernels — and the first symptom used to be a
+    mysteriously cold (minutes-long) benchmark run.  This probe makes
+    staleness loud: ``hits == 0`` on a backend whose entries are
+    committed means the cache must be regenerated (``python
+    tools/warm_cache.py`` for the probe; ``python bench.py`` re-populates
+    every bench-stage kernel).
+
+    Returns ``{"backend", "hits", "misses", "compile_s"}`` — hit/miss
+    counts come from JAX's own cache instrumentation
+    (``/jax/compilation_cache/cache_hits``).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax._src import monitoring
+
+    events: list[str] = []
+    listener = lambda event, **kw: events.append(event)
+    monitoring.register_event_listener(listener)
+    try:
+        # the probe program: fixed shape/ops so its cache key is stable
+        # across runs (never change this without regenerating .jax_cache)
+        @jax.jit
+        def _cache_probe_program(x):
+            return (x * 1.000001 + 0.5).sum() * 2.0
+
+        start = time.perf_counter()
+        result = float(_cache_probe_program(jnp.arange(4096, dtype=jnp.float32)))
+        compile_s = time.perf_counter() - start
+    finally:
+        # no public unregister in this jax version — drop from the list
+        try:
+            monitoring._event_listeners.remove(listener)
+        except ValueError:
+            pass
+    assert abs(result - 2 * (4096 * 4095 / 2 * 1.000001 + 0.5 * 4096)) < 1.0
+    return {
+        "backend": jax.default_backend(),
+        "hits": sum(1 for e in events if e.endswith("cache_hits")),
+        "misses": sum(1 for e in events if e.endswith("cache_misses")),
+        "compile_s": compile_s,
+    }

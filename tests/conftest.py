@@ -38,7 +38,8 @@ _SMOKE_MODULES = {
     "test_parameter_order", "test_qasm_export", "test_bench_smoke",
     "test_reference_fixtures", "test_qubo", "test_optim", "test_evolution",
     "test_evaluators", "test_checkpoint_module", "test_profiling", "test_lint",
-    "test_api_docs", "test_interop_bundle",
+    "test_api_docs", "test_interop_bundle", "test_compile_cache_guard",
+    "test_external_evaluator",
 }
 
 

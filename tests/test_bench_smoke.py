@@ -30,10 +30,11 @@ def test_measure_rate_scan_runs(small_bench):
 
 def test_cpp_baseline_agrees_with_engine(small_bench):
     packed, table = small_bench
-    rate = bench.measure_cpp_rate(packed, table, repeats=1)
-    if rate is None:
+    stats = bench.measure_cpp_rate(packed, table, windows=2)
+    if stats is None:
         pytest.skip("native toolchain unavailable")
-    assert rate > 0
+    assert stats["median"] > 0
+    assert stats["min"] <= stats["median"] <= stats["max"]
     # the baseline simulator itself must agree with the engine
     from queasars_tpu.sim.evaluators import _energies_exact
     from queasars_tpu.utils.native import native_population_energies
