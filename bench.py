@@ -360,8 +360,13 @@ def measure_cpp_rate(packed, table, windows: int = 5) -> dict | None:
     The denominator deserves the same care as the numerator (VERDICT r4
     weak #1: one 2-repeat window let run-to-run swings of 4.2-10.2
     evals/s move ``vs_baseline`` by 2x): each of ``windows`` timed
-    windows measures one full population evaluation; the reported rate
-    is the MEDIAN, with the min/max spread carried in the record.
+    windows measures one full population evaluation.  The reported rate
+    is the MAX over windows — box noise (a shared 1-core host) can only
+    SLOW the proxy, so the best window is the least-contended estimate
+    of its true single-core speed, it concentrates run-to-run (the slow
+    tail is what varied 2x), and as the DENOMINATOR it is the
+    conservative choice: the largest defensible baseline gives the
+    smallest claimed ratio.  Median/min/max ride in the record.
     """
     from queasars_tpu.utils.native import native_population_energies
 
@@ -422,10 +427,13 @@ def _stage_main(stage: str) -> dict:
         table = native_diagonal_energy_table(coeffs, z_masks, N_QUBITS)
         if table is None:
             table = build_table(z_masks, coeffs, N_QUBITS)
-        stats = measure_cpp_rate(packed, np.asarray(table, np.float32), windows=5)
+        stats = measure_cpp_rate(packed, np.asarray(table, np.float32), windows=7)
         if stats is None:
             return {"cpp_rate": None}
-        return {"cpp_rate": stats["median"], "cpp_rate_spread": [stats["min"], stats["max"]]}
+        return {
+            "cpp_rate": stats["max"],
+            "cpp_rate_spread": [stats["min"], stats["median"], stats["max"]],
+        }
 
     if stage == "cpu_jnp":
         import jax
@@ -534,8 +542,8 @@ def _emit(state: dict, stages: dict, final: bool) -> None:
         "tpu_jnp_rate": round(jnp_rate, 2) if jnp_rate else None,
         "baseline": "aer_proxy_cpp_1core" if state.get("cpp_rate") else "jnp_cpu_1core",
         "cpp_rate": round(state["cpp_rate"], 2) if state.get("cpp_rate") else None,
-        # median of 5 single-evaluation windows; [min, max] spread so the
-        # ratio's denominator noise is visible in the record
+        # best of 7 single-evaluation windows (the conservative
+        # denominator — see measure_cpp_rate); [min, median, max] spread
         "cpp_rate_spread": (
             [round(v, 2) for v in state["cpp_rate_spread"]]
             if state.get("cpp_rate_spread") else None

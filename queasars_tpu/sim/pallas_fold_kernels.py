@@ -656,14 +656,17 @@ def fold_supported(n_qubits: int, platform: str, path: str = "exact") -> bool:
     epilogue reaches n=21 since round 4 (emitting sampled INDICES moved
     the energy table out of VMEM, freeing room for the 16 MB CDF
     scratch planes; verified on-chip at 99.9% stream agreement against
-    the same-precision folded probabilities — ``path="sampler"``); n=22
-    would additionally need the epilogue's full-plane probability limbs
-    chunked.  The folded in-kernel NFT sweep (``path="sweep"``) keeps
-    FOUR state planes resident (prefix + work) plus the table and caps
-    at n=20 (5 x 8 MB + chunk temporaries at n=21 exceeds VMEM
-    alongside the matmul buffers).
+    the same-precision folded probabilities — ``path="sampler"``) and
+    n=22 since round 5: the epilogue's Bsel hierarchy gather runs in
+    128-block half-passes, the 256-entry block prefix chains two
+    lane-tile scans, and the probability limbs recompute per shot chunk
+    instead of being held (pallas_kernels._sample_shots_in_vmem;
+    on-chip gate experiments/exp_sampler_n22.py).  The folded in-kernel
+    NFT sweep (``path="sweep"``) keeps FOUR state planes resident
+    (prefix + work) plus the table and caps at n=20 (5 x 8 MB + chunk
+    temporaries at n=21 exceeds VMEM alongside the matmul buffers).
     """
-    cap = 20 if path == "sweep" else (21 if path == "sampler" else 22)
+    cap = 20 if path == "sweep" else 22
     return platform == "tpu" and LANE_BITS <= n_qubits <= cap
 
 
@@ -869,6 +872,90 @@ def _grouped_sampled_folded_kernel(
         )
 
 
+def _grouped_sampled_folded_batched_kernel(
+    fdata_ref, idata_ref, rot_ref,
+    *rest,
+    n_qubits: int, n_kron: int, d_slots: int, group_shots: tuple,
+    n_meas_groups: int, precision, has_init: bool,
+):
+    """Batched-epilogue variant of the one-launch multi-group sampler
+    (round 5, VERDICT r4 weak #3): phase 1 rotates each group and STAGES
+    its probability plane into a stacked VMEM scratch; phase 2 resolves
+    every group's shots from the staged planes.
+
+    Why this is faster than the sequential kernel above: there, group
+    g's epilogue READS the state planes that group g+1's restore+rotate
+    will WRITE — a write-after-read hazard that serializes the whole
+    chain (rotate, full epilogue, rotate, ...).  Staging detaches the
+    epilogues from the state planes, so the scheduler can overlap each
+    group's CDF scans and one-hot gathers with the NEXT group's
+    rotation matmuls and with the other groups' epilogue fragments.
+    Bit-identical sampled indices (the staged plane holds the exact f32
+    probabilities the sequential kernel computes in place).
+
+    VMEM holds (4 + G) state planes plus the epilogue transients —
+    see ``grouped_fold_supported`` for the fit predicate; callers fall
+    back to the sequential kernel when the stack does not fit."""
+    from queasars_tpu.sim.pallas_kernels import _sample_shots_from_probs
+
+    fracs = rest[:n_meas_groups]
+    cursor = n_meas_groups
+    if has_init:
+        init_ref = rest[cursor]
+        cursor += 1
+    else:
+        init_ref = None
+    outs = rest[cursor:cursor + n_meas_groups]
+    state_re, state_im, base_re, base_im, gprobs = rest[cursor + n_meas_groups:]
+    _run_circuit_folded(
+        fdata_ref, idata_ref, state_re, state_im,
+        n_qubits, n_kron, d_slots, precision, init_ref,
+    )
+    base_re[:] = state_re[:]
+    base_im[:] = state_im[:]
+
+    rows = 1 << (n_qubits - LANE_BITS)
+    n_axis = n_axis_groups(n_qubits)
+    wr = _packed_width(n_meas_groups * n_qubits * 8 + n_meas_groups * n_axis)
+    act_off = n_meas_groups * n_qubits * 8
+
+    def rget(i):
+        return rot_ref[0, i // wr, i % wr]
+
+    def rfac(k, q, c, bi, bj):
+        return rget((((k * n_qubits + q) * 2 + c) * 2 + bi) * 2 + bj)
+
+    def rga(k, g):
+        return rget(act_off + k * n_axis + g)
+
+    # phase 1: rotate + stage each group's probabilities (serial on the
+    # shared state planes — unavoidable; cheap: one kron layer each)
+    for g in range(n_meas_groups):
+        if g:
+            state_re[:] = base_re[:]
+            state_im[:] = base_im[:]
+        _apply_kron_layer(state_re, state_im, rfac, rga, g, n_qubits, precision)
+        gprobs[g * rows:(g + 1) * rows, :] = (
+            state_re[:] * state_re[:] + state_im[:] * state_im[:]
+        )
+
+    # phase 2: all epilogues from the staged planes — mutually
+    # independent and independent of the state planes
+    for g in range(n_meas_groups):
+        _sample_shots_from_probs(
+            gprobs[g * rows:(g + 1) * rows, :], fracs[g], outs[g],
+            n_qubits, group_shots[g],
+        )
+
+
+def _grouped_batched_fits(n_qubits: int, n_meas_groups: int) -> bool:
+    """True when the batched-epilogue grouped kernel's VMEM stack fits:
+    4 state planes + G staged probability planes + ~4 planes of epilogue
+    transients (held limbs + one-hot chunk) + headroom."""
+    plane = (1 << n_qubits) * 4
+    return (8 + n_meas_groups) * plane + 16 * 1024 * 1024 <= _VMEM_LIMIT
+
+
 def grouped_fold_supported(n_qubits: int, platform: str, n_meas_groups: int) -> bool:
     """True when the one-launch multi-group sampler fits.  VMEM holds
     four state planes (state + base copy) plus sampler/matmul scratch —
@@ -877,18 +964,24 @@ def grouped_fold_supported(n_qubits: int, platform: str, n_meas_groups: int) -> 
     64-group cap only bounds the static per-group unroll."""
     if not fold_supported(n_qubits, platform, path="sampler"):
         return False
-    # the multi-group kernel holds a base-state copy on top of the
-    # sampler's own scratch; follows the sampler path's n=21 cap (round
-    # 5: on-chip gated at n=21 against the per-group route,
-    # tests/test_grouped_n21_chip.py via experiments/exp_grouped_n21.py)
+    # the multi-group kernel holds a base-state copy (4 planes) on top
+    # of the sampler's own transients; n=21 on-chip gated against the
+    # per-group route this round (experiments/exp_grouped_n21.py).
+    # n=22 stays with the per-group route: 4 x 16 MB planes + the
+    # epilogue's ~48 MB chunk transients sit exactly at the 112 MB
+    # VMEM ceiling
     plane = (1 << n_qubits) * 4
     return (
-        n_meas_groups <= 64
+        n_qubits <= 21
+        and n_meas_groups <= 64
         and 4 * plane + 24 * 1024 * 1024 <= _VMEM_LIMIT
     )
 
 
-@partial(jax.jit, static_argnames=("n_qubits", "shots", "precision", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=("n_qubits", "shots", "precision", "interpret", "batched"),
+)
 def pallas_grouped_shot_energies_folded(
     pipeline: FoldPipeline,
     rot_factors: jax.Array,   # [G, n, 2, 2, 2] f32 (re/im at axis 2)
@@ -900,6 +993,7 @@ def pallas_grouped_shot_energies_folded(
     precision: str = "default",
     interpret: bool = False,
     initial: jax.Array | None = None,
+    batched: bool | None = None,
 ) -> jax.Array:
     """Per-group sampled shot energies — a TUPLE of [P, shots_g] arrays
     — from ONE kernel launch per individual (see
@@ -957,12 +1051,33 @@ def pallas_grouped_shot_energies_folded(
     if has_init:
         in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
         operands.append(initial.reshape(pop, 2, rows, LANES))
+    # batched-epilogue kernel when the staged probability stack fits
+    # (detaches the per-group epilogues from the state planes — see
+    # _grouped_sampled_folded_batched_kernel); sequential fallback past
+    # the VMEM fit.  ``batched`` is a static argument (True/False forces
+    # a route; None = auto) so route comparisons compile distinct
+    # programs instead of sharing a trace-cache entry.
+    if batched is None:
+        batched = _grouped_batched_fits(n_qubits, n_meas_groups)
+    else:
+        batched = bool(batched) and _grouped_batched_fits(n_qubits, n_meas_groups)
     kernel = partial(
-        _grouped_sampled_folded_kernel,
+        _grouped_sampled_folded_batched_kernel if batched
+        else _grouped_sampled_folded_kernel,
         n_qubits=n_qubits, n_kron=n_kron, d_slots=d_slots, group_shots=group_shots,
         n_meas_groups=n_meas_groups, precision=_PRECISIONS[precision],
         has_init=has_init,
     )
+    scratch_shapes = [
+        pltpu.VMEM((rows, LANES), jnp.float32),
+        pltpu.VMEM((rows, LANES), jnp.float32),
+        pltpu.VMEM((rows, LANES), jnp.float32),
+        pltpu.VMEM((rows, LANES), jnp.float32),
+    ]
+    if batched:
+        scratch_shapes.append(
+            pltpu.VMEM((n_meas_groups * rows, LANES), jnp.float32)
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(pop,),
@@ -975,12 +1090,7 @@ def pallas_grouped_shot_energies_folded(
             jax.ShapeDtypeStruct((pop, group_shots[g], 1), jnp.int32)
             for g in range(n_meas_groups)
         ],
-        scratch_shapes=[
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)

@@ -492,9 +492,24 @@ def _sample_shots_in_vmem(state_re, state_im, frac_ref, out_ref, n_qubits, shots
     (which is what lets the one-launch grouped sampler hold any number
     of measurement groups).  Sampled indices are bit-identical to the
     energy-emitting round-3 epilogue's selections."""
+    probs = state_re[:] * state_re[:] + state_im[:] * state_im[:]
+    _sample_shots_from_probs(
+        probs, frac_ref, out_ref, n_qubits, shots,
+        recompute=lambda: state_re[:] * state_re[:] + state_im[:] * state_im[:],
+    )
+
+
+def _sample_shots_from_probs(probs, frac_ref, out_ref, n_qubits, shots, recompute=None):
+    """The hierarchical inverse-CDF sampler on a probability VALUE
+    (round 5 split: the one-launch grouped kernel stages each group's
+    probabilities into a stacked scratch plane and resolves all groups
+    from there, detaching the epilogues from the state planes — see
+    pallas_fold_kernels._grouped_sampled_folded_kernel).  ``recompute``
+    optionally rebuilds the probability plane cheaply (from the state
+    planes) for the per-chunk limb path at n>=22, where holding the
+    limbs would cost 3 extra full planes."""
     rows = 1 << (n_qubits - LANE_BITS)
     n_blocks = rows // LANES
-    probs = state_re[:] * state_re[:] + state_im[:] * state_im[:]
 
     def split3(v):
         """f32 -> three bf16-exact f32 limbs with v == l1 + l2 + l3."""
@@ -534,14 +549,22 @@ def _sample_shots_in_vmem(state_re, state_im, frac_ref, out_ref, n_qubits, shots
     # selector gathers replace the (unsupported) [rows,1]->[B,R] reshape:
     # Bsel[g, b] = 1 iff row g lies in block b; Rsel[j, g] = 1 iff row g
     # is the j-th row of its block — exactly one g satisfies both, so
-    # r2t[j, b] = row_tot[b*128 + j] (a pure gather)
+    # r2t[j, b] = row_tot[b*128 + j] (a pure gather).  Past 128 blocks
+    # (n=22) the Bsel gather runs in 128-block half-passes so no single
+    # selector plane exceeds one state plane's footprint.
     row_ids_col = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    blk_lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, n_blocks), 1)
-    bsel = ((row_ids_col // LANES) == blk_lanes).astype(jnp.float32)  # [rows, B]
     sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANES, rows), 0)
     lane_rows_wide = jax.lax.broadcasted_iota(jnp.int32, (LANES, rows), 1)
     rsel = ((lane_rows_wide % LANES) == sub128).astype(jnp.float32)  # [128, rows]
-    r2t = gather_dot(rsel, bsel * row_tot)  # [128, B]
+    r2t_parts = []
+    for b0 in range(0, n_blocks, LANES):
+        width = min(LANES, n_blocks - b0)
+        blk_lanes = b0 + jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+        bsel = ((row_ids_col // LANES) == blk_lanes).astype(jnp.float32)
+        r2t_parts.append(gather_dot(rsel, bsel * row_tot))
+    r2t = (
+        r2t_parts[0] if len(r2t_parts) == 1 else jnp.concatenate(r2t_parts, axis=1)
+    )  # [128, B]
     # in-block inclusive row prefix (exact)
     row_prefix_t = sublane_scan(r2t, LANES)  # [128, B]
     # block totals = the prefix's last row; taken as a max-reduction
@@ -557,9 +580,22 @@ def _sample_shots_in_vmem(state_re, state_im, frac_ref, out_ref, n_qubits, shots
         padded = jnp.concatenate(
             [block_tot, jnp.zeros((1, LANES - n_blocks), jnp.float32)], axis=1
         )
+        cb = lane_scan(padded, n_blocks)[:, :n_blocks]  # [1, B]
+    elif n_blocks == LANES:
+        cb = lane_scan(block_tot, n_blocks)
     else:
-        padded = block_tot
-    cb = lane_scan(padded, n_blocks)[:, :n_blocks]  # [1, B]
+        # > 128 blocks (n=22): scan each 128-lane tile independently,
+        # then chain the tile carries (exact f32 adds, tile-aligned
+        # slices only)
+        tiles = [
+            lane_scan(block_tot[:, t : t + LANES], LANES)
+            for t in range(0, n_blocks, LANES)
+        ]
+        chained = [tiles[0]]
+        for tile in tiles[1:]:
+            carry = jnp.max(chained[-1], axis=1, keepdims=True)  # last entry
+            chained.append(tile + carry)
+        cb = jnp.concatenate(chained, axis=1)  # [1, B]
     total = jnp.sum(block_tot)
 
     u = frac_ref[0] * total  # [S, 1] — identical values to sample_indices' draws
@@ -591,16 +627,24 @@ def _sample_shots_in_vmem(state_re, state_im, frac_ref, out_ref, n_qubits, shots
     # scheduler can reuse the buffers (a monolithic [S, rows] one-hot
     # blows the scoped VMEM budget at n=20 / 512 shots)
     global_row = block * LANES + row  # [S, 1]
-    probs_limbs = split3(probs)
+    # n <= 21: hold the three bf16-exact probability limbs across the
+    # chunk loop (fewer full-plane passes).  n = 22: a held limb set is
+    # 3 x 16 MB on top of the states — recompute probs/limbs inside each
+    # chunk instead, so only one limb plane is live per dot (identical
+    # values: split3 of the identical probs expression)
+    hold_limbs = n_qubits < 22 or recompute is None
+    if hold_limbs:
+        probs_limbs = split3(probs)
     chunk_bounds = list(range(0, shots, LANES)) + [shots]
     for c0, c1 in zip(chunk_bounds[:-1], chunk_bounds[1:]):
         size = c1 - c0
         lane_rows = jax.lax.broadcasted_iota(jnp.int32, (size, rows), 1)
         oh_row = (lane_rows == global_row[c0:c1, :]).astype(jnp.float32)
         dims = (((1,), (0,)), ((), ()))
+        chunk_limbs = probs_limbs if hold_limbs else split3(recompute())
         p_row = sum(
             jax.lax.dot_general(oh_row, limb, dims, preferred_element_type=jnp.float32)
-            for limb in probs_limbs
+            for limb in chunk_limbs
         )  # [size, 128]
         lane_prefix = lane_scan(p_row, LANES)
         lane = jnp.minimum(

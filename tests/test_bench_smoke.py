@@ -35,6 +35,7 @@ def test_cpp_baseline_agrees_with_engine(small_bench):
         pytest.skip("native toolchain unavailable")
     assert stats["median"] > 0
     assert stats["min"] <= stats["median"] <= stats["max"]
+    assert stats["max"] > 0
     # the baseline simulator itself must agree with the engine
     from queasars_tpu.sim.evaluators import _energies_exact
     from queasars_tpu.utils.native import native_population_energies
