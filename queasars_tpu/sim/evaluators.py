@@ -145,6 +145,30 @@ def _sampled_probs(gate_types, controls, angles, layer_mask, keys, n_qubits, sho
     return counts.astype(jnp.float32) / shots
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_qubits", "shots", "use_cvar", "use_pallas"),
+)
+def _sampled_diag_energies(
+    gate_types, controls, angles, layer_mask, keys, table, sorted_energies,
+    energy_order, alpha, initial_state, *, n_qubits, shots, use_cvar, use_pallas,
+):
+    """Diagonal sampler-path energies through the SAME dispatch the
+    batched optimizers use (optim/objective.py::population_energies):
+    counts-based on the jnp engine (the committed-fixture CPU path,
+    bit-identical to the pre-round-5 helper), the in-kernel samplers
+    under ``use_pallas`` (slot kernel to n=20, folded in-VMEM sampler to
+    n=22)."""
+    from queasars_tpu.optim.objective import population_energies
+
+    return population_energies(
+        gate_types, controls, angles, layer_mask, table, sorted_energies,
+        energy_order, alpha, keys, n_qubits=n_qubits, shots=shots,
+        use_cvar=use_cvar, use_shots=True, initial_state=initial_state,
+        use_pallas=use_pallas,
+    )
+
+
 @partial(jax.jit, static_argnames=("n_qubits", "shots"))
 def _sampled_energies_pallas(gate_types, controls, angles, layer_mask, keys, table, n_qubits, shots):
     """Sampled states' energies [P, shots] on the Pallas path.
@@ -559,36 +583,31 @@ class SamplerExpectationEvaluator(BaseCircuitEvaluator):
                 (packed.gate_types, packed.controls, a, packed.layer_mask, keys),
                 (*self._grouped, self._initial),
             )
+        from queasars_tpu.optim.objective import mxu_fold_enabled
+
+        # the fused route: slot kernels to n=20, the folded in-VMEM
+        # sampler to n=22 — the same dispatch the batched optimizers use
+        # (population_energies), so direct evaluations and in-scan
+        # objectives share one code path and one shot stream
         use_pallas = (
             self._use_pallas
             and self._initial is None
-            and pallas_supported(packed.n_qubits, jax.default_backend())
+            and (
+                pallas_supported(packed.n_qubits, jax.default_backend())
+                or mxu_fold_enabled(None, packed.n_qubits, path="sampler")
+            )
         )
-
-        def sample_and_reduce(pa, ra):
-            if use_pallas:
-                # shot-multiset fast path (same stream as sample_counts):
-                # reduce over [P, shots] sampled energies instead of a
-                # counts array over [P, 2^n] — see optim/objective.py
-                emp = _sampled_energies_pallas(pa[0], pa[1], pa[2], pa[3], pa[4], ra[0], n, shots)
-                if self.alpha >= 1.0:
-                    return jnp.mean(emp, axis=-1)
-                return cvar_expectation_from_shot_energies(emp, ra[1])
-            emp = _sampled_probs(pa[0], pa[1], pa[2], pa[3], pa[4], n, shots, ra[-1])
-            if self.alpha >= 1.0:
-                return expectation_from_probs(emp, ra[0])
-            return cvar_expectation_from_probs(emp, ra[0], ra[1], ra[2])
-
-        if use_pallas:
-            rep_args = (self._table, jnp.float32(self.alpha), self._initial)
-        elif self.alpha >= 1.0:
-            rep_args = (self._table, self._initial)
-        else:
-            rep_args = (self._sorted, self._order, jnp.float32(self.alpha), self._initial)
         return self._run_batched(
-            sample_and_reduce,
+            lambda pa, ra: _sampled_diag_energies(
+                pa[0], pa[1], pa[2], pa[3], pa[4], ra[0], ra[1], ra[2], ra[3],
+                ra[4], n_qubits=n, shots=shots,
+                use_cvar=self.alpha < 1.0, use_pallas=use_pallas,
+            ),
             (packed.gate_types, packed.controls, a, packed.layer_mask, keys),
-            rep_args,
+            (
+                self._table, self._sorted, self._order,
+                jnp.float32(self.alpha), self._initial,
+            ),
         )
 
 

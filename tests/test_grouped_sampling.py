@@ -519,6 +519,20 @@ def test_one_launch_grouped_fold_matches_per_group_route():
         )
         np.testing.assert_array_equal(np.asarray(fused[g]), per_group)
 
+    # the round-5 batched-epilogue kernel (staged probability planes,
+    # detached epilogues) must be bit-identical to the sequential
+    # in-place kernel — both routes forced explicitly
+    sequential = pallas_grouped_shot_energies_folded(
+        base, rot_factors, rot_active, tables, frac, n, shots,
+        precision="default", interpret=True, batched=False,
+    )
+    batched = pallas_grouped_shot_energies_folded(
+        base, rot_factors, rot_active, tables, frac, n, shots,
+        precision="default", interpret=True, batched=True,
+    )
+    for g in range(n_groups):
+        np.testing.assert_array_equal(np.asarray(batched[g]), np.asarray(sequential[g]))
+
 
 def test_one_launch_route_engaged_through_public_entry():
     """grouped_shot_energies_pallas auto-selects the one-launch kernel
