@@ -196,12 +196,13 @@ def test_fold_supported_ranges():
     assert fold_supported(21, "tpu")
     assert fold_supported(22, "tpu")
     assert not fold_supported(23, "tpu")  # 2x64 MB planes exceed VMEM
-    # the in-VMEM sampler epilogue reaches n=21 since round 4 (index
-    # emission freed the table's VMEM; verified on-chip,
-    # experiments/exp_sampler_n21.py); the in-kernel sweep stays at 20
+    # the in-VMEM sampler epilogue reaches n=22 since round 5 (half-pass
+    # Bsel gather, chained 256-block prefix, per-chunk limb recompute —
+    # experiments/exp_sampler_n22.py); the in-kernel sweep stays at 20
     assert fold_supported(20, "tpu", "sampler")
     assert fold_supported(21, "tpu", "sampler")
-    assert not fold_supported(22, "tpu", "sampler")
+    assert fold_supported(22, "tpu", "sampler")
+    assert not fold_supported(23, "tpu", "sampler")
     assert fold_supported(20, "tpu", "sweep")
     assert not fold_supported(21, "tpu", "sweep")
     assert not fold_supported(20, "cpu")
