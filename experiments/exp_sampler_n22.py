@@ -1,15 +1,25 @@
-"""In-VMEM sampler at n=22: correctness + rate probe (round 5).
+"""In-VMEM sampler at n=22: MEASURED NEGATIVE RESULT (round 5).
 
-n=22 needed three epilogue changes (pallas_kernels._sample_shots_in_vmem):
-the Bsel hierarchy gather runs in 128-block half-passes, the 256-entry
-block prefix chains two lane-tile scans, and the probability limbs
-recompute per shot chunk instead of being held across the level-C loop
-(a held limb set is 3 x 16 MB on top of the 32 MB of state planes).
-This probe verifies the n=22 folded sampler kernel on the chip against
-a flat searchsorted over the SAME-precision folded probabilities, then
-measures the sustained rate.
+The epilogue was restructured for the size
+(pallas_kernels._sample_shots_from_probs: Bsel hierarchy gather in
+128-block half-passes, 256-entry block prefix as two chained lane-tile
+scans, probability limbs recomputed per shot chunk instead of held — a
+held limb set is 3 x 16 MB on top of the 32 MB of state planes) and the
+logic verified in interpret mode.  On the chip the kernel is a compiler
+impossibility: after a 28-minute Mosaic compile it fails with
 
-Run on the TPU: python experiments/exp_sampler_n22.py
+    Ran out of memory in memory space vmem. Used 226.43M of 128.00M
+    ...  1. Size: 177.39M  XLA label: register allocator spill slots
+
+— the level ops' 16 MB/plane live set overwhelms the register
+allocator regardless of how the explicit buffers are chunked.
+``fold_supported(path="sampler")`` therefore caps at n=21, and the
+n=22 shot path runs the folded probs kernel + XLA-side sampling (the
+optim/objective.py fallback, same uniform stream).
+
+Kept as the reproduction script: run on the TPU (expect the VMEM
+failure above unless the toolchain improves):
+python experiments/exp_sampler_n22.py
 """
 
 from __future__ import annotations

@@ -656,17 +656,22 @@ def fold_supported(n_qubits: int, platform: str, path: str = "exact") -> bool:
     epilogue reaches n=21 since round 4 (emitting sampled INDICES moved
     the energy table out of VMEM, freeing room for the 16 MB CDF
     scratch planes; verified on-chip at 99.9% stream agreement against
-    the same-precision folded probabilities — ``path="sampler"``) and
-    n=22 since round 5: the epilogue's Bsel hierarchy gather runs in
-    128-block half-passes, the 256-entry block prefix chains two
-    lane-tile scans, and the probability limbs recompute per shot chunk
-    instead of being held (pallas_kernels._sample_shots_in_vmem;
-    on-chip gate experiments/exp_sampler_n22.py).  The folded in-kernel
-    NFT sweep (``path="sweep"``) keeps FOUR state planes resident
-    (prefix + work) plus the table and caps at n=20 (5 x 8 MB + chunk
-    temporaries at n=21 exceeds VMEM alongside the matmul buffers).
+    the same-precision folded probabilities — ``path="sampler"``).
+    n=22 is a MEASURED compiler impossibility (round 5,
+    experiments/exp_sampler_n22.py): with the epilogue restructured for
+    the size (half-pass Bsel gather, chained 256-block prefix,
+    per-chunk limb recompute — interpret-verified, kept in
+    pallas_kernels._sample_shots_from_probs), Mosaic's register
+    allocator still spills 177 MB of slots around the 16 MB/plane level
+    ops — 226.43M scoped VMEM against the 128M chip, after a 28-minute
+    compile.  The n=22 shot path runs folded-probs + XLA-side sampling
+    instead (optim/objective.py's fallback — same stream).  The folded
+    in-kernel NFT sweep (``path="sweep"``) keeps FOUR state planes
+    resident (prefix + work) plus the table and caps at n=20 (5 x 8 MB
+    + chunk temporaries at n=21 exceeds VMEM alongside the matmul
+    buffers).
     """
-    cap = 20 if path == "sweep" else 22
+    cap = 20 if path == "sweep" else (21 if path == "sampler" else 22)
     return platform == "tpu" and LANE_BITS <= n_qubits <= cap
 
 

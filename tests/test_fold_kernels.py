@@ -196,13 +196,13 @@ def test_fold_supported_ranges():
     assert fold_supported(21, "tpu")
     assert fold_supported(22, "tpu")
     assert not fold_supported(23, "tpu")  # 2x64 MB planes exceed VMEM
-    # the in-VMEM sampler epilogue reaches n=22 since round 5 (half-pass
-    # Bsel gather, chained 256-block prefix, per-chunk limb recompute —
-    # experiments/exp_sampler_n22.py); the in-kernel sweep stays at 20
+    # the in-VMEM sampler epilogue caps at n=21: n=22 is a measured
+    # compiler impossibility (177 MB of register spills, 226M/128M VMEM
+    # after a 28-min compile — experiments/exp_sampler_n22.py); its
+    # shot path runs folded probs + XLA-side sampling instead
     assert fold_supported(20, "tpu", "sampler")
     assert fold_supported(21, "tpu", "sampler")
-    assert fold_supported(22, "tpu", "sampler")
-    assert not fold_supported(23, "tpu", "sampler")
+    assert not fold_supported(22, "tpu", "sampler")
     assert fold_supported(20, "tpu", "sweep")
     assert not fold_supported(21, "tpu", "sweep")
     assert not fold_supported(20, "cpu")
