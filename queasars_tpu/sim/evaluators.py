@@ -37,7 +37,6 @@ from queasars_tpu.paulis import PauliSum
 from queasars_tpu.paulis.diagonal import diagonal_energy_table
 from queasars_tpu.sim.expectation import (
     cvar_expectation_from_probs,
-    cvar_expectation_from_shot_energies,
     expectation_from_probs,
     general_pauli_expectation_real,
 )

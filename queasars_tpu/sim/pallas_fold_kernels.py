@@ -1056,14 +1056,19 @@ def pallas_grouped_shot_energies_folded(
     if has_init:
         in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
         operands.append(initial.reshape(pop, 2, rows, LANES))
-    # batched-epilogue kernel when the staged probability stack fits
-    # (detaches the per-group epilogues from the state planes — see
-    # _grouped_sampled_folded_batched_kernel); sequential fallback past
-    # the VMEM fit.  ``batched`` is a static argument (True/False forces
-    # a route; None = auto) so route comparisons compile distinct
-    # programs instead of sharing a trace-cache entry.
+    # batched-epilogue kernel (staged probability planes, epilogues
+    # detached from the state planes — _grouped_sampled_folded_batched_
+    # kernel).  MEASURED RATE-NEUTRAL (round 5, exp_grouped_batched.py:
+    # +1.1% at G=2, +0.6% at G=8, bit-identical): Mosaic lowers the
+    # kernel body in program order, so staging buys no cross-group
+    # overlap — the epilogue cost is per-group COMPUTE (CDF scans +
+    # one-hot gathers), not hazard-serialized scheduling.  And the
+    # staged stack inflates compile time badly at high G (the G=12
+    # batched compile exceeded a 25-minute budget).  Default therefore
+    # stays SEQUENTIAL; ``batched=True`` (static) opts in where the
+    # stack fits.
     if batched is None:
-        batched = _grouped_batched_fits(n_qubits, n_meas_groups)
+        batched = False
     else:
         batched = bool(batched) and _grouped_batched_fits(n_qubits, n_meas_groups)
     kernel = partial(
