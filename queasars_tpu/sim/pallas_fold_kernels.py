@@ -1101,7 +1101,12 @@ def pallas_grouped_shot_energies_folded(
             for g in range(n_meas_groups)
         ],
         scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        # n=21 (4 x 8 MB planes + epilogue transients) measures 116.87M
+        # scoped — 4.87M past the default 112M self-cap but inside the
+        # chip's 128M; this wrapper alone gets the higher ceiling
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(_VMEM_LIMIT, 124 * 1024 * 1024)
+        ),
         interpret=interpret,
     )(*operands)
     # per-group energy gathers outside the kernel (sampled indices)
