@@ -23,8 +23,13 @@ each solved under two production configurations —
   are seconds, so the study measures solution quality, not kernel
   speed; bench.py owns the kernel-speed story).
 
-Run on the TPU: python experiments/exp_instance_study.py [--quick]
+Run on the TPU: python experiments/exp_instance_study.py [--quick] [--budget]
 Emits one JSON line per (instance, config) plus a summary table.
+``--budget`` is the budget-sensitivity companion: the same instances and
+configs but max 12 generations and a 10x tighter change tolerance with 2
+allowed consecutive violations — it tests whether the anchor config's
+failures are budget failures (the 0.005 criterion fires after ~2
+generations) or search failures.
 Measured results: docs/performance.md "Random-instance quality study".
 """
 
@@ -108,7 +113,7 @@ def decode_best(encoder, individual):
     return encoder.translate_result_bitstring(format(state, f"0{encoder.n_qubits}b"))
 
 
-def solver_config(mode: str, seed: int):
+def solver_config(mode: str, seed: int, budget: bool = False):
     base = dict(
         configured_estimator=ConfiguredEstimator() if mode == "estimator" else None,
         configured_sampler=(
@@ -116,11 +121,13 @@ def solver_config(mode: str, seed: int):
         ),
         optimizer=BatchedNFT(NFTConfig(maxiter=40)),
         optimizer_n_circuit_evaluations=40,
-        max_generations=10,
+        max_generations=12 if budget else 10,
         max_circuit_evaluations=None,
         termination_criterion=BestIndividualRelativeChangeTolerance(
-            minimum_relative_change=0.005
-        ),
+            minimum_relative_change=0.0005, allowed_consecutive_violations=2
+        )
+        if budget
+        else BestIndividualRelativeChangeTolerance(minimum_relative_change=0.005),
         random_seed=seed,
         population_size=10,
         randomize_initial_population_parameters=False,
@@ -138,11 +145,11 @@ def solver_config(mode: str, seed: int):
     return EVQEMinimumEigensolverConfiguration(**base)
 
 
-def run_case(instance, encoder, hamiltonian, optimal_makespan, mode):
+def run_case(instance, encoder, hamiltonian, optimal_makespan, mode, budget=False):
     start = time.perf_counter()
-    result = EVQEMinimumEigensolver(solver_config(mode, seed=0)).compute_minimum_eigenvalue(
-        hamiltonian
-    )
+    result = EVQEMinimumEigensolver(
+        solver_config(mode, seed=0, budget=budget)
+    ).compute_minimum_eigenvalue(hamiltonian)
     wall = time.perf_counter() - start
 
     likeliest = max(result.eigenstate.items(), key=lambda kv: kv[1])[0]
@@ -179,13 +186,16 @@ def run_case(instance, encoder, hamiltonian, optimal_makespan, mode):
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    budget = "--budget" in sys.argv
     cases = build_instances(quick)
     print(f"# {len(cases)} instances, qubit counts "
-          f"{sorted(set(c[2].n_qubits for c in cases))}", file=sys.stderr)
+          f"{sorted(set(c[2].n_qubits for c in cases))}"
+          f"{' (budget config)' if budget else ''}", file=sys.stderr)
     records = []
     for mode in ("estimator", "sampler"):
         for instance, encoder, hamiltonian, optimal in cases:
-            record = run_case(instance, encoder, hamiltonian, optimal, mode)
+            record = run_case(instance, encoder, hamiltonian, optimal, mode,
+                              budget=budget)
             records.append(record)
             print(json.dumps(record), flush=True)
 

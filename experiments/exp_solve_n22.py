@@ -42,7 +42,9 @@ def main() -> None:
 
     if only in (None, 21):
         # 21 qubits: 3x3 JSSP (mixed durations reach odd counts)
-        seed21, h21 = jssp_with_qubits(3, 3, 6, 21, op_duration={1: 0.5, 2: 0.5})
+        seed21, h21 = jssp_with_qubits(
+            3, 3, 6, 21, rel=1.0, op_duration={1: 0.5, 2: 0.5}
+        )
         run(
             f"6. EVQE 21q 3x3 JSSP pop-16 exact estimator (seed {seed21})",
             lambda: EVQEMinimumEigensolver(

@@ -479,8 +479,12 @@ def _run_circuit_folded(
     d_slots: int,
     precision,
     init_ref=None,
+    init_in_planes: bool = False,
 ):
-    """Initialize the state planes and run the whole folded circuit."""
+    """Initialize the state planes and run the whole folded circuit.
+    ``init_in_planes=True`` means the caller already placed the initial
+    state into the scratch planes (DMA'd from HBM — see
+    ``_sampled_folded_kernel``), so initialization is skipped."""
     rows = 1 << (n_qubits - LANE_BITS)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -491,6 +495,8 @@ def _run_circuit_folded(
     if init_ref is not None:
         state_re[:] = init_ref[0, 0]
         state_im[:] = init_ref[0, 1]
+    elif init_in_planes:
+        pass
     else:
         state_re[:] = jnp.where(
             jnp.logical_and(row_ids == 0, lane_ids == 0), 1.0, 0.0
@@ -578,14 +584,28 @@ def _sampled_folded_kernel(
     n_qubits: int, n_kron: int, d_slots: int, shots: int, precision, has_init: bool,
 ):
     if has_init:
-        init_ref, out_ref, state_re, state_im = rest
+        # the init planes arrive in ANY (HBM) and DMA straight into the
+        # state scratch: a VMEM input window for them costs 2 full
+        # planes, which at n=21 overflows scoped VMEM by 6.1M on top of
+        # the sampler epilogue (measured in the production prefix-cached
+        # sweep; forcing the epilogue's limb-recompute path changed
+        # nothing — Mosaic hoists the loop-invariant recompute anyway)
+        init_ref, out_ref, state_re, state_im, dma_sem = rest
+        p = pl.program_id(0)
+        for plane, dst in ((0, state_re), (1, state_im)):
+            copy = pltpu.make_async_copy(init_ref.at[p, plane], dst, dma_sem)
+            copy.start()
+            copy.wait()
+        _run_circuit_folded(
+            fdata_ref, idata_ref, state_re, state_im,
+            n_qubits, n_kron, d_slots, precision, init_in_planes=True,
+        )
     else:
         out_ref, state_re, state_im = rest
-        init_ref = None
-    _run_circuit_folded(
-        fdata_ref, idata_ref, state_re, state_im,
-        n_qubits, n_kron, d_slots, precision, init_ref,
-    )
+        _run_circuit_folded(
+            fdata_ref, idata_ref, state_re, state_im,
+            n_qubits, n_kron, d_slots, precision,
+        )
     _sample_shots_in_vmem(state_re, state_im, frac_ref, out_ref, n_qubits, shots)
 
 
@@ -794,23 +814,28 @@ def pallas_sampled_shot_energies_folded(
     in_specs.append(pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0)))
     operands.append(jnp.asarray(u_frac, jnp.float32).reshape(pop, shots, 1))
     if has_init:
-        in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
+        # ANY (HBM) residence — the kernel DMAs the planes into its
+        # scratch; a VMEM input window would cost 2 extra full planes
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(initial.reshape(pop, 2, rows, LANES))
     kernel = partial(
         _sampled_folded_kernel,
         n_qubits=n_qubits, n_kron=n_kron, d_slots=d_slots, shots=shots,
         precision=_PRECISIONS[precision], has_init=has_init,
     )
+    scratch = [
+        pltpu.VMEM((rows, LANES), jnp.float32),
+        pltpu.VMEM((rows, LANES), jnp.float32),
+    ]
+    if has_init:
+        scratch.append(pltpu.SemaphoreType.DMA)
     out = pl.pallas_call(
         kernel,
         grid=(pop,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, shots, 1), lambda p: (p, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((pop, shots, 1), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
@@ -837,7 +862,9 @@ def _grouped_sampled_folded_kernel(
     evaluation instead of once per group (VERDICT r3 item 6).
 
     Per-group uniforms and outputs arrive as SEPARATE refs (Mosaic
-    rejects sub-ref slicing of minor-dim-1 blocks)."""
+    rejects sub-ref slicing of minor-dim-1 blocks).  An initial state
+    arrives in ANY (HBM) and DMAs straight into the state scratch —
+    same rationale as ``_sampled_folded_kernel``."""
     fracs = rest[:n_meas_groups]
     cursor = n_meas_groups
     if has_init:
@@ -846,11 +873,23 @@ def _grouped_sampled_folded_kernel(
     else:
         init_ref = None
     outs = rest[cursor:cursor + n_meas_groups]
-    state_re, state_im, base_re, base_im = rest[cursor + n_meas_groups:]
-    _run_circuit_folded(
-        fdata_ref, idata_ref, state_re, state_im,
-        n_qubits, n_kron, d_slots, precision, init_ref,
-    )
+    if has_init:
+        state_re, state_im, base_re, base_im, dma_sem = rest[cursor + n_meas_groups:]
+        p = pl.program_id(0)
+        for plane, dst in ((0, state_re), (1, state_im)):
+            copy = pltpu.make_async_copy(init_ref.at[p, plane], dst, dma_sem)
+            copy.start()
+            copy.wait()
+        _run_circuit_folded(
+            fdata_ref, idata_ref, state_re, state_im,
+            n_qubits, n_kron, d_slots, precision, init_in_planes=True,
+        )
+    else:
+        state_re, state_im, base_re, base_im = rest[cursor + n_meas_groups:]
+        _run_circuit_folded(
+            fdata_ref, idata_ref, state_re, state_im,
+            n_qubits, n_kron, d_slots, precision,
+        )
     base_re[:] = state_re[:]
     base_im[:] = state_im[:]
 
@@ -911,11 +950,25 @@ def _grouped_sampled_folded_batched_kernel(
     else:
         init_ref = None
     outs = rest[cursor:cursor + n_meas_groups]
-    state_re, state_im, base_re, base_im, gprobs = rest[cursor + n_meas_groups:]
-    _run_circuit_folded(
-        fdata_ref, idata_ref, state_re, state_im,
-        n_qubits, n_kron, d_slots, precision, init_ref,
-    )
+    if has_init:
+        state_re, state_im, base_re, base_im, gprobs, dma_sem = (
+            rest[cursor + n_meas_groups:]
+        )
+        p = pl.program_id(0)
+        for plane, dst in ((0, state_re), (1, state_im)):
+            copy = pltpu.make_async_copy(init_ref.at[p, plane], dst, dma_sem)
+            copy.start()
+            copy.wait()
+        _run_circuit_folded(
+            fdata_ref, idata_ref, state_re, state_im,
+            n_qubits, n_kron, d_slots, precision, init_in_planes=True,
+        )
+    else:
+        state_re, state_im, base_re, base_im, gprobs = rest[cursor + n_meas_groups:]
+        _run_circuit_folded(
+            fdata_ref, idata_ref, state_re, state_im,
+            n_qubits, n_kron, d_slots, precision,
+        )
     base_re[:] = state_re[:]
     base_im[:] = state_im[:]
 
@@ -1054,7 +1107,9 @@ def pallas_grouped_shot_energies_folded(
         in_specs.append(pl.BlockSpec((1, group_shots[g], 1), lambda p: (p, 0, 0)))
         operands.append(frac_list[g])
     if has_init:
-        in_specs.append(pl.BlockSpec((1, 2, rows, LANES), lambda p: (p, 0, 0, 0)))
+        # ANY (HBM) residence — the kernels DMA the planes into their
+        # scratch (see _grouped_sampled_folded_kernel)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(initial.reshape(pop, 2, rows, LANES))
     # batched-epilogue kernel (staged probability planes, epilogues
     # detached from the state planes — _grouped_sampled_folded_batched_
@@ -1088,6 +1143,8 @@ def pallas_grouped_shot_energies_folded(
         scratch_shapes.append(
             pltpu.VMEM((n_meas_groups * rows, LANES), jnp.float32)
         )
+    if has_init:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA)
     outs = pl.pallas_call(
         kernel,
         grid=(pop,),

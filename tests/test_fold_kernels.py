@@ -128,6 +128,44 @@ def test_sampled_shot_energies_match_unfolded_stream():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_sampled_initial_state_dma_matches_slot_stream():
+    """The folded sampler's initial state arrives in ANY (HBM) and DMAs
+    straight into the state scratch (a VMEM input window for it
+    overflowed scoped VMEM by 6.1M at n=21/pop-16 in the production
+    prefix-cached sweep).  Same uniforms + same init -> same sampled
+    energies as the slot-kernel sampler, whose init rides a VMEM
+    window: the DMA placement must be value-invisible."""
+    from queasars_tpu.sim.pallas_kernels import pallas_sampled_shot_energies
+
+    n, shots, pop = 14, 512, 2
+    packed, pipe = _workload(n, 2, pop=pop, seed=23)
+    rng = np.random.default_rng(29)
+    raw = rng.normal(size=(pop, 2, 1 << n)).astype(np.float32)
+    norm = np.sqrt((raw**2).sum(axis=(1, 2), keepdims=True))
+    initial = jnp.asarray(raw / norm)
+    table = jnp.asarray(rng.normal(size=1 << n).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(31), pop)
+    frac = jnp.stack([jax.random.uniform(k, (shots,), jnp.float32) for k in keys])
+
+    got = np.asarray(
+        pallas_sampled_shot_energies_folded(
+            pipe, table, frac, n, shots, interpret=True, initial=initial
+        )
+    )
+    want = np.asarray(
+        pallas_sampled_shot_energies(
+            packed.gate_types, packed.controls, packed.angles, packed.layer_mask,
+            table, frac, n, shots, interpret=True, initial=initial,
+        )
+    )
+    # identical draws; the dense random init amplifies the f32
+    # fold-vs-slot state difference enough to move the rare boundary
+    # draw, so assert the stream-agreement rate like the slot-kernel
+    # stream test does (and that every draw is a real table energy)
+    assert (got == want).mean() > 0.99
+    assert np.isin(got, np.asarray(table)).all()
+
+
 def test_chunked_group_matmuls_match_engine(monkeypatch):
     """Past n=21 the kernels bound their Gauss temporaries: the lane
     group runs row-chunked and the top group splits into two sub-kron

@@ -533,6 +533,28 @@ def test_one_launch_grouped_fold_matches_per_group_route():
     for g in range(n_groups):
         np.testing.assert_array_equal(np.asarray(batched[g]), np.asarray(sequential[g]))
 
+    # with an initial state (the optimizer prefix-cache shape) the init
+    # planes ride ANY (HBM) and DMA into the kernels' scratch; the
+    # one-launch and per-group routes must still agree bit-for-bit
+    rng = np.random.default_rng(41)
+    raw = rng.normal(size=(packed.n_individuals, 2, 1 << n)).astype(np.float32)
+    initial = jnp.asarray(raw / np.sqrt((raw**2).sum(axis=(1, 2), keepdims=True)))
+    fused_init = pallas_grouped_shot_energies_folded(
+        base, rot_factors, rot_active, tables, frac, n, shots,
+        precision="default", interpret=True, initial=initial,
+    )
+    for g in range(n_groups):
+        extended = extend_fold_pipeline_with_rotation(
+            base, rot_types[g], rot_angles[g], n
+        )
+        per_group = np.asarray(
+            pallas_sampled_shot_energies_folded(
+                extended, tables[g], frac[:, g], n, shots,
+                precision="default", interpret=True, initial=initial,
+            )
+        )
+        np.testing.assert_array_equal(np.asarray(fused_init[g]), per_group)
+
 
 def test_one_launch_route_engaged_through_public_entry():
     """grouped_shot_energies_pallas auto-selects the one-launch kernel
